@@ -1,0 +1,43 @@
+"""Pairwise distance and q-matrix kernels (top-level API parity with the
+reference ``superscreen/distance.py``; numba is replaced by blocked JAX
+kernels running on TPU)."""
+
+import numpy as np
+
+from .ops import kernels as _kernels
+
+__all__ = ["cdist", "q_matrix"]
+
+
+def cdist(XA: np.ndarray, XB: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    """Pairwise distances between observations in 2D or 3D space.
+
+    Args:
+        XA: ``(mA, n)`` array with n in (2, 3).
+        XB: ``(mB, n)`` array with n in (2, 3).
+        metric: "euclidean" or "sqeuclidean".
+
+    Returns:
+        ``(mA, mB)`` distance matrix.
+    """
+    XA = np.asarray(XA)
+    XB = np.asarray(XB)
+    metrics = ("euclidean", "sqeuclidean")
+    if metric not in metrics:
+        raise ValueError(f"Metric must be one of {metrics!r}, got {metric!r}.")
+    if XA.shape[1] != XB.shape[1]:
+        raise ValueError(
+            f"XA.shape[1] ({XA.shape[1]}) must be equal to "
+            f"XB.shape[1] ({XB.shape[1]})."
+        )
+    if XA.shape[1] not in (2, 3):
+        raise ValueError(
+            f"Expected shape (n, 2) or (n, 3) arrays, got {XA.shape} and "
+            f"{XB.shape}."
+        )
+    return np.asarray(_kernels.cdist(XA, XB, metric=metric))
+
+
+def q_matrix(points: np.ndarray, dtype=None) -> np.ndarray:
+    """The matrix ``q_ij = 1/(4 pi |r_i - r_j|^3)`` with zero diagonal."""
+    return np.asarray(_kernels.q_matrix(points, dtype=dtype))

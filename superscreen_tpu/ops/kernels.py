@@ -1,0 +1,260 @@
+"""Dense device kernels (JAX/XLA).
+
+TPU-native replacements for the numba kernels of the reference:
+
+* ``q_matrix`` / ``Q_matrix``: the Brandt dipole kernel
+  (reference ``superscreen/distance.py:87-115`` and
+  ``superscreen/device/mesh.py:400-458``),
+* inter-film / in-film Biot-Savart coupling
+  (reference ``superscreen/solver/solve.py:28-73`` and
+  ``solve_film.py:415-437``),
+* terminal boundary effective field (``solve_film.py:393-412``),
+* arbitrary-point sheet-current Biot-Savart
+  (``superscreen/sources/current.py:13-110``).
+
+All kernels are pure ``jnp`` functions evaluated in row blocks
+(``lax.map`` over padded chunks) so peak memory is ``O(block * m)`` rather
+than ``O(n * m)``, letting XLA pipeline HBM traffic on TPU.  They are
+jit-friendly and may be vmapped (e.g. for position sweeps).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "cdist",
+    "q_matrix",
+    "C_vector",
+    "Q_matrix",
+    "biot_savart_film_to_film",
+    "biot_savart_within_film",
+    "boundary_effective_field",
+    "biot_savart_2d_field",
+]
+
+_ONE_OVER_4PI = 1 / (4 * np.pi)
+
+# Default row-block size for O(n*m) pairwise kernels.
+_BLOCK = 2048
+
+
+def _blocked(fn, X, block: int):
+    """Applies ``fn`` to row blocks of ``X`` via ``lax.map``, concatenating
+    the results. ``X`` is padded to a multiple of ``block`` (extra rows are
+    computed and discarded -- cheap and keeps shapes static)."""
+    n = X.shape[0]
+    if n <= block:
+        return fn(X)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    Xp = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)], axis=0)
+    Xb = Xp.reshape((n_blocks, block) + X.shape[1:])
+    out = jax.lax.map(fn, Xb)
+    out = out.reshape((n_blocks * block,) + out.shape[2:])
+    return out[:n]
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def cdist(XA, XB, metric: str = "euclidean"):
+    """Pairwise distances between two point sets (2D or 3D)."""
+    XA = jnp.asarray(XA)
+    XB = jnp.asarray(XB)
+    d2 = jnp.sum((XA[:, None, :] - XB[None, :, :]) ** 2, axis=-1)
+    if metric == "sqeuclidean":
+        return d2
+    if metric == "euclidean":
+        return jnp.sqrt(d2)
+    raise ValueError(
+        f"Metric must be one of ('euclidean', 'sqeuclidean'), got {metric!r}."
+    )
+
+
+@partial(jax.jit, static_argnames=("dtype", "block"))
+def q_matrix(points, dtype=None, block: int = _BLOCK):
+    """The matrix ``q_ij = 1 / (4 pi |r_i - r_j|^3)`` with zero diagonal.
+
+    Reference: ``superscreen/distance.py:87-115``.
+    """
+    points = jnp.asarray(points, dtype=dtype)
+    n = points.shape[0]
+
+    def row_block(P):
+        d2 = jnp.sum((P[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+        r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+        q = _ONE_OVER_4PI * r * r * r
+        return jnp.where(d2 > 0, q, 0.0)
+
+    return _blocked(row_block, points, block)[:, :n]
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def C_vector(points, dtype=None):
+    """Brandt's boundary-regularization vector ``C_i`` (Eq. 12 of
+    [Brandt-PRB-2005]; reference ``superscreen/device/mesh.py:400-432``)."""
+    points = jnp.asarray(points, dtype=dtype)
+    x = points[:, 0] - jnp.mean(points[:, 0])
+    y = points[:, 1] - jnp.mean(points[:, 1])
+    a = (jnp.max(x) - jnp.min(x)) / 2
+    b = (jnp.max(y) - jnp.min(y)) / 2
+    C = jnp.zeros_like(x)
+    for p in (-1.0, 1.0):
+        for q in (-1.0, 1.0):
+            C = C + jnp.sqrt((a - p * x) ** -2 + (b - q * y) ** -2)
+    C = jnp.where(jnp.isfinite(C), C, 1e30)
+    return C * _ONE_OVER_4PI
+
+
+@partial(jax.jit, static_argnames=("dtype", "block"))
+def Q_matrix(points, weights, dtype=None, block: int = _BLOCK):
+    """The Brandt kernel matrix ``Q`` (Eq. 10 of [Brandt-PRB-2005]):
+
+    ``Q_ij = -q_ij`` off-diagonal and
+    ``Q_ii = (C_i + sum_l q_il w_l) / w_i``.
+
+    Reference: ``superscreen/device/mesh.py:434-458``.
+    """
+    points = jnp.asarray(points, dtype=dtype)
+    weights = jnp.asarray(weights, dtype=points.dtype)
+    n = points.shape[0]
+    C = C_vector(points, dtype=points.dtype)
+    q = q_matrix(points, dtype=points.dtype, block=block)
+    diag = (C + q @ weights) / weights
+    return jnp.where(jnp.eye(n, dtype=bool), diag[:, None], -q)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def biot_savart_film_to_film(
+    film1_sites,
+    film1_z0: float,
+    film1_areas,
+    film1_J,
+    film2_sites,
+    film2_z0: float,
+    block: int = _BLOCK,
+):
+    """Biot-Savart field at ``film2_sites`` (z = film2_z0) from sheet current
+    ``film1_J`` flowing at ``film1_sites`` (z = film1_z0), in
+    magnetization-like units ``current / length``.
+
+    Reference: ``superscreen/solver/solve.py:28-73``.
+    """
+    film1_sites = jnp.asarray(film1_sites)
+    film2_sites = jnp.asarray(film2_sites)
+    J = jnp.asarray(film1_J)
+    areas = jnp.asarray(film1_areas)
+    dz2 = (film2_z0 - film1_z0) ** 2
+
+    def row_block(P):
+        dx = P[:, 0:1] - film1_sites[None, :, 0]
+        dy = P[:, 1:2] - film1_sites[None, :, 1]
+        r = jax.lax.rsqrt(dx * dx + dy * dy + dz2)
+        r3 = r * r * r
+        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
+        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
+
+    return _blocked(row_block, film2_sites, block)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def biot_savart_within_film(
+    sites, tri_centroids, tri_areas, tri_J, block: int = _BLOCK
+):
+    """In-plane Biot-Savart self-field of a film from triangle-centroid
+    current densities (used for films with transport terminals).
+
+    Reference: ``superscreen/solver/solve_film.py:415-437``.
+    """
+    sites = jnp.asarray(sites)
+    cent = jnp.asarray(tri_centroids)
+    areas = jnp.asarray(tri_areas)
+    J = jnp.asarray(tri_J)
+
+    def row_block(P):
+        dx = P[:, 0:1] - cent[None, :, 0]
+        dy = P[:, 1:2] - cent[None, :, 1]
+        r2 = dx * dx + dy * dy
+        r = jax.lax.rsqrt(jnp.where(r2 > 0, r2, 1.0))
+        r3 = jnp.where(r2 > 0, r * r * r, 0.0)
+        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
+        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
+
+    return _blocked(row_block, sites, block)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def boundary_effective_field(
+    sites, boundary_centers, boundary_lengths, boundary_normals, boundary_stream,
+    block: int = _BLOCK,
+):
+    """Effective field at mesh sites from the transport-current boundary
+    stream (a line of dipoles along the film edge).
+
+    Reference: ``superscreen/solver/solve_film.py:393-412``.
+    """
+    sites = jnp.asarray(sites)
+    centers = jnp.asarray(boundary_centers)
+    lengths = jnp.asarray(boundary_lengths)
+    normals = jnp.asarray(boundary_normals)
+    stream = jnp.asarray(boundary_stream)
+
+    def row_block(P):
+        dr = P[:, None, :] - centers[None, :, :]  # (b, m, 2)
+        rinv = jax.lax.rsqrt(jnp.sum(dr * dr, axis=-1))
+        r3inv = rinv * rinv * rinv
+        dot = -jnp.sum(dr * normals[None, :, :], axis=-1)
+        return jnp.sum(stream[None, :] * dot * lengths[None, :] * r3inv, axis=1)
+
+    return _ONE_OVER_4PI * _blocked(row_block, sites, block)
+
+
+@partial(jax.jit, static_argnames=("vector", "block"))
+def biot_savart_2d_field(
+    eval_positions,
+    positions,
+    current_densities,
+    areas,
+    vector: bool = True,
+    block: int = _BLOCK,
+):
+    """Magnetic field (tesla) at 3D ``eval_positions`` from a sheet current.
+
+    All inputs are SI (meters, A/m, m^2); unit conversion happens at the API
+    boundary (:func:`superscreen_tpu.sources.biot_savart_2d`).
+
+    Reference: ``superscreen/sources/current.py:13-110``.
+
+    Args:
+        eval_positions: ``(n, 3)`` evaluation coordinates in meters.
+        positions: ``(m, 3)`` sheet coordinates in meters.
+        current_densities: ``(m, 2)`` sheet current density in A/m.
+        areas: ``(m,)`` effective vertex areas in m^2.
+        vector: If True returns ``(n, 3)`` (Bx, By, Bz); else ``(n,)`` Bz.
+    """
+    mu_0 = 1.25663706212e-06
+    eval_positions = jnp.asarray(eval_positions)
+    positions = jnp.asarray(positions)
+    J = jnp.asarray(current_densities)
+    areas = jnp.asarray(areas)
+
+    def row_block(P):
+        d = P[:, None, :] - positions[None, :, :]  # (b, m, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        rinv = jax.lax.rsqrt(jnp.where(r2 > 0, r2, 1.0))
+        r3 = jnp.where(r2 > 0, rinv * rinv * rinv, 0.0)
+        pref = (mu_0 * _ONE_OVER_4PI) * areas[None, :] * r3
+        Jx_dy = pref * J[None, :, 0] * d[:, :, 1]
+        Jy_dx = pref * J[None, :, 1] * d[:, :, 0]
+        Bz = jnp.sum(Jx_dy - Jy_dx, axis=1)
+        if not vector:
+            return Bz
+        Jx_dz = pref * J[None, :, 0] * d[:, :, 2]
+        Jy_dz = pref * J[None, :, 1] * d[:, :, 2]
+        Bx = jnp.sum(Jy_dz, axis=1)
+        By = -jnp.sum(Jx_dz, axis=1)
+        return jnp.stack([Bx, By, Bz], axis=-1)
+
+    return _blocked(row_block, eval_positions, block)
