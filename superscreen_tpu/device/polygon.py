@@ -332,7 +332,9 @@ class Polygon:
             num_points = len(self.points)
         if not num_points:
             return self.copy()
-        new_points = ops.resample_polygon(self.points, num_points)
+        # self.points is stored closed (first == last); resample_polygon
+        # works on open rings, and the constructor re-closes the curve.
+        new_points = ops.resample_polygon(self.points, num_points - 1)
         return Polygon(name=self.name, layer=self.layer, points=new_points)
 
     def plot(self, ax=None, **kwargs):

@@ -232,6 +232,11 @@ def make_film_info(
 
     Reference: ``superscreen/solver/utils.py:234-324``.
     """
+    if not device.meshes:
+        raise ValueError(
+            "The device does not have a mesh. Call device.make_mesh() to "
+            "generate it."
+        )
     dtype = device.solve_dtype
     holes_by_film, vortices_by_film = get_holes_and_vortices_by_film(device, vortices)
     film_info = {}
