@@ -450,13 +450,33 @@ def boolean_op(subject: np.ndarray, clip: np.ndarray, op: str) -> np.ndarray:
         1e-300,
     )
     # Deterministic perturbation ladder: vertex-on-edge degeneracies are
-    # escaped by nudging the clip polygon by a tiny, growing offset.
-    shift = np.array([1.0, np.sqrt(2.0)])
+    # escaped by nudging the clip polygon by a tiny, growing offset.  The
+    # offset points away from the subject's centroid so shared/collinear
+    # boundary segments (e.g. a notch cut flush with the film edge) become
+    # proper crossings rather than silently losing the overlap.
+    shift = centroid(clip) - centroid(subject)
+    norm = np.linalg.norm(shift)
+    if norm < 1e-12 * scale:
+        shift = np.array([1.0, np.sqrt(2.0)])
+        norm = np.linalg.norm(shift)
+    shift = shift / norm
+    if op == "union":
+        # Touching polygons should merge: push the clip toward the subject.
+        shift = -shift
     last_err: Optional[Exception] = None
     for attempt in range(6):
-        delta = 0.0 if attempt == 0 else scale * 1e-11 * 10.0 ** (attempt - 1)
+        # Always perturb (never zero): polygons sharing collinear boundary
+        # segments would otherwise be misclassified as containment.  The
+        # direction is rotated a bit more each attempt so a shift that is
+        # axis-aligned with a shared corner's edges cannot stay degenerate.
+        delta = scale * 1e-11 * 10.0**attempt
+        theta = 0.07 + 0.13 * attempt
+        c, s = np.cos(theta), np.sin(theta)
+        rshift = np.array(
+            [c * shift[0] - s * shift[1], s * shift[0] + c * shift[1]]
+        )
         try:
-            results = _boolean_once(subject, clip + delta * shift, op, eps=1e-9)
+            results = _boolean_once(subject, clip + delta * rshift, op, eps=1e-9)
         except _Degenerate as err:
             last_err = err
             continue
