@@ -291,20 +291,21 @@ class MeshOperators:
         )
 
     @property
-    def Q(self) -> np.ndarray:
-        """The dense Brandt kernel ``Q`` in float64 (cached)."""
+    def Q(self):
+        """The dense Brandt kernel ``Q`` in float64 (cached, device array)."""
         return self.Q_dense("float64")
 
-    def Q_dense(self, dtype) -> np.ndarray:
-        """Dense Brandt kernel ``Q`` in the given dtype, assembled on device
-        with the blocked JAX kernel (cached per dtype)."""
+    def Q_dense(self, dtype):
+        """Dense Brandt kernel ``Q`` in the given dtype, assembled **and
+        kept** on device (cached per dtype).  Call ``np.asarray`` on the
+        result only when a host copy is genuinely needed -- device-to-host
+        transfers are the expensive direction."""
         key = str(np.dtype(dtype))
         if key not in self._Q_cache:
-            Q = kernels.Q_matrix(
+            self._Q_cache[key] = kernels.Q_matrix(
                 np.asarray(self.sites, dtype=dtype),
                 np.asarray(self.weights, dtype=dtype),
             )
-            self._Q_cache[key] = np.asarray(Q)
         return self._Q_cache[key]
 
     # Backwards-compatible aliases used by the solver.

@@ -1,0 +1,7 @@
+from .sharding import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_sweep_inputs,
+    sharded_film_data,
+)

@@ -60,13 +60,17 @@ class LinearSystem:
     grad_Lambda_term: Union[float, np.ndarray] = 0.0
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
+        # Explicit host copies: serialization is the one place device
+        # arrays cross back to the host.
         h5group["A"] = np.asarray(self.A)
         h5group["indices"] = np.asarray(self.indices)
         if self.lu_piv is not None:
             h5group["lu"] = np.asarray(self.lu_piv[0])
             h5group["piv"] = np.asarray(self.lu_piv[1])
-        if isinstance(self.grad_Lambda_term, np.ndarray):
-            h5group["grad_Lambda_term"] = self.grad_Lambda_term
+        if hasattr(self.grad_Lambda_term, "shape") and np.ndim(
+            self.grad_Lambda_term
+        ) > 0:
+            h5group["grad_Lambda_term"] = np.asarray(self.grad_Lambda_term)
         else:
             h5group.attrs["grad_Lambda_term"] = self.grad_Lambda_term
 
@@ -159,13 +163,20 @@ def _build_system_1d(
 def _build_system_2d(
     Q, weights, Lambda, laplacian, grad_Lambda_term, ix1d, inhomogeneous=False
 ):
-    """The stream-function system restricted to rows and columns ``ix1d``."""
-    ix2d = np.ix_(ix1d, ix1d)
+    """The stream-function system restricted to rows and columns ``ix1d``.
+    Works for numpy or device (jnp) operator matrices -- the restriction is
+    a broadcasted gather, evaluated on device when the inputs live there."""
+    rows = np.asarray(ix1d)[:, None]
+    cols = np.asarray(ix1d)[None, :]
     if inhomogeneous:
-        grad_Lambda = grad_Lambda_term[ix2d]
+        grad_Lambda = grad_Lambda_term[rows, cols]
     else:
         grad_Lambda = 0
-    return Q[ix2d] * weights[ix1d] - Lambda[ix1d, 0] * laplacian[ix2d] - grad_Lambda
+    return (
+        Q[rows, cols] * weights[ix1d]
+        - Lambda[ix1d, 0] * laplacian[rows, cols]
+        - grad_Lambda
+    )
 
 
 def factorize_linear_systems(

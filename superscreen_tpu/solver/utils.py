@@ -154,11 +154,11 @@ class FilmInfo:
         circ_grp = h5group.create_group("circulating_currents")
         for hole, current in self.circulating_currents.items():
             circ_grp.attrs[hole] = current
-        h5group["weights"] = self.weights
-        h5group["kernel"] = self.kernel
-        h5group["laplacian"] = self.laplacian
+        h5group["weights"] = np.asarray(self.weights)
+        h5group["kernel"] = np.asarray(self.kernel)
+        h5group["laplacian"] = np.asarray(self.laplacian)
         if self.gradient is not None:
-            h5group["gradient"] = self.gradient
+            h5group["gradient"] = np.asarray(self.gradient)
         if self.terminal_currents is not None:
             term_grp = h5group.create_group("terminal_currents")
             for name, current in self.terminal_currents.items():
@@ -295,13 +295,17 @@ def make_film_info(
             thickness=layer.thickness,
         )
         weights = mesh.operators.weights.astype(dtype, copy=False)
+        # Device-resident dense operators: the Brandt kernel and Laplacian
+        # stay on device end-to-end (assembly -> system build -> LU).
         Q = mesh.operators.Q_dense(dtype)
-        laplacian = mesh.operators.laplacian.to_dense(dtype=dtype)
+        laplacian = mesh.operators.laplacian.to_dense(dtype=dtype, like="jax")
         grad = None
         if lambda_info.inhomogeneous:
-            grad_x = mesh.operators.gradient_x.to_dense(dtype=dtype)
-            grad_y = mesh.operators.gradient_y.to_dense(dtype=dtype)
-            grad = np.array([grad_x, grad_y])
+            import jax.numpy as jnp
+
+            grad_x = mesh.operators.gradient_x.to_dense(dtype=dtype, like="jax")
+            grad_y = mesh.operators.gradient_y.to_dense(dtype=dtype, like="jax")
+            grad = jnp.stack([grad_x, grad_y])
         if name in device.terminals:
             boundary_indices = device.boundary_vertices(name)
         else:
@@ -324,7 +328,7 @@ def make_film_info(
             circulating_currents=circ_currents,
             terminal_currents=term_currents,
             weights=weights,
-            kernel=np.asarray(Q),
+            kernel=Q,
             gradient=grad,
             laplacian=laplacian,
         )

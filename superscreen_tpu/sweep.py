@@ -1,0 +1,499 @@
+"""Batched parameter sweeps: the TPU-native replacement for running many
+solver processes.
+
+The reference package tells users to parallelize applied-field/position
+sweeps by launching multiple Python processes (``docs/gotchas.rst:31-44``).
+Here, a sweep over ``B`` parameter sets reuses one LU factorization and runs
+as a **single jitted device computation**: the per-film linear solves become
+one triangular solve with ``B`` stacked right-hand sides (MXU-friendly), the
+hole/vortex contributions are rank-1 updates batched over ``B``, and the
+multi-film self-consistent iterations batch the inter-film Biot-Savart
+coupling.  The batch axis can additionally be sharded across a device mesh
+(see :mod:`superscreen_tpu.parallel`).
+"""
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device import Device
+from .ops import kernels
+from .solution import FilmSolution, Solution, Vortex
+from .solver.solve import FactorizedModel, factorize_model
+from .solver.utils import field_conversion_factor
+from .sources import ConstantField
+
+logger = logging.getLogger("solve")
+
+__all__ = ["solve_many", "SweepResult", "FilmSweepData"]
+
+
+@dataclass
+class FilmSweepData:
+    """Static (sweep-independent) device arrays for one film.
+
+    Registered as a JAX pytree (array fields are leaves; name/size/z0/hole
+    names are static) so it can be passed into jitted sweep functions
+    without baking the arrays in as compile-time constants."""
+
+    name: str
+    n: int
+    interior: jnp.ndarray  # (ni,) interior indices
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+    A: jnp.ndarray  # (ni, ni)
+    Q: jnp.ndarray  # (n, n)
+    weights: jnp.ndarray  # (n,)
+    gx_rows: jnp.ndarray
+    gx_cols: jnp.ndarray
+    gx_vals: jnp.ndarray
+    gy_rows: jnp.ndarray
+    gy_cols: jnp.ndarray
+    gy_vals: jnp.ndarray
+    sites: jnp.ndarray  # (n, 2)
+    z0: float
+    hole_masks: jnp.ndarray  # (n_holes, n) 1.0 where site in hole
+    hole_ha_vecs: jnp.ndarray  # (n_holes, n) effective-field vectors
+    vortex_cols: Optional[jnp.ndarray]  # (ni, n_vortices) K columns
+    vortex_scales: Optional[jnp.ndarray]  # (n_vortices,) nPhi0 / w_j
+    hole_names: Sequence[str] = field(default_factory=list)
+
+
+_FSD_ARRAY_FIELDS = (
+    "interior", "lu", "piv", "A", "Q", "weights",
+    "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
+    "sites", "hole_masks", "hole_ha_vecs", "vortex_cols", "vortex_scales",
+)
+_FSD_STATIC_FIELDS = ("name", "n", "z0", "hole_names")
+
+
+def _fsd_flatten(d: FilmSweepData):
+    children = tuple(getattr(d, f) for f in _FSD_ARRAY_FIELDS)
+    aux = tuple(getattr(d, f) for f in _FSD_STATIC_FIELDS)
+    return children, aux
+
+
+def _fsd_unflatten(aux, children):
+    kwargs = dict(zip(_FSD_ARRAY_FIELDS, children))
+    kwargs.update(dict(zip(_FSD_STATIC_FIELDS, aux)))
+    return FilmSweepData(**kwargs)
+
+
+jax.tree_util.register_pytree_node(FilmSweepData, _fsd_flatten, _fsd_unflatten)
+
+
+def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
+    device = model.device
+    info = model.film_info[film_name]
+    system = model.film_systems[film_name]
+    mesh = device.meshes[film_name]
+    n = len(mesh.sites)
+    dtype = device.solve_dtype
+    hole_names = list(info.hole_indices)
+    hole_masks = np.zeros((len(hole_names), n), dtype=dtype)
+    hole_ha = np.zeros((len(hole_names), n), dtype=dtype)
+    for k, hole in enumerate(hole_names):
+        idx = info.hole_indices[hole]
+        hole_masks[k, idx] = 1.0
+        # Effective field from unit circulating current in this hole:
+        # -(A_hole @ 1).
+        A_hole = model.hole_systems[film_name][hole].A
+        hole_ha[k] = -(A_hole @ np.ones(len(idx), dtype=dtype))
+    # Vortex response columns (fixed vortex positions across the sweep).
+    vortex_cols = vortex_scales = None
+    if info.vortices:
+        from .ops import linalg
+
+        ni = len(system.indices)
+        rhs = np.zeros((ni, len(info.vortices)), dtype=system.A.dtype)
+        scales = np.zeros(len(info.vortices))
+        points = mesh.sites
+        for k, vortex in enumerate(info.vortices):
+            xy = (vortex.x, vortex.y)
+            j_film = int(
+                np.argmin(np.linalg.norm(points[system.indices] - xy, axis=1))
+            )
+            j_device = int(np.argmin(np.linalg.norm(points - xy, axis=1)))
+            rhs[j_film, k] = 1.0
+            scales[k] = vortex.nPhi0 / info.weights[j_device]
+        vortex_cols = jnp.asarray(-linalg.lu_solve(system.lu_piv, rhs))
+        vortex_scales = jnp.asarray(scales)
+    gx = mesh.operators.gradient_x
+    gy = mesh.operators.gradient_y
+    lu, piv = system.lu_piv
+    layer = device.layers[info.layer]
+    return FilmSweepData(
+        name=film_name,
+        n=n,
+        interior=jnp.asarray(system.indices),
+        lu=jnp.asarray(lu),
+        piv=jnp.asarray(piv),
+        A=jnp.asarray(system.A),
+        Q=jnp.asarray(info.kernel),
+        weights=jnp.asarray(info.weights),
+        gx_rows=jnp.asarray(gx.rows),
+        gx_cols=jnp.asarray(gx.cols),
+        gx_vals=jnp.asarray(gx.vals.astype(dtype)),
+        gy_rows=jnp.asarray(gy.rows),
+        gy_cols=jnp.asarray(gy.cols),
+        gy_vals=jnp.asarray(gy.vals.astype(dtype)),
+        sites=jnp.asarray(mesh.sites.astype(dtype)),
+        z0=float(layer.z0),
+        hole_masks=jnp.asarray(hole_masks),
+        hole_ha_vecs=jnp.asarray(hole_ha),
+        vortex_cols=vortex_cols,
+        vortex_scales=vortex_scales,
+        hole_names=hole_names,
+    )
+
+
+def _coo_matvec_batch(rows, cols, vals, g, n_out):
+    """Batched sparse matvec: ``g`` has shape (B, n); returns (B, n_out)."""
+    contrib = vals[None, :] * g[:, cols]
+    return jax.ops.segment_sum(contrib.T, rows, num_segments=n_out).T
+
+
+def _solve_film_batch(
+    data: FilmSweepData,
+    Hz_total,  # (B, n): applied + field from other films, solver units
+    I_circ,  # (B, n_holes)
+    vortex_flux: float,
+    refine_steps: int = 1,
+):
+    """Batched single-film solve. Returns (g, J, self_field), shapes
+    (B, n), (B, n, 2), (B, n)."""
+    B = Hz_total.shape[0]
+    # Hole boundary conditions (batched rank-1 terms).
+    if data.hole_masks.shape[0]:
+        g0 = I_circ @ data.hole_masks  # (B, n)
+        Ha_eff = I_circ @ data.hole_ha_vecs  # (B, n)
+    else:
+        g0 = jnp.zeros_like(Hz_total)
+        Ha_eff = jnp.zeros_like(Hz_total)
+    h = (Hz_total - Ha_eff)[:, data.interior]  # (B, ni)
+    # One LU solve with B stacked right-hand sides.
+    gf = jax.scipy.linalg.lu_solve((data.lu, data.piv), h.T)  # (ni, B)
+    for _ in range(refine_steps):
+        r = h.T + data.A @ gf
+        gf = gf + jax.scipy.linalg.lu_solve((data.lu, data.piv), r)
+    if data.vortex_cols is not None:
+        gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
+    g = g0.at[:, data.interior].add(gf.T)
+    Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
+    Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
+    J = jnp.stack([Jx, Jy], axis=-1)
+    self_field = (data.Q * data.weights[None, :]) @ g[..., None]
+    self_field = self_field[..., 0]
+    return g, J, self_field
+
+
+def _film_to_film_batch(src: FilmSweepData, dst: FilmSweepData, J_src):
+    """Batched inter-film Biot-Savart: J_src (B, n_src, 2) -> (B, n_dst)."""
+
+    def one(J):
+        return kernels.biot_savart_film_to_film(
+            src.sites, src.z0, src.weights, J, dst.sites, dst.z0
+        )
+
+    return jax.vmap(one)(J_src)
+
+
+class SweepResult:
+    """Results of a batched sweep.
+
+    Stacked per-film arrays live on device; :meth:`solution` materializes a
+    full :class:`superscreen_tpu.Solution` for any sweep index.
+
+    Args:
+        model: The factorized model used for the sweep.
+        film_data: ``{film_name: FilmSweepData}``.
+        streams: ``{film_name: (B, n)}`` stream functions.
+        current_densities: ``{film_name: (B, n, 2)}``.
+        self_fields: ``{film_name: (B, n)}`` (solver units / conversion
+            applied, i.e. in ``field_units``).
+        applied_fields: ``{film_name: (B, n)}`` in ``field_units``.
+        other_fields: ``{film_name: (B, n)}`` in ``field_units`` (or None).
+        field_units, current_units: Units of the stored arrays.
+        applied_field_funcs: The per-sweep applied field callables (if any).
+    """
+
+    def __init__(
+        self,
+        *,
+        model: FactorizedModel,
+        streams: Dict[str, np.ndarray],
+        current_densities: Dict[str, np.ndarray],
+        self_fields: Dict[str, np.ndarray],
+        applied_fields: Dict[str, np.ndarray],
+        other_fields: Optional[Dict[str, np.ndarray]],
+        field_units: str,
+        current_units: str,
+        applied_field_funcs: Optional[Sequence[Callable]] = None,
+        circulating_currents: Optional[Sequence[Dict[str, float]]] = None,
+    ):
+        self.model = model
+        self.streams = streams
+        self.current_densities = current_densities
+        self.self_fields = self_fields
+        self.applied_fields = applied_fields
+        self.other_fields = other_fields
+        self.field_units = field_units
+        self.current_units = current_units
+        self.applied_field_funcs = applied_field_funcs
+        self.circulating_currents = circulating_currents
+
+    @property
+    def num_solutions(self) -> int:
+        first = next(iter(self.streams.values()))
+        return first.shape[0]
+
+    def __len__(self) -> int:
+        return self.num_solutions
+
+    def solution(self, index: int) -> Solution:
+        """Materializes the full :class:`Solution` for sweep index ``index``."""
+        film_solutions = {}
+        for name in self.streams:
+            other = None
+            if self.other_fields is not None:
+                other = np.asarray(self.other_fields[name][index])
+            film_solutions[name] = FilmSolution(
+                stream=np.asarray(self.streams[name][index]),
+                current_density=np.asarray(self.current_densities[name][index]),
+                applied_field=np.asarray(self.applied_fields[name][index]),
+                self_field=np.asarray(self.self_fields[name][index]),
+                field_from_other_films=other,
+            )
+        applied_func = ConstantField(0)
+        if self.applied_field_funcs is not None:
+            applied_func = self.applied_field_funcs[index]
+        circ = self.model.circulating_currents
+        if self.circulating_currents is not None:
+            circ = self.circulating_currents[index]
+        return Solution(
+            device=self.model.device,
+            film_solutions=film_solutions,
+            applied_field_func=applied_func,
+            field_units=self.field_units,
+            current_units=self.current_units,
+            circulating_currents=circ,
+            terminal_currents=self.model.terminal_currents,
+            vortices=[v for vs in self.model.vortices.values() for v in vs],
+            solver="superscreen_tpu.solve_many",
+        )
+
+    def solutions(self) -> List[Solution]:
+        """Materializes all Solutions."""
+        return [self.solution(i) for i in range(self.num_solutions)]
+
+
+@partial(jax.jit, static_argnames=("iterations", "refine_steps"))
+def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps):
+    """The jitted sweep body: batched per-film solves plus ``iterations``
+    rounds of batched inter-film coupling."""
+    films = list(film_data)
+    streams, Js, self_fields, others = {}, {}, {}, {}
+    for name in films:
+        g, J, sf = _solve_film_batch(
+            film_data[name],
+            Hz_applied[name],
+            I_circ[name],
+            vortex_flux,
+            refine_steps=refine_steps,
+        )
+        streams[name], Js[name], self_fields[name] = g, J, sf
+        others[name] = jnp.zeros_like(Hz_applied[name])
+    for _ in range(iterations):
+        new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
+        for src in films:
+            for dst in films:
+                if src == dst:
+                    continue
+                new_others[dst] = new_others[dst] + _film_to_film_batch(
+                    film_data[src], film_data[dst], Js[src]
+                )
+        others = new_others
+        for name in films:
+            g, J, sf = _solve_film_batch(
+                film_data[name],
+                Hz_applied[name] + others[name],
+                I_circ[name],
+                vortex_flux,
+                refine_steps=refine_steps,
+            )
+            streams[name], Js[name], self_fields[name] = g, J, sf
+    return streams, Js, self_fields, others
+
+
+def solve_many(
+    device: Optional[Device] = None,
+    *,
+    model: Optional[FactorizedModel] = None,
+    applied_fields: Optional[Sequence[Callable]] = None,
+    applied_field_arrays: Optional[Dict[str, np.ndarray]] = None,
+    circulating_currents: Optional[Sequence[Dict[str, Union[float, str]]]] = None,
+    vortices: Optional[Sequence[Vortex]] = None,
+    field_units: str = "mT",
+    current_units: str = "uA",
+    iterations: int = 0,
+    refine_steps: int = 1,
+    sharding: Optional["jax.sharding.Sharding"] = None,
+) -> SweepResult:
+    """Solves a batch of models that share one factorization.
+
+    Exactly one of ``applied_fields`` (a sequence of B field callables) or
+    ``applied_field_arrays`` (``{film_name: (B, n)}`` pre-evaluated fields in
+    ``field_units``) must describe the sweep, and/or ``circulating_currents``
+    may be a length-B sequence of dicts.  The whole batch executes as one
+    jitted device computation; pass ``sharding`` to shard the batch axis
+    across a device mesh.
+
+    Args:
+        device: The device to solve (or provide ``model``).
+        model: A pre-factorized model.
+        applied_fields: B applied-field callables ``H_z(x, y, z)``.
+        applied_field_arrays: ``{film_name: (B, n)}`` applied fields.
+        circulating_currents: Length-B sequence of
+            ``{hole_name: current}``.
+        vortices: Vortices (fixed across the sweep).
+        field_units: Units of the applied field.
+        current_units: Units for currents.
+        iterations: Self-consistent inter-film coupling rounds.
+        refine_steps: Iterative-refinement rounds per solve.
+        sharding: Optional sharding for the batch axis.
+
+    Returns:
+        A :class:`SweepResult`.
+    """
+    if model is None:
+        if device is None:
+            raise ValueError("Either a model or a device must be provided.")
+        model = factorize_model(
+            device=device,
+            current_units=current_units,
+            vortices=vortices,
+        )
+    device = model.device
+    if device.terminals:
+        raise NotImplementedError(
+            "solve_many does not support films with transport terminals yet; "
+            "use superscreen_tpu.solve for terminal devices."
+        )
+    current_units = model.current_units
+    dtype = device.solve_dtype
+    films = list(device.films)
+    film_data = {name: _film_sweep_data(model, name) for name in films}
+
+    field_conversion = field_conversion_factor(
+        field_units, current_units, length_units=device.length_units,
+        ureg=device.ureg,
+    ).magnitude
+
+    # Evaluate the applied fields into (B, n) arrays per film.
+    if (applied_fields is None) == (applied_field_arrays is None):
+        raise ValueError(
+            "Provide exactly one of applied_fields or applied_field_arrays."
+        )
+    Hz_applied = {}
+    if applied_field_arrays is not None:
+        for name in films:
+            arr = np.asarray(applied_field_arrays[name], dtype=dtype)
+            if arr.ndim != 2 or arr.shape[1] != len(device.meshes[name].sites):
+                raise ValueError(
+                    f"applied_field_arrays[{name!r}] must have shape "
+                    f"(B, {len(device.meshes[name].sites)}), got {arr.shape}."
+                )
+            Hz_applied[name] = arr * field_conversion
+        B = next(iter(Hz_applied.values())).shape[0]
+        applied_field_funcs = None
+    else:
+        B = len(applied_fields)
+        applied_field_funcs = list(applied_fields)
+        for name in films:
+            mesh = device.meshes[name]
+            layer = device.layers[model.film_info[name].layer]
+            z0 = layer.z0 * np.ones(len(mesh.sites))
+            rows = [
+                np.broadcast_to(
+                    np.squeeze(
+                        np.asarray(f(mesh.sites[:, 0], mesh.sites[:, 1], z0))
+                    ),
+                    (len(mesh.sites),),
+                )
+                for f in applied_field_funcs
+            ]
+            Hz_applied[name] = (
+                np.stack(rows, axis=0).astype(dtype) * field_conversion
+            )
+
+    # Circulating currents: (B, n_holes) per film.
+    hole_names_by_film = {name: film_data[name].hole_names for name in films}
+    I_circ = {}
+    circ_dicts = None
+    if circulating_currents is not None:
+        if len(circulating_currents) != B:
+            raise ValueError(
+                f"circulating_currents must have length B={B}, got "
+                f"{len(circulating_currents)}."
+            )
+        from .solver.utils import currents_to_floats
+
+        circ_dicts = [
+            currents_to_floats(c, device.ureg, current_units)
+            for c in circulating_currents
+        ]
+        for name in films:
+            holes = hole_names_by_film[name]
+            I_circ[name] = np.array(
+                [[c.get(h, 0.0) for h in holes] for c in circ_dicts], dtype=dtype
+            )
+    else:
+        for name in films:
+            holes = hole_names_by_film[name]
+            row = np.array(
+                [model.circulating_currents.get(h, 0.0) for h in holes],
+                dtype=dtype,
+            )
+            I_circ[name] = np.broadcast_to(row, (B, len(holes))).copy()
+
+    vortex_flux = (
+        device.ureg("Phi_0 / mu_0")
+        .to(f"{current_units} * {device.length_units}")
+        .magnitude
+    )
+
+    if sharding is not None:
+        Hz_applied = {
+            k: jax.device_put(v, sharding) for k, v in Hz_applied.items()
+        }
+        I_circ = {k: jax.device_put(v, sharding) for k, v in I_circ.items()}
+
+    streams, Js, self_fields, others = _run_sweep(
+        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+    )
+
+    # Convert fields back to field_units for storage.
+    inv = 1.0 / field_conversion
+    return SweepResult(
+        model=model,
+        streams={k: np.asarray(v) for k, v in streams.items()},
+        current_densities={k: np.asarray(v) for k, v in Js.items()},
+        self_fields={k: np.asarray(v) * inv for k, v in self_fields.items()},
+        applied_fields={
+            k: np.asarray(v) * inv for k, v in Hz_applied.items()
+        },
+        other_fields=(
+            {k: np.asarray(v) * inv for k, v in others.items()}
+            if len(films) > 1 and iterations > 0
+            else None
+        ),
+        field_units=field_units,
+        current_units=current_units,
+        applied_field_funcs=applied_field_funcs,
+        circulating_currents=circ_dicts,
+    )
