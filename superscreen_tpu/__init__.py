@@ -16,6 +16,7 @@ from .fluxoid import find_fluxoid_solution, make_fluxoid_polygons
 from .parameter import Constant, Parameter
 from .solution import FilmSolution, Fluxoid, Solution, Vortex
 from .solver import FactorizedModel, convert_field, factorize_model, solve
+from .sweep import SweepResult, solve_many
 from .units import ureg
 from .version import __version__, __version_info__
 from .visualization import (

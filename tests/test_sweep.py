@@ -1,0 +1,196 @@
+import jax
+import numpy as np
+import pytest
+
+import superscreen_tpu as sc
+import superscreen_tpu.geometry as geo
+from superscreen_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_sweep_inputs,
+    sharded_film_data,
+)
+from superscreen_tpu.sweep import _film_sweep_data, _run_sweep, solve_many
+
+
+@pytest.fixture(scope="module")
+def two_rings():
+    layers = [
+        sc.Layer("layer0", Lambda=1, z0=0),
+        sc.Layer("layer1", Lambda=1, z0=1),
+    ]
+    films = [
+        sc.Polygon("big_ring", layer="layer0", points=geo.circle(7.5, points=80)),
+        sc.Polygon("little_ring", layer="layer1", points=geo.circle(5, points=60)),
+    ]
+    holes = [
+        sc.Polygon("big_hole", layer="layer0", points=geo.circle(3.75, points=40)),
+        sc.Polygon("little_hole", layer="layer1", points=geo.circle(2.5, points=30)),
+    ]
+    device = sc.Device(
+        "two_rings", layers=layers, films=films, holes=holes, solve_dtype="float64"
+    )
+    device.make_mesh(max_edge_length=0.9)
+    return device
+
+
+@pytest.fixture(scope="module")
+def model(two_rings):
+    return sc.factorize_model(device=two_rings, current_units="uA")
+
+
+def test_solve_many_matches_solve(two_rings, model):
+    field_vals = [0.5, 2.0]
+    circ = {"big_hole": 10.0, "little_hole": -5.0}
+    ref_sols = []
+    for v in field_vals:
+        model.set_circulating_currents(circ)
+        s = sc.solve(
+            model=model,
+            applied_field=sc.sources.ConstantField(v),
+            field_units="mT",
+            iterations=2,
+            progress_bar=False,
+        )[-1]
+        ref_sols.append(s)
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(v) for v in field_vals],
+        circulating_currents=[circ] * len(field_vals),
+        field_units="mT",
+        iterations=2,
+    )
+    assert len(result) == 2
+    for i in range(2):
+        sol = result.solution(i)
+        for film in two_rings.films:
+            a = ref_sols[i].film_solutions[film]
+            b = sol.film_solutions[film]
+            scale = np.abs(a.stream).max()
+            assert np.abs(a.stream - b.stream).max() < 1e-10 * scale
+            assert np.allclose(a.total_field, b.total_field, rtol=1e-9)
+            assert np.allclose(
+                a.current_density, b.current_density, rtol=1e-9, atol=1e-12
+            )
+
+
+def test_solve_many_with_vortices(two_rings):
+    vortex = sc.Vortex(x=5.5, y=0, film="big_ring", nPhi0=1)
+    model = sc.factorize_model(
+        device=two_rings, current_units="uA", vortices=[vortex]
+    )
+    ref = sc.solve(
+        model=model,
+        applied_field=sc.sources.ConstantField(0),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(0)],
+        field_units="mT",
+        iterations=0,
+    )
+    sol = result.solution(0)
+    a = ref.film_solutions["big_ring"].stream
+    b = sol.film_solutions["big_ring"].stream
+    assert np.abs(a - b).max() < 1e-9 * np.abs(a).max()
+
+
+def test_solve_many_applied_field_arrays(two_rings, model):
+    B = 3
+    arrays = {
+        name: np.ones((B, len(two_rings.meshes[name].sites)))
+        * np.linspace(0.1, 1, B)[:, None]
+        for name in two_rings.films
+    }
+    result = solve_many(
+        model=model,
+        applied_field_arrays=arrays,
+        field_units="mT",
+        iterations=1,
+    )
+    assert len(result) == B
+    # Linearity: solution for field 1.0 is 10x solution for field 0.1
+    # (no circulating currents).
+    model.set_circulating_currents({})
+    result0 = solve_many(
+        model=model, applied_field_arrays=arrays, field_units="mT", iterations=1
+    )
+    s = result0.streams["big_ring"]
+    assert np.allclose(s[2], 10 * s[0], rtol=1e-8, atol=1e-12)
+
+
+def test_solve_many_validation(two_rings, model):
+    with pytest.raises(ValueError):
+        solve_many(model=model)  # no fields given
+    with pytest.raises(ValueError):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0)],
+            applied_field_arrays={"big_ring": np.zeros((1, 10))},
+        )
+    with pytest.raises(ValueError):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0)],
+            circulating_currents=[{}, {}],  # wrong length
+        )
+
+
+def test_sharded_sweep(two_rings, model):
+    """The sharded batched solve matches the unsharded one."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n_data=n_dev // 2, n_model=2)
+    films = list(two_rings.films)
+    film_data = {name: _film_sweep_data(model, name) for name in films}
+    B = mesh.shape["data"] * 2
+    Hz = {
+        name: np.linspace(0.1, 1.0, B)[:, None]
+        * np.ones(film_data[name].n)[None, :]
+        for name in films
+    }
+    I_circ = {
+        name: np.zeros((B, len(film_data[name].hole_names))) for name in films
+    }
+    ref = _run_sweep(film_data, Hz, I_circ, 1645.5, 1, 1)
+    film_data_sharded = sharded_film_data(film_data, mesh)
+    Hz_s, I_s = shard_sweep_inputs(Hz, I_circ, mesh)
+    out = _run_sweep(film_data_sharded, Hz_s, I_s, 1645.5, 1, 1)
+    for name in films:
+        a = np.asarray(ref[0][name])
+        b = np.asarray(out[0][name])
+        assert np.allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_make_mesh_validation():
+    n = len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(n_data=n + 1, n_model=1)
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == n
+    sh = batch_sharding(mesh)
+    assert sh is not None
+
+
+def test_solve_many_terminals_unsupported():
+    layer = sc.Layer("base", Lambda=1)
+    film = sc.Polygon("strip", layer="base", points=geo.box(4, 2, points=40))
+    src = sc.Polygon("source", points=geo.box(0.2, 2, points=16, center=(-2, 0)))
+    drain = sc.Polygon("drain", points=geo.box(0.2, 2, points=16, center=(2, 0)))
+    dev = sc.Device(
+        "strip",
+        layers=[layer],
+        films=[film],
+        terminals={"strip": [src, drain]},
+        solve_dtype="float64",
+    )
+    dev.make_mesh(max_edge_length=0.5)
+    model = sc.factorize_model(device=dev, current_units="uA")
+    with pytest.raises(NotImplementedError):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0)],
+        )
