@@ -74,11 +74,7 @@ def cdist(XA, XB, metric: str = "euclidean"):
 
 
 @partial(jax.jit, static_argnames=("dtype", "block"))
-def q_matrix(points, dtype=None, block: int = _BLOCK):
-    """The matrix ``q_ij = 1 / (4 pi |r_i - r_j|^3)`` with zero diagonal.
-
-    Reference: ``superscreen/distance.py:87-115``.
-    """
+def _q_matrix_jnp(points, dtype=None, block: int = _BLOCK):
     points = jnp.asarray(points, dtype=dtype)
     n = points.shape[0]
 
@@ -89,6 +85,21 @@ def q_matrix(points, dtype=None, block: int = _BLOCK):
         return jnp.where(d2 > 0, q, 0.0)
 
     return _blocked(row_block, points, block)[:, :n]
+
+
+def q_matrix(points, dtype=None, block: int = _BLOCK):
+    """The matrix ``q_ij = 1 / (4 pi |r_i - r_j|^3)`` with zero diagonal.
+
+    Uses the tiled Pallas kernel on TPU (float32) and the blocked jnp
+    kernel elsewhere.  Reference: ``superscreen/distance.py:87-115``.
+    """
+    out_dtype = jnp.asarray(points).dtype if dtype is None else jnp.dtype(dtype)
+    if out_dtype == jnp.float32:
+        from . import pallas_kernels
+
+        if pallas_kernels.pallas_available():
+            return pallas_kernels.pallas_q_matrix(points, dtype=dtype)
+    return _q_matrix_jnp(points, dtype=dtype, block=block)
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -108,7 +119,6 @@ def C_vector(points, dtype=None):
     return C * _ONE_OVER_4PI
 
 
-@partial(jax.jit, static_argnames=("dtype", "block"))
 def Q_matrix(points, weights, dtype=None, block: int = _BLOCK):
     """The Brandt kernel matrix ``Q`` (Eq. 10 of [Brandt-PRB-2005]):
 
@@ -119,9 +129,14 @@ def Q_matrix(points, weights, dtype=None, block: int = _BLOCK):
     """
     points = jnp.asarray(points, dtype=dtype)
     weights = jnp.asarray(weights, dtype=points.dtype)
+    q = q_matrix(points, dtype=points.dtype, block=block)
+    return _q_to_Q(points, weights, q)
+
+
+@jax.jit
+def _q_to_Q(points, weights, q):
     n = points.shape[0]
     C = C_vector(points, dtype=points.dtype)
-    q = q_matrix(points, dtype=points.dtype, block=block)
     diag = (C + q @ weights) / weights
     return jnp.where(jnp.eye(n, dtype=bool), diag[:, None], -q)
 

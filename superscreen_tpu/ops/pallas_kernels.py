@@ -1,0 +1,233 @@
+"""Pallas TPU kernels for the dense pairwise hot ops.
+
+Two kernels carry almost all of the solver's O(n^2) work:
+
+* ``pallas_q_matrix``: tiled assembly of the Brandt kernel
+  ``q_ij = 1/(4 pi |r_i - r_j|^3)`` -- pure VPU work (rsqrt^3 per pair),
+  written tile-by-tile so only (TM, TN) tiles live in VMEM.
+* ``pallas_biot_savart``: the inter-film coupling field.  The pairwise
+  geometry factors ``K1 = a_j (y_i - y_j) / r^3`` and
+  ``K2 = a_j (x_i - x_j) / r^3`` are built per tile on the VPU and then
+  contracted against the batched sheet current on the **MXU**:
+  ``out[i, b] += K1 @ Jx[:, b] - K2 @ Jy[:, b]`` -- turning the reference's
+  numba loops (``superscreen/solver/solve.py:28-73``) into matmuls.
+
+Inputs are padded to tile multiples with zero-area dummy points (zero
+contribution), so arbitrary mesh sizes are supported with static shapes.
+Use is gated on the TPU backend; the blocked jnp kernels in
+:mod:`superscreen_tpu.ops.kernels` are the portable fallback.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pragma: no cover - exercised on TPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+__all__ = ["pallas_available", "pallas_q_matrix", "pallas_biot_savart"]
+
+_ONE_OVER_4PI = 1 / (4 * np.pi)
+
+
+def pallas_available() -> bool:
+    """True if Pallas TPU kernels can be used on the default backend."""
+    return PALLAS_AVAILABLE and jax.default_backend() == "tpu"
+
+
+def _pad_to(x, size, axis=0, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# q-matrix assembly
+# ---------------------------------------------------------------------------
+
+
+def _q_tile_kernel(xr_ref, yr_ref, xc_ref, yc_ref, out_ref):
+    dx = xr_ref[:] - xc_ref[:]  # (TM, 1) - (1, TN) -> (TM, TN)
+    dy = yr_ref[:] - yc_ref[:]
+    d2 = dx * dx + dy * dy
+    r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+    out_ref[:] = jnp.where(d2 > 0, _ONE_OVER_4PI * (r * r * r), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def _pallas_q_padded(x, y, tm: int, tn: int):
+    n = x.shape[0]
+    xr = x.reshape(n, 1)
+    yr = y.reshape(n, 1)
+    xc = x.reshape(1, n)
+    yc = y.reshape(1, n)
+    grid = (n // tm, n // tn)
+    return pl.pallas_call(
+        _q_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+    )(xr, yr, xc, yc)
+
+
+def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512):
+    """The matrix ``q_ij = 1/(4 pi |r_i - r_j|^3)`` with zero diagonal,
+    assembled tile-by-tile on TPU.
+
+    Args:
+        points: ``(n, 2)`` mesh sites.
+        dtype: Output dtype (defaults to the input dtype).
+        tm, tn: Tile sizes (rows x cols).
+
+    Returns:
+        The ``(n, n)`` matrix (device array).
+    """
+    points = jnp.asarray(points, dtype=dtype)
+    n = points.shape[0]
+    npad = _round_up(n, int(np.lcm(tm, tn)))
+    # Padded dummy points at distinct far-away coords so d2 > 0 off the
+    # actual diagonal; padded entries are sliced off.
+    scale = 1e6 * (jnp.max(jnp.abs(points)) + 1.0)
+    pad_coords = scale * (1.0 + jnp.arange(npad - n, dtype=points.dtype))
+    x = jnp.concatenate([points[:, 0], pad_coords])
+    y = jnp.concatenate([points[:, 1], pad_coords])
+    q = _pallas_q_padded(x, y, tm, tn)
+    return q[:n, :n]
+
+
+# ---------------------------------------------------------------------------
+# Batched inter-film Biot-Savart (MXU contraction)
+# ---------------------------------------------------------------------------
+
+
+def _bs_tile_kernel(
+    xe_ref, ye_ref, xs_ref, ys_ref, ajx_ref, ajy_ref, dz2_ref, out_ref
+):
+    j = pl.program_id(1)
+    dx = xe_ref[:] - xs_ref[:]  # (TM, 1) - (1, TN) -> (TM, TN)
+    dy = ye_ref[:] - ys_ref[:]
+    r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
+    r3 = r * r * r
+    K1 = dy * r3  # weighted by areas inside aJx/aJy already
+    K2 = dx * r3
+    contrib = jnp.dot(
+        K1, ajx_ref[:], preferred_element_type=jnp.float32
+    ) - jnp.dot(K2, ajy_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def _pallas_bs_padded(xe, ye, xs, ys, aJx, aJy, dz2, tm: int, tn: int):
+    n_eval = xe.shape[0]
+    n_src = xs.shape[1]
+    B = aJx.shape[1]
+    grid = (n_eval // tm, n_src // tn)
+    out = pl.pallas_call(
+        _bs_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_eval, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, B), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(xe, ye, xs, ys, aJx, aJy, dz2)
+    return out
+
+
+def pallas_biot_savart(
+    film1_sites,
+    film1_z0: float,
+    film1_areas,
+    film1_J,
+    film2_sites,
+    film2_z0: float,
+    tm: int = 256,
+    tn: int = 512,
+):
+    """Batched inter-film Biot-Savart field via MXU contraction.
+
+    Args:
+        film1_sites: ``(n1, 2)`` source sites.
+        film1_z0: Source film height.
+        film1_areas: ``(n1,)`` source vertex areas.
+        film1_J: ``(B, n1, 2)`` or ``(n1, 2)`` sheet current density.
+        film2_sites: ``(n2, 2)`` evaluation sites.
+        film2_z0: Evaluation film height.
+
+    Returns:
+        ``(B, n2)`` (or ``(n2,)`` for unbatched input) field in
+        ``current / length`` units.
+    """
+    film1_sites = jnp.asarray(film1_sites, dtype=jnp.float32)
+    film2_sites = jnp.asarray(film2_sites, dtype=jnp.float32)
+    J = jnp.asarray(film1_J, dtype=jnp.float32)
+    squeeze = J.ndim == 2
+    if squeeze:
+        J = J[None]
+    B = J.shape[0]
+    areas = jnp.asarray(film1_areas, dtype=jnp.float32)
+    n1 = film1_sites.shape[0]
+    n2 = film2_sites.shape[0]
+    n1p = _round_up(n1, tn)
+    n2p = _round_up(n2, tm)
+    Bp = _round_up(B, 128)
+    xe = _pad_to(film2_sites[:, 0], n2p).reshape(n2p, 1)
+    ye = _pad_to(film2_sites[:, 1], n2p).reshape(n2p, 1)
+    # Padded source points: zero area -> zero contribution; offset coords
+    # so r > 0 even against padded eval points.
+    scale = 1e6 * (
+        jnp.max(jnp.abs(film1_sites)) + jnp.max(jnp.abs(film2_sites)) + 1.0
+    )
+    xs = jnp.concatenate(
+        [film1_sites[:, 0], scale * (1.0 + jnp.arange(n1p - n1))]
+    ).reshape(1, n1p)
+    ys = jnp.concatenate(
+        [film1_sites[:, 1], scale * (1.0 + jnp.arange(n1p - n1))]
+    ).reshape(1, n1p)
+    aJ = areas[None, :, None] * J  # (B, n1, 2)
+    aJx = _pad_to(aJ[:, :, 0].T, n1p, axis=0)  # (n1p, B)
+    aJy = _pad_to(aJ[:, :, 1].T, n1p, axis=0)
+    aJx = _pad_to(aJx, Bp, axis=1)
+    aJy = _pad_to(aJy, Bp, axis=1)
+    dz2 = jnp.array([[float(film2_z0 - film1_z0) ** 2]], dtype=jnp.float32)
+    out = _pallas_bs_padded(xe, ye, xs, ys, aJx, aJy, dz2, tm, tn)
+    out = (_ONE_OVER_4PI * out[:n2, :B]).T
+    if squeeze:
+        out = out[0]
+    return out
