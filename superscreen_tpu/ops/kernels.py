@@ -30,6 +30,8 @@ __all__ = [
     "q_matrix",
     "C_vector",
     "Q_matrix",
+    "q_apply",
+    "Q_apply",
     "biot_savart_film_to_film",
     "biot_savart_within_film",
     "boundary_effective_field",
@@ -273,3 +275,68 @@ def biot_savart_2d_field(
         return jnp.stack([Bx, By, Bz], axis=-1)
 
     return _blocked(row_block, eval_positions, block)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def q_apply(points, vecs, block: int = _BLOCK):
+    """Matrix-free ``q @ vecs`` where ``q_ij = 1/(4 pi |r_i - r_j|^3)``
+    (zero diagonal) is assembled tile-by-tile and never materialized.
+
+    Peak memory is ``O(block * n)`` instead of ``O(n^2)`` -- this is the
+    backbone of the large-mesh (low-memory) solve path.
+
+    Args:
+        points: ``(n, 2)`` mesh sites.
+        vecs: ``(n,)`` or ``(n, k)`` vectors to apply the kernel to.
+
+    Returns:
+        ``q @ vecs`` with the same trailing shape as ``vecs``.
+    """
+    points = jnp.asarray(points)
+    V = jnp.asarray(vecs, dtype=points.dtype)
+    squeeze = V.ndim == 1
+    if squeeze:
+        V = V[:, None]
+
+    def row_block(P):
+        d2 = jnp.sum((P[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+        r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+        q = jnp.where(d2 > 0, _ONE_OVER_4PI * (r * r * r), 0.0)
+        return q @ V
+
+    out = _blocked(row_block, points, block)
+    if squeeze:
+        out = out[:, 0]
+    return out
+
+
+@partial(jax.jit, static_argnames=("block",))
+def Q_apply(points, weights, vecs, block: int = _BLOCK):
+    """Matrix-free ``Q @ vecs`` for the full Brandt kernel
+    ``Q_ij = -q_ij + delta_ij (C_i + sum_l q_il w_l) / w_i``, computed in one
+    blocked pass (the row-sum ``q @ w`` rides along as an extra column).
+
+    Args:
+        points: ``(n, 2)`` mesh sites.
+        weights: ``(n,)`` vertex areas.
+        vecs: ``(n,)`` or ``(n, k)`` vectors.
+
+    Returns:
+        ``Q @ vecs``.
+    """
+    points = jnp.asarray(points)
+    weights = jnp.asarray(weights, dtype=points.dtype)
+    V = jnp.asarray(vecs, dtype=points.dtype)
+    squeeze = V.ndim == 1
+    if squeeze:
+        V = V[:, None]
+    stacked = jnp.concatenate([V, weights[:, None]], axis=1)
+    qV = q_apply(points, stacked, block=block)
+    q_row_w = qV[:, -1]
+    qV = qV[:, :-1]
+    C = C_vector(points, dtype=points.dtype)
+    diag = (C + q_row_w) / weights
+    out = -qV + diag[:, None] * V
+    if squeeze:
+        out = out[:, 0]
+    return out

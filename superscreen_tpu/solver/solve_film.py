@@ -179,6 +179,50 @@ def _build_system_2d(
     )
 
 
+def _build_system_2d_lowmem(film_info, ix):
+    """The stream-function system for a large film without materializing the
+    full Brandt kernel: the off-diagonal q-block is assembled directly from
+    the gathered sites; the diagonal needs the full row sums ``q @ w`` and
+    the boundary vector ``C``, both computed matrix-free."""
+    import jax.numpy as jnp
+
+    sites = jnp.asarray(film_info.sites)
+    w = jnp.asarray(film_info.weights)
+    Lambda = film_info.lambda_info.Lambda
+    C = kernels.C_vector(sites, dtype=sites.dtype)
+    q_row_w = kernels.q_apply(sites, w)
+    sub_sites = sites[ix]
+    q_sub = kernels.q_matrix(sub_sites, dtype=sites.dtype)
+    ni = len(ix)
+    diag = (C[ix] + q_row_w[ix]) / w[ix]
+    Q_sub = jnp.where(jnp.eye(ni, dtype=bool), diag[:, None], -q_sub)
+    # Dense restriction of the sparse Laplacian (scatter on device).
+    lap = film_info.laplacian  # COO
+    pos = np.full(lap.shape[0], -1, dtype=np.int64)
+    pos[ix] = np.arange(ni)
+    keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
+    L_sub = jnp.zeros((ni, ni), dtype=sites.dtype)
+    L_sub = L_sub.at[pos[lap.rows[keep]], pos[lap.cols[keep]]].add(
+        lap.vals[keep].astype(sites.dtype)
+    )
+    return Q_sub * w[ix] - np.asarray(Lambda)[ix, 0] * L_sub
+
+
+def _hole_effective_field_vector_lowmem(film_info, ix):
+    """Effective-field vector for unit circulating current in a hole:
+    ``(Q[:, ix] w[ix] - Lambda[ix] L[:, ix]) @ 1``, computed matrix-free as
+    ``Q @ (w mask) - L @ (Lambda mask)``."""
+    n = len(film_info.weights)
+    mask = np.zeros(n, dtype=film_info.weights.dtype)
+    mask[ix] = 1.0
+    Qv = kernels.Q_apply(
+        film_info.sites, film_info.weights, film_info.weights * mask
+    )
+    Lambda = np.asarray(film_info.lambda_info.Lambda)[:, 0]
+    Lv = film_info.laplacian.matvec(Lambda * mask)
+    return np.asarray(Qv) - np.asarray(Lv)
+
+
 def factorize_linear_systems(
     device: Device, film_info_dict: Dict[str, FilmInfo]
 ) -> Tuple[
@@ -204,6 +248,33 @@ def factorize_linear_systems(
         Lambda_info = film_info.lambda_info
         inhomogeneous = Lambda_info.inhomogeneous
         Lambda = Lambda_info.Lambda
+        if not film_info.dense_kernel:
+            # Low-memory path: never materialize the full (n, n) kernel.
+            if inhomogeneous:
+                raise NotImplementedError(
+                    "Inhomogeneous Lambda is not supported in low-memory "
+                    "mode; raise MAX_DENSE_KERNEL_SIZE to use dense "
+                    "factorization."
+                )
+            for hole_name, indices in hole_indices.items():
+                hole_systems[film_name][hole_name] = LinearSystem(
+                    A=_hole_effective_field_vector_lowmem(film_info, indices),
+                    indices=indices,
+                    grad_Lambda_term=0,
+                )
+            if hole_indices:
+                interior_indices = np.setdiff1d(
+                    interior_indices,
+                    np.concatenate(list(hole_indices.values())),
+                )
+            A = _build_system_2d_lowmem(film_info, interior_indices)
+            film_systems[film_name] = LinearSystem(
+                A=A,
+                indices=interior_indices,
+                lu_piv=linalg.lu_factor(-A),
+                grad_Lambda_term=0,
+            )
+            continue
         if inhomogeneous:
             grad = film_info.gradient
             # (grad Lambda) . grad as an operator:
@@ -422,7 +493,12 @@ def solve_film(
         indices = system.indices
         current = circulating_currents.get(name, 0)
         g[indices] += current
-        Ha_eff += -(system.A @ g[indices])
+        if np.ndim(system.A) == 1:
+            # Low-memory mode: the effective field of a unit circulating
+            # current is a precomputed vector.
+            Ha_eff += np.asarray(-(system.A * current))
+        else:
+            Ha_eff += -(system.A @ g[indices])
 
     if film_info.name in device.terminals:
         g_transport = solve_for_terminal_current_stream(
@@ -495,8 +571,14 @@ def solve_film(
                 points, mesh.triangle_centroids, mesh.triangle_areas, J_tri
             )
         )
-    else:
+    elif Q is not None:
+        # Eq. 7 in [Kirtley-RSI-2016] / [Kirtley-SST-2016].
         screening_field = Q @ (weights * g)
+    else:
+        # Low-memory mode: apply the Brandt kernel matrix-free.
+        screening_field = kernels.Q_apply(
+            film_info.sites, weights, weights * g
+        )
     if field_from_other_films is not None:
         field_from_other_films = field_from_other_films / field_conversion
     return FilmSolution(

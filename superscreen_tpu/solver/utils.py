@@ -8,11 +8,19 @@ penetration depth.
 
 import logging
 import numbers
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple, Union
 
 import h5py
 import numpy as np
+
+#: Films with more mesh sites than this use the low-memory (matrix-free
+#: kernel) factorization: the dense Brandt kernel Q and dense Laplacian are
+#: never materialized at full size; the film system's q-block is assembled
+#: from the gathered interior sites and self-field matvecs compute q tiles
+#: on the fly.  Override with SUPERSCREEN_TPU_MAX_DENSE_N.
+MAX_DENSE_KERNEL_SIZE = int(os.environ.get("SUPERSCREEN_TPU_MAX_DENSE_N", "25000"))
 
 from ..device import Device, Polygon
 from ..geometry import path_vectors
@@ -116,11 +124,15 @@ class FilmInfo:
         in_hole: Boolean mask of sites inside any hole.
         circulating_currents: ``{hole_name: current}``.
         weights: Mesh vertex areas in the solve dtype.
-        kernel: Dense Brandt kernel ``Q`` in the solve dtype.
-        laplacian: Dense Laplace-Beltrami operator in the solve dtype.
+        kernel: Dense Brandt kernel ``Q`` in the solve dtype, or None in
+            low-memory mode (films larger than ``MAX_DENSE_KERNEL_SIZE``).
+        laplacian: Dense Laplace-Beltrami operator in the solve dtype, or
+            the sparse COO operator in low-memory mode.
         gradient: Dense stacked (gx, gy) operators (only for inhomogeneous
             Lambda).
         terminal_currents: ``{terminal_name: current}`` for terminal films.
+        sites: Mesh site coordinates in the solve dtype (used by the
+            low-memory matrix-free kernel applications).
     """
 
     name: str
@@ -133,10 +145,15 @@ class FilmInfo:
     in_hole: np.ndarray
     circulating_currents: Dict[str, float]
     weights: np.ndarray
-    kernel: np.ndarray
-    laplacian: np.ndarray
+    kernel: Optional[np.ndarray]
+    laplacian: "np.ndarray | object"
     gradient: Optional[np.ndarray] = None
     terminal_currents: Optional[Dict[str, float]] = None
+    sites: Optional[np.ndarray] = None
+
+    @property
+    def dense_kernel(self) -> bool:
+        return self.kernel is not None
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
         h5group.attrs["name"] = self.name
@@ -155,8 +172,20 @@ class FilmInfo:
         for hole, current in self.circulating_currents.items():
             circ_grp.attrs[hole] = current
         h5group["weights"] = np.asarray(self.weights)
-        h5group["kernel"] = np.asarray(self.kernel)
-        h5group["laplacian"] = np.asarray(self.laplacian)
+        if self.kernel is not None:
+            h5group["kernel"] = np.asarray(self.kernel)
+        from ..ops.fem import COO
+
+        if isinstance(self.laplacian, COO):
+            lap = h5group.create_group("laplacian_coo")
+            lap["rows"] = self.laplacian.rows
+            lap["cols"] = self.laplacian.cols
+            lap["vals"] = self.laplacian.vals
+            lap.attrs["shape"] = self.laplacian.shape
+        else:
+            h5group["laplacian"] = np.asarray(self.laplacian)
+        if self.sites is not None:
+            h5group["sites"] = np.asarray(self.sites)
         if self.gradient is not None:
             h5group["gradient"] = np.asarray(self.gradient)
         if self.terminal_currents is not None:
@@ -181,6 +210,24 @@ class FilmInfo:
             gradient = np.array(h5group["gradient"])
         if "terminal_currents" in h5group:
             terminal_currents = dict(h5group["terminal_currents"].attrs)
+        kernel = None
+        if "kernel" in h5group:
+            kernel = np.array(h5group["kernel"])
+        if "laplacian_coo" in h5group:
+            from ..ops.fem import COO
+
+            lap = h5group["laplacian_coo"]
+            laplacian = COO(
+                rows=np.array(lap["rows"]),
+                cols=np.array(lap["cols"]),
+                vals=np.array(lap["vals"]),
+                shape=tuple(lap.attrs["shape"]),
+            )
+        else:
+            laplacian = np.array(h5group["laplacian"])
+        sites = None
+        if "sites" in h5group:
+            sites = np.array(h5group["sites"])
         return FilmInfo(
             name=name,
             layer=layer,
@@ -192,10 +239,11 @@ class FilmInfo:
             in_hole=np.array(h5group["in_hole"]),
             circulating_currents=dict(h5group["circulating_currents"].attrs),
             weights=np.array(h5group["weights"]),
-            kernel=np.array(h5group["kernel"]),
-            laplacian=np.array(h5group["laplacian"]),
+            kernel=kernel,
+            laplacian=laplacian,
             gradient=gradient,
             terminal_currents=terminal_currents,
+            sites=sites,
         )
 
 
@@ -295,10 +343,28 @@ def make_film_info(
             thickness=layer.thickness,
         )
         weights = mesh.operators.weights.astype(dtype, copy=False)
+        dense_kernel = (
+            len(mesh.sites) <= MAX_DENSE_KERNEL_SIZE
+            or name in device.terminals
+        )
         # Device-resident dense operators: the Brandt kernel and Laplacian
-        # stay on device end-to-end (assembly -> system build -> LU).
-        Q = mesh.operators.Q_dense(dtype)
-        laplacian = mesh.operators.laplacian.to_dense(dtype=dtype, like="jax")
+        # stay on device end-to-end (assembly -> system build -> LU).  Above
+        # MAX_DENSE_KERNEL_SIZE the kernel is matrix-free instead.
+        if dense_kernel:
+            import jax
+
+            # On the CPU backend, plain numpy assembly is faster than
+            # eager jnp dispatch; on TPU, stay device-resident.
+            like = "jax" if jax.default_backend() != "cpu" else "numpy"
+            Q = mesh.operators.Q_dense(dtype)
+            if like == "numpy":
+                Q = np.asarray(Q)
+            laplacian = mesh.operators.laplacian.to_dense(
+                dtype=dtype, like=like
+            )
+        else:
+            Q = None
+            laplacian = mesh.operators.laplacian
         grad = None
         if lambda_info.inhomogeneous:
             import jax.numpy as jnp
@@ -331,6 +397,7 @@ def make_film_info(
             kernel=Q,
             gradient=grad,
             laplacian=laplacian,
+            sites=mesh.sites.astype(dtype, copy=False),
         )
     return film_info
 

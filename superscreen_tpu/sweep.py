@@ -101,9 +101,12 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         idx = info.hole_indices[hole]
         hole_masks[k, idx] = 1.0
         # Effective field from unit circulating current in this hole:
-        # -(A_hole @ 1).
+        # -(A_hole @ 1) (already a vector in low-memory mode).
         A_hole = model.hole_systems[film_name][hole].A
-        hole_ha[k] = -(A_hole @ np.ones(len(idx), dtype=dtype))
+        if np.ndim(A_hole) == 1:
+            hole_ha[k] = -np.asarray(A_hole)
+        else:
+            hole_ha[k] = -(A_hole @ np.ones(len(idx), dtype=dtype))
     # Vortex response columns (fixed vortex positions across the sweep).
     vortex_cols = vortex_scales = None
     if info.vortices:
@@ -134,7 +137,7 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         lu=jnp.asarray(lu),
         piv=jnp.asarray(piv),
         A=jnp.asarray(system.A),
-        Q=jnp.asarray(info.kernel),
+        Q=jnp.asarray(info.kernel) if info.kernel is not None else None,
         weights=jnp.asarray(info.weights),
         gx_rows=jnp.asarray(gx.rows),
         gx_cols=jnp.asarray(gx.cols),
@@ -187,8 +190,14 @@ def _solve_film_batch(
     Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
     Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
     J = jnp.stack([Jx, Jy], axis=-1)
-    self_field = (data.Q * data.weights[None, :]) @ g[..., None]
-    self_field = self_field[..., 0]
+    if data.Q is not None:
+        self_field = (data.Q * data.weights[None, :]) @ g[..., None]
+        self_field = self_field[..., 0]
+    else:
+        # Low-memory mode: apply the Brandt kernel matrix-free.
+        self_field = kernels.Q_apply(
+            data.sites, data.weights, (data.weights[None, :] * g).T
+        ).T
     return g, J, self_field
 
 

@@ -1,0 +1,102 @@
+"""The low-memory (matrix-free kernel) factorization path must agree with
+the dense path to machine precision."""
+
+import numpy as np
+import pytest
+
+import superscreen_tpu as sc
+import superscreen_tpu.geometry as geo
+from superscreen_tpu.solver import utils as solver_utils
+
+
+@pytest.fixture(scope="module")
+def device():
+    layers = [sc.Layer("layer1", Lambda=2, z0=0)]
+    films = [sc.Polygon("ring", layer="layer1", points=geo.circle(4, points=80))]
+    holes = [sc.Polygon("hole", layer="layer1", points=geo.circle(2, points=50))]
+    device = sc.Device(
+        "ring", layers=layers, films=films, holes=holes, solve_dtype="float64"
+    )
+    device.make_mesh(max_edge_length=0.4)
+    return device
+
+
+def _solve(device, **kwargs):
+    return sc.solve(
+        device=device,
+        applied_field=sc.sources.ConstantField(0.5),
+        circulating_currents={"hole": "500 uA"},
+        field_units="mT",
+        current_units="uA",
+        progress_bar=False,
+        **kwargs,
+    )[-1]
+
+
+def test_lowmem_matches_dense(device, monkeypatch):
+    dense = _solve(device)
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    lowmem = _solve(device)
+    a = dense.film_solutions["ring"]
+    b = lowmem.film_solutions["ring"]
+    scale = np.abs(a.stream).max()
+    assert np.abs(a.stream - b.stream).max() < 1e-9 * scale
+    assert np.allclose(a.self_field, b.self_field, rtol=1e-8, atol=1e-12)
+    assert np.allclose(
+        a.current_density, b.current_density, rtol=1e-8, atol=1e-12
+    )
+
+
+def test_lowmem_sweep_matches_dense(device, monkeypatch):
+    from superscreen_tpu.sweep import solve_many
+
+    model_dense = sc.factorize_model(device=device, current_units="uA")
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    model_lowmem = sc.factorize_model(device=device, current_units="uA")
+    assert model_lowmem.film_info["ring"].kernel is None
+    fields = [sc.sources.ConstantField(v) for v in (0.2, 1.0)]
+    circ = [{"hole": 100.0}] * 2
+    r_dense = solve_many(
+        model=model_dense,
+        applied_fields=fields,
+        circulating_currents=circ,
+        field_units="mT",
+    )
+    r_lowmem = solve_many(
+        model=model_lowmem,
+        applied_fields=fields,
+        circulating_currents=circ,
+        field_units="mT",
+    )
+    for i in range(2):
+        a = r_dense.streams["ring"][i]
+        b = r_lowmem.streams["ring"][i]
+        assert np.abs(a - b).max() < 1e-9 * np.abs(a).max()
+        assert np.allclose(
+            r_dense.self_fields["ring"][i],
+            r_lowmem.self_fields["ring"][i],
+            rtol=1e-8,
+            atol=1e-12,
+        )
+
+
+def test_lowmem_model_hdf5_roundtrip(device, monkeypatch, tmp_path):
+    import h5py
+
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    model = sc.factorize_model(
+        device=device, current_units="uA", circulating_currents={"hole": 1.0}
+    )
+    path = tmp_path / "model.h5"
+    with h5py.File(path, "x") as f:
+        model.to_hdf5(f)
+    with h5py.File(path, "r") as f:
+        loaded = sc.FactorizedModel.from_hdf5(f)
+    assert loaded.film_info["ring"].kernel is None
+    sol = sc.solve(
+        model=loaded,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    assert np.all(np.isfinite(sol.film_solutions["ring"].stream))
