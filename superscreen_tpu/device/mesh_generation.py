@@ -182,6 +182,17 @@ def _hex_lattice(bbox, h: float) -> np.ndarray:
     return np.concatenate(pts, axis=0)
 
 
+def _delaunay(pts: np.ndarray) -> np.ndarray:
+    """Delaunay triangulation via the native C++ kernel, falling back to
+    scipy/qhull."""
+    from .. import native
+
+    tris = native.delaunay(pts) if native.available() else None
+    if tris is None:
+        tris = spatial.Delaunay(pts).simplices
+    return tris
+
+
 def _contains(path_obj: Path, pts: np.ndarray, radius: float = 0.0) -> np.ndarray:
     if len(pts) == 0:
         return np.zeros(0, dtype=bool)
@@ -232,8 +243,7 @@ def _build_once(
     n_fixed = len(fixed_pts)
 
     def triangulate(pts):
-        tri = spatial.Delaunay(pts)
-        simplices = tri.simplices
+        simplices = _delaunay(pts)
         cents = pts[simplices].mean(axis=1)
         keep = _contains(region_path, cents)
         for hp in hole_paths:

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lu_factor", "lu_solve", "lu_solve_refined"]
+__all__ = ["lu_factor", "lu_solve", "lu_solve_refined", "LU_MAX_N_TPU"]
+
+#: XLA's TPU LuDecompositionBlock custom call allocates a double-buffered
+#: (n, 128) panel in scoped VMEM (16 MB limit), capping LU at n ~ 16.4k.
+#: Larger symmetric-positive-definite systems use Cholesky instead.
+LU_MAX_N_TPU = 16000
 
 
 def _on_cpu() -> bool:
@@ -42,22 +47,68 @@ def _jax_lu_solve(lu, piv, h):
     return jax.scipy.linalg.lu_solve((lu, piv), h)
 
 
-def lu_factor(neg_A) -> Tuple:
-    """LU-factorizes ``-A`` (the matrix passed in is already negated).
+@jax.jit
+def _jax_chol_factor(neg_A, w_col):
+    # The Brandt operator satisfies A = P @ diag(w) with P = A / w symmetric
+    # positive definite (an inductance-like kernel) for homogeneous films;
+    # factor P = -neg_A / w.
+    P = -neg_A * (1.0 / w_col)[None, :]
+    P = 0.5 * (P + P.T)
+    return jnp.linalg.cholesky(P)
 
-    Returns ``(lu, piv)`` as device arrays on TPU or numpy arrays on CPU.
+
+@jax.jit
+def _jax_chol_solve(L, w_col, h):
+    # Solve (-A) x = h with A = P diag(w):  P (w x) = -h
+    # =>  x = -cho_solve(P, h) / w.
+    y = jax.scipy.linalg.cho_solve((L, True), h)
+    if y.ndim == 2:
+        return -y / w_col[:, None]
+    return -y / w_col
+
+
+@partial(jax.jit, static_argnames=("refine_steps",))
+def _jax_chol_solve_refined(A, L, w_col, h, refine_steps: int = 2):
+    x = _jax_chol_solve(L, w_col, h)
+    for _ in range(refine_steps):
+        r = h + A @ x
+        x = x + _jax_chol_solve(L, w_col, r)
+    return x
+
+
+def lu_factor(neg_A, weights_col=None) -> Tuple:
+    """Factorizes ``-A`` (the matrix passed in is already negated).
+
+    Returns ``(lu, piv)`` (LAPACK-style) on CPU or on TPU up to
+    ``LU_MAX_N_TPU``.  For larger systems on TPU, when ``weights_col`` (the
+    column scaling such that ``-A / w`` is symmetric positive definite) is
+    provided, returns a tagged Cholesky factorization
+    ``("chol", L, w_col)`` instead -- XLA's TPU LU panel exceeds scoped
+    VMEM beyond ~16k rows, while Cholesky scales to the HBM limit.
     """
     if _on_cpu():
         import scipy.linalg as sla
 
         lu, piv = sla.lu_factor(np.asarray(neg_A))
         return lu, piv
+    n = neg_A.shape[0]
+    if n > LU_MAX_N_TPU:
+        if weights_col is None:
+            raise ValueError(
+                f"XLA TPU LU supports n <= {LU_MAX_N_TPU} (got {n}); pass "
+                "weights_col to enable the SPD Cholesky path."
+            )
+        L = _jax_chol_factor(jnp.asarray(neg_A), jnp.asarray(weights_col))
+        return ("chol", L, jnp.asarray(weights_col))
     out = _jax_lu_factor(jnp.asarray(neg_A))
     return tuple(out)
 
 def lu_solve(lu_piv: Tuple, h):
-    """Solves ``(-A) x = h`` given ``lu_piv = lu_factor(-A)``.
+    """Solves ``(-A) x = h`` given a factorization from :func:`lu_factor`.
     ``h`` may be a vector or a matrix of stacked right-hand sides."""
+    if len(lu_piv) == 3 and lu_piv[0] == "chol":
+        _, L, w_col = lu_piv
+        return np.asarray(_jax_chol_solve(L, w_col, jnp.asarray(h)))
     lu, piv = lu_piv
     if isinstance(lu, np.ndarray):
         import scipy.linalg as sla
@@ -69,6 +120,14 @@ def lu_solve(lu_piv: Tuple, h):
 def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
     """Solves ``(-A) x = h`` with ``refine_steps`` rounds of iterative
     refinement (``x += lu_solve(h + A @ x)``)."""
+    if len(lu_piv) == 3 and lu_piv[0] == "chol":
+        _, L, w_col = lu_piv
+        return np.asarray(
+            _jax_chol_solve_refined(
+                jnp.asarray(A), L, w_col, jnp.asarray(h),
+                refine_steps=refine_steps,
+            )
+        )
     lu, piv = lu_piv
     if isinstance(lu, np.ndarray):
         import scipy.linalg as sla

@@ -65,8 +65,12 @@ class LinearSystem:
         h5group["A"] = np.asarray(self.A)
         h5group["indices"] = np.asarray(self.indices)
         if self.lu_piv is not None:
-            h5group["lu"] = np.asarray(self.lu_piv[0])
-            h5group["piv"] = np.asarray(self.lu_piv[1])
+            if len(self.lu_piv) == 3 and self.lu_piv[0] == "chol":
+                h5group["chol_L"] = np.asarray(self.lu_piv[1])
+                h5group["chol_w"] = np.asarray(self.lu_piv[2])
+            else:
+                h5group["lu"] = np.asarray(self.lu_piv[0])
+                h5group["piv"] = np.asarray(self.lu_piv[1])
         if hasattr(self.grad_Lambda_term, "shape") and np.ndim(
             self.grad_Lambda_term
         ) > 0:
@@ -81,6 +85,14 @@ class LinearSystem:
         lu_piv = None
         if "lu" in h5group:
             lu_piv = (np.array(h5group["lu"]), np.array(h5group["piv"]))
+        elif "chol_L" in h5group:
+            import jax.numpy as jnp
+
+            lu_piv = (
+                "chol",
+                jnp.asarray(np.array(h5group["chol_L"])),
+                jnp.asarray(np.array(h5group["chol_w"])),
+            )
         if "grad_Lambda_term" in h5group:
             grad_Lambda_term = np.array(h5group["grad_Lambda_term"])
         else:
@@ -179,6 +191,26 @@ def _build_system_2d(
     )
 
 
+def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols):
+    """Fused on-device assembly of the low-memory film system:
+    ``A = (-q(sub) + diag(d)) * w - scatter(Lambda_j * L_ij)``.  Keeping the
+    whole chain in one jit lets XLA reuse the (ni, ni) buffers -- eager
+    assembly holds ~6 live copies and exhausts HBM at large n."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols):
+        ni = sub_sites.shape[0]
+        q_sub = kernels.q_matrix(sub_sites, dtype=sub_sites.dtype)
+        eye = jnp.eye(ni, dtype=bool)
+        A = jnp.where(eye, diag[:, None], -q_sub) * w_sub[None, :]
+        # Subtract the Lambda-scaled Laplacian entries in place.
+        return A.at[rows, cols].add(-lam_scaled_vals)
+
+    return body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols)
+
+
 def _build_system_2d_lowmem(film_info, ix):
     """The stream-function system for a large film without materializing the
     full Brandt kernel: the off-diagonal q-block is assembled directly from
@@ -188,24 +220,32 @@ def _build_system_2d_lowmem(film_info, ix):
 
     sites = jnp.asarray(film_info.sites)
     w = jnp.asarray(film_info.weights)
-    Lambda = film_info.lambda_info.Lambda
+    Lambda = np.asarray(film_info.lambda_info.Lambda)
     C = kernels.C_vector(sites, dtype=sites.dtype)
     q_row_w = kernels.q_apply(sites, w)
-    sub_sites = sites[ix]
-    q_sub = kernels.q_matrix(sub_sites, dtype=sites.dtype)
     ni = len(ix)
+    sub_sites = sites[ix]
     diag = (C[ix] + q_row_w[ix]) / w[ix]
-    Q_sub = jnp.where(jnp.eye(ni, dtype=bool), diag[:, None], -q_sub)
-    # Dense restriction of the sparse Laplacian (scatter on device).
+    # Restrict the sparse Laplacian to ix, with the reference's column
+    # scaling by Lambda (A -= Lambda_j * L[:, j]).
     lap = film_info.laplacian  # COO
     pos = np.full(lap.shape[0], -1, dtype=np.int64)
     pos[ix] = np.arange(ni)
     keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
-    L_sub = jnp.zeros((ni, ni), dtype=sites.dtype)
-    L_sub = L_sub.at[pos[lap.rows[keep]], pos[lap.cols[keep]]].add(
-        lap.vals[keep].astype(sites.dtype)
+    rows = pos[lap.rows[keep]]
+    cols = pos[lap.cols[keep]]
+    dtype = np.asarray(film_info.weights).dtype
+    lam_scaled_vals = (
+        lap.vals[keep] * Lambda[lap.cols[keep], 0]
+    ).astype(dtype)
+    return _assemble_lowmem_A(
+        sub_sites,
+        diag,
+        jnp.asarray(film_info.weights)[ix],
+        jnp.asarray(lam_scaled_vals),
+        jnp.asarray(rows),
+        jnp.asarray(cols),
     )
-    return Q_sub * w[ix] - np.asarray(Lambda)[ix, 0] * L_sub
 
 
 def _hole_effective_field_vector_lowmem(film_info, ix):
@@ -271,7 +311,9 @@ def factorize_linear_systems(
             film_systems[film_name] = LinearSystem(
                 A=A,
                 indices=interior_indices,
-                lu_piv=linalg.lu_factor(-A),
+                lu_piv=linalg.lu_factor(
+                    -A, weights_col=film_info.weights[interior_indices]
+                ),
                 grad_Lambda_term=0,
             )
             continue

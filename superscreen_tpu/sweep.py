@@ -44,8 +44,9 @@ class FilmSweepData:
     name: str
     n: int
     interior: jnp.ndarray  # (ni,) interior indices
-    lu: jnp.ndarray
-    piv: jnp.ndarray
+    fac_kind: str  # "lu" or "chol" (static)
+    fac_a: jnp.ndarray  # LU matrix or Cholesky factor L
+    fac_b: jnp.ndarray  # LU pivots or the SPD column scaling w
     A: jnp.ndarray  # (ni, ni)
     Q: jnp.ndarray  # (n, n)
     weights: jnp.ndarray  # (n,)
@@ -65,11 +66,11 @@ class FilmSweepData:
 
 
 _FSD_ARRAY_FIELDS = (
-    "interior", "lu", "piv", "A", "Q", "weights",
+    "interior", "fac_a", "fac_b", "A", "Q", "weights",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
     "sites", "hole_masks", "hole_ha_vecs", "vortex_cols", "vortex_scales",
 )
-_FSD_STATIC_FIELDS = ("name", "n", "z0", "hole_names")
+_FSD_STATIC_FIELDS = ("name", "n", "z0", "hole_names", "fac_kind")
 
 
 def _fsd_flatten(d: FilmSweepData):
@@ -128,14 +129,20 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         vortex_scales = jnp.asarray(scales)
     gx = mesh.operators.gradient_x
     gy = mesh.operators.gradient_y
-    lu, piv = system.lu_piv
+    if len(system.lu_piv) == 3 and system.lu_piv[0] == "chol":
+        fac_kind = "chol"
+        fac_a, fac_b = system.lu_piv[1], system.lu_piv[2]
+    else:
+        fac_kind = "lu"
+        fac_a, fac_b = system.lu_piv
     layer = device.layers[info.layer]
     return FilmSweepData(
         name=film_name,
         n=n,
         interior=jnp.asarray(system.indices),
-        lu=jnp.asarray(lu),
-        piv=jnp.asarray(piv),
+        fac_kind=fac_kind,
+        fac_a=jnp.asarray(fac_a),
+        fac_b=jnp.asarray(fac_b),
         A=jnp.asarray(system.A),
         Q=jnp.asarray(info.kernel) if info.kernel is not None else None,
         weights=jnp.asarray(info.weights),
@@ -179,11 +186,20 @@ def _solve_film_batch(
         g0 = jnp.zeros_like(Hz_total)
         Ha_eff = jnp.zeros_like(Hz_total)
     h = (Hz_total - Ha_eff)[:, data.interior]  # (B, ni)
-    # One LU solve with B stacked right-hand sides.
-    gf = jax.scipy.linalg.lu_solve((data.lu, data.piv), h.T)  # (ni, B)
+
+    # One factorized solve with B stacked right-hand sides.
+    if data.fac_kind == "chol":
+        def solve(rhs):
+            y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
+            return y / data.fac_b[:, None]
+    else:
+        def solve(rhs):
+            return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
+
+    gf = solve(h.T)  # (ni, B)
     for _ in range(refine_steps):
         r = h.T + data.A @ gf
-        gf = gf + jax.scipy.linalg.lu_solve((data.lu, data.piv), r)
+        gf = gf + solve(r)
     if data.vortex_cols is not None:
         gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
     g = g0.at[:, data.interior].add(gf.T)
@@ -304,7 +320,8 @@ class SweepResult:
 @partial(jax.jit, static_argnames=("iterations", "refine_steps"))
 def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps):
     """The jitted sweep body: batched per-film solves plus ``iterations``
-    rounds of batched inter-film coupling."""
+    rounds of batched inter-film coupling (a ``lax.fori_loop`` so the
+    compiled program size is independent of the iteration count)."""
     films = list(film_data)
     streams, Js, self_fields, others = {}, {}, {}, {}
     for name in films:
@@ -317,7 +334,11 @@ def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_st
         )
         streams[name], Js[name], self_fields[name] = g, J, sf
         others[name] = jnp.zeros_like(Hz_applied[name])
-    for _ in range(iterations):
+    if iterations < 1:
+        return streams, Js, self_fields, others
+
+    def body(_, carry):
+        streams, Js, self_fields, others = carry
         new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
         for src in films:
             for dst in films:
@@ -326,17 +347,21 @@ def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_st
                 new_others[dst] = new_others[dst] + _film_to_film_batch(
                     film_data[src], film_data[dst], Js[src]
                 )
-        others = new_others
+        streams, Js, self_fields = dict(streams), dict(Js), dict(self_fields)
         for name in films:
             g, J, sf = _solve_film_batch(
                 film_data[name],
-                Hz_applied[name] + others[name],
+                Hz_applied[name] + new_others[name],
                 I_circ[name],
                 vortex_flux,
                 refine_steps=refine_steps,
             )
             streams[name], Js[name], self_fields[name] = g, J, sf
-    return streams, Js, self_fields, others
+        return streams, Js, self_fields, new_others
+
+    return jax.lax.fori_loop(
+        0, iterations, body, (streams, Js, self_fields, others)
+    )
 
 
 def solve_many(
