@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def build_two_layer(max_edge_length: float, dtype: str):
     import superscreen_tpu as sc
 
@@ -227,10 +231,20 @@ def main():
 
     import jax
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import superscreen_tpu as sc
 
     backend = jax.default_backend()
     field_values = np.linspace(0.1, 1.0, B)
+    _log(f"backend={backend} config={config} B={B} iters={iterations}")
 
     if config == "two_layer":
         max_edge = float(os.environ.get("BENCH_MAX_EDGE", "0.4"))
@@ -239,10 +253,12 @@ def main():
         device = build_large(dtype)
     sizes = {k: len(m.sites) for k, m in device.meshes.items()}
     n_total = sum(sizes.values())
+    _log(f"meshed: {sizes} (n_total={n_total})")
 
     t0 = time.perf_counter()
     model = sc.factorize_model(device=device, current_units="uA")
     factorize_s = time.perf_counter() - t0
+    _log(f"factorized in {factorize_s:.1f}s")
     interiors = {
         k: len(s.indices) for k, s in model.film_systems.items()
     }
@@ -251,9 +267,11 @@ def main():
     t0 = time.perf_counter()
     run()
     compile_and_first_s = time.perf_counter() - t0
+    _log(f"sweep compile+first run {compile_and_first_s:.1f}s")
     t0 = time.perf_counter()
     run()
     warm_s = time.perf_counter() - t0
+    _log(f"sweep warm {warm_s:.3f}s")
 
     # CPU baseline: measured directly on a small config, extrapolated by
     # exact flop counts for the large config.
@@ -263,6 +281,7 @@ def main():
     small_interiors = {
         k: len(s.indices) for k, s in small_model.film_systems.items()
     }
+    _log("measuring CPU baseline...")
     t0 = time.perf_counter()
     cpu_small_s = cpu_baseline_measured(
         small_model, field_values[:b_cpu], iterations

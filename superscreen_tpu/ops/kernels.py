@@ -36,6 +36,7 @@ __all__ = [
     "biot_savart_within_film",
     "boundary_effective_field",
     "biot_savart_2d_field",
+    "vector_potential_2d",
 ]
 
 _ONE_OVER_4PI = 1 / (4 * np.pi)
@@ -340,3 +341,43 @@ def Q_apply(points, weights, vecs, block: int = _BLOCK):
     if squeeze:
         out = out[:, 0]
     return out
+
+
+@partial(jax.jit, static_argnames=("block",))
+def vector_potential_2d(
+    eval_positions, eval_zs, positions, z0: float, areas, J,
+    block: int = _BLOCK,
+):
+    """In-plane vector potential (Ax, Ay) of a sheet current:
+    ``A(r) = 1/(4 pi) int J(r') / |r - r'| d^2r'`` (without the mu_0
+    prefactor; units ``current``).
+
+    Reference: ``superscreen/solution.py:833-934`` (dense cdist there).
+
+    Args:
+        eval_positions: ``(m, 2)`` evaluation coordinates.
+        eval_zs: ``(m,)`` evaluation heights.
+        positions: ``(n, 2)`` sheet coordinates.
+        z0: Sheet height.
+        areas: ``(n,)`` vertex areas.
+        J: ``(n, 2)`` sheet current density.
+
+    Returns:
+        ``(m, 2)`` vector potential (times 4 pi / mu_0).
+    """
+    eval_positions = jnp.asarray(eval_positions)
+    eval_zs = jnp.asarray(eval_zs)
+    positions = jnp.asarray(positions)
+    areas = jnp.asarray(areas)
+    J = jnp.asarray(J)
+    X = jnp.concatenate([eval_positions, eval_zs[:, None]], axis=1)
+
+    def row_block(P):
+        dx = P[:, 0:1] - positions[None, :, 0]
+        dy = P[:, 1:2] - positions[None, :, 1]
+        dz = P[:, 2:3] - z0
+        rinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        K = areas[None, :] * rinv  # (b, n)
+        return _ONE_OVER_4PI * (K @ J)
+
+    return _blocked(row_block, X, block)

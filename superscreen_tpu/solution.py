@@ -728,6 +728,8 @@ class Solution:
         units = units or f"{self.field_units} * {device.length_units}"
         positions, zs = _split_positions_zs(positions, zs, dtype)
         zs2d = zs[:, np.newaxis] if zs.ndim == 1 else zs
+        from .ops.kernels import vector_potential_2d
+
         vector_potentials = {}
         for name, film in device.films.items():
             dz = zs2d - layers[film.layer].z0
@@ -736,12 +738,20 @@ class Solution:
                     f"Cannot evaluate vector potential inside the film ({name!r})."
                 )
             mesh = meshes[name]
-            diff = positions[:, None, :] - mesh.sites[None, :, :]
-            rho2 = np.sum(diff * diff, axis=-1)
             areas = mesh.vertex_areas
             J = self.film_solutions[name].current_density
-            rho = np.sqrt(rho2 + dz**2)[:, :, np.newaxis]
-            Axy = np.einsum("ijk, j -> ik", J[None, :, :] / rho, areas)
+            # Blocked device kernel (the reference materializes the dense
+            # (m, n) distance matrix on the host).
+            Axy = 4 * np.pi * np.asarray(
+                vector_potential_2d(
+                    positions,
+                    zs2d[:, 0] if zs2d.ndim == 2 else zs2d,
+                    mesh.sites,
+                    layers[film.layer].z0,
+                    areas,
+                    J,
+                )
+            )
             A = np.concatenate([Axy, np.zeros_like(Axy[:, :1])], axis=1)
             A = Quantity(A, self.current_units)
             A = (ureg("mu_0") / (4 * np.pi) * A).to(units)
