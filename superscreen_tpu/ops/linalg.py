@@ -35,10 +35,22 @@ def _jax_lu_factor(neg_A):
 
 @partial(jax.jit, static_argnames=("refine_steps",))
 def _jax_lu_solve_refined(A, lu, piv, h, refine_steps: int = 2):
-    x = jax.scipy.linalg.lu_solve((lu, piv), h)
+    # The factorization may be of an identity-padded system (shapes are
+    # padded to a common size so films share one compilation); the pad
+    # block is decoupled, so pad the RHS with zeros and slice the solution.
+    n = h.shape[0]
+    nip = lu.shape[0]
+
+    def pad(v):
+        if nip == n:
+            return v
+        widths = [(0, nip - n)] + [(0, 0)] * (v.ndim - 1)
+        return jnp.pad(v, widths)
+
+    x = jax.scipy.linalg.lu_solve((lu, piv), pad(h))[:n]
     for _ in range(refine_steps):
         r = h + A @ x  # residual of (-A) x = h
-        x = x + jax.scipy.linalg.lu_solve((lu, piv), r)
+        x = x + jax.scipy.linalg.lu_solve((lu, piv), pad(r))[:n]
     return x
 
 
@@ -69,14 +81,31 @@ def _jax_chol_solve(L, w_col, h):
 
 @partial(jax.jit, static_argnames=("refine_steps",))
 def _jax_chol_solve_refined(A, L, w_col, h, refine_steps: int = 2):
-    x = _jax_chol_solve(L, w_col, h)
+    n = h.shape[0]
+    nip = L.shape[0]
+
+    def pad(v):
+        if nip == n:
+            return v
+        widths = [(0, nip - n)] + [(0, 0)] * (v.ndim - 1)
+        return jnp.pad(v, widths)
+
+    x = _jax_chol_solve(L, w_col, pad(h))[:n]
     for _ in range(refine_steps):
         r = h + A @ x
-        x = x + _jax_chol_solve(L, w_col, r)
+        x = x + _jax_chol_solve(L, w_col, pad(r))[:n]
     return x
 
 
-def lu_factor(neg_A, weights_col=None) -> Tuple:
+@partial(jax.jit, static_argnames=("pad",))
+def _jax_pad_neg_A(neg_A, pad: int):
+    """Block-diagonal identity padding of the (already negated) system."""
+    nip = neg_A.shape[0] + pad
+    out = jnp.eye(nip, dtype=neg_A.dtype)
+    return out.at[: neg_A.shape[0], : neg_A.shape[0]].set(neg_A)
+
+
+def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
     """Factorizes ``-A`` (the matrix passed in is already negated).
 
     Returns ``(lu, piv)`` (LAPACK-style) on CPU or on TPU up to
@@ -92,6 +121,15 @@ def lu_factor(neg_A, weights_col=None) -> Tuple:
         lu, piv = sla.lu_factor(np.asarray(neg_A))
         return lu, piv
     n = neg_A.shape[0]
+    if pad_to is not None and pad_to > n:
+        # Pad to a common shape so multiple films share one compiled
+        # factorization/solve; the pad block is the identity (decoupled).
+        if weights_col is not None:
+            weights_col = np.concatenate(
+                [np.asarray(weights_col), np.ones(pad_to - n)]
+            ).astype(np.asarray(weights_col).dtype)
+        neg_A = _jax_pad_neg_A(jnp.asarray(neg_A), pad_to - n)
+        n = pad_to
     if n > LU_MAX_N_TPU:
         if weights_col is None:
             raise ValueError(
@@ -103,18 +141,32 @@ def lu_factor(neg_A, weights_col=None) -> Tuple:
     out = _jax_lu_factor(jnp.asarray(neg_A))
     return tuple(out)
 
+def _pad_rhs(n_fac, h):
+    """Pads the RHS with zeros when the factorization was built from a
+    padded (block-diagonal identity) system; returns (padded_h, n_orig)."""
+    n = h.shape[0]
+    if n == n_fac:
+        return h, n
+    pad = [(0, n_fac - n)] + [(0, 0)] * (h.ndim - 1)
+    return np.pad(np.asarray(h), pad), n
+
+
 def lu_solve(lu_piv: Tuple, h):
     """Solves ``(-A) x = h`` given a factorization from :func:`lu_factor`.
-    ``h`` may be a vector or a matrix of stacked right-hand sides."""
+    ``h`` may be a vector or a matrix of stacked right-hand sides.  If the
+    factorization is larger than ``h`` (identity-padded system), the RHS is
+    zero-padded and the solution sliced back."""
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
-        return np.asarray(_jax_chol_solve(L, w_col, jnp.asarray(h)))
+        h, n = _pad_rhs(L.shape[0], h)
+        return np.asarray(_jax_chol_solve(L, w_col, jnp.asarray(h)))[:n]
     lu, piv = lu_piv
+    h, n = _pad_rhs(lu.shape[0], h)
     if isinstance(lu, np.ndarray):
         import scipy.linalg as sla
 
-        return sla.lu_solve((lu, piv), np.asarray(h))
-    return np.asarray(_jax_lu_solve(lu, piv, jnp.asarray(h)))
+        return sla.lu_solve((lu, piv), np.asarray(h))[:n]
+    return np.asarray(_jax_lu_solve(lu, piv, jnp.asarray(h)))[:n]
 
 
 def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):

@@ -280,6 +280,22 @@ def factorize_linear_systems(
     film_systems = {}
     hole_systems = {}
     terminal_systems = {}
+    # Pad low-memory film systems to one common size so all films share a
+    # single compiled factorization/solve on TPU (compile time dominates
+    # cold-start factorization otherwise).
+    lowmem_sizes = []
+    for film_info in film_info_dict.values():
+        if film_info.dense_kernel:
+            continue
+        ix = film_info.interior_indices
+        if film_info.hole_indices:
+            ix = np.setdiff1d(
+                ix, np.concatenate(list(film_info.hole_indices.values()))
+            )
+        lowmem_sizes.append(len(ix))
+    pad_to = None
+    if lowmem_sizes:
+        pad_to = -(-max(lowmem_sizes) // 2048) * 2048
     for film_name, film_info in film_info_dict.items():
         hole_systems[film_name] = {}
         interior_indices = film_info.interior_indices
@@ -312,7 +328,9 @@ def factorize_linear_systems(
                 A=A,
                 indices=interior_indices,
                 lu_piv=linalg.lu_factor(
-                    -A, weights_col=film_info.weights[interior_indices]
+                    -A,
+                    weights_col=film_info.weights[interior_indices],
+                    pad_to=pad_to,
                 ),
                 grad_Lambda_term=0,
             )

@@ -187,14 +187,26 @@ def _solve_film_batch(
         Ha_eff = jnp.zeros_like(Hz_total)
     h = (Hz_total - Ha_eff)[:, data.interior]  # (B, ni)
 
-    # One factorized solve with B stacked right-hand sides.
+    # One factorized solve with B stacked right-hand sides.  The
+    # factorization may be identity-padded to a shared shape; pad the RHS
+    # and slice the solution.
+    ni = h.shape[1]
+    nip = data.fac_a.shape[0]
+
+    def pad(v):
+        if nip == ni:
+            return v
+        return jnp.pad(v, ((0, nip - ni), (0, 0)))
+
     if data.fac_kind == "chol":
         def solve(rhs):
-            y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
-            return y / data.fac_b[:, None]
+            y = jax.scipy.linalg.cho_solve((data.fac_a, True), pad(rhs))
+            return (y / data.fac_b[:, None])[:ni]
     else:
         def solve(rhs):
-            return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
+            return jax.scipy.linalg.lu_solve(
+                (data.fac_a, data.fac_b), pad(rhs)
+            )[:ni]
 
     gf = solve(h.T)  # (ni, B)
     for _ in range(refine_steps):
