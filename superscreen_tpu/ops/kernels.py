@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = [
     "cdist",
+    "biot_savart_film_to_film_dz2",
     "q_matrix",
     "C_vector",
     "Q_matrix",
@@ -142,6 +143,30 @@ def _q_to_Q(points, weights, q):
     C = C_vector(points, dtype=points.dtype)
     diag = (C + q @ weights) / weights
     return jnp.where(jnp.eye(n, dtype=bool), diag[:, None], -q)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def biot_savart_film_to_film_dz2(
+    film1_sites, film1_areas, film1_J, film2_sites, dz2, block: int = _BLOCK
+):
+    """Like :func:`biot_savart_film_to_film` but with the squared layer
+    separation ``dz2`` as a traced scalar, so one compilation serves every
+    film pair of the same shapes."""
+    film1_sites = jnp.asarray(film1_sites)
+    film2_sites = jnp.asarray(film2_sites)
+    J = jnp.asarray(film1_J)
+    areas = jnp.asarray(film1_areas)
+    dz2 = jnp.asarray(dz2)
+
+    def row_block(P):
+        dx = P[:, 0:1] - film1_sites[None, :, 0]
+        dy = P[:, 1:2] - film1_sites[None, :, 1]
+        r = jax.lax.rsqrt(dx * dx + dy * dy + dz2)
+        r3 = r * r * r
+        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
+        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
+
+    return _blocked(row_block, film2_sites, block)
 
 
 @partial(jax.jit, static_argnames=("block",))

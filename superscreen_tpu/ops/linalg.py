@@ -35,23 +35,19 @@ def _jax_lu_factor(neg_A):
 
 @partial(jax.jit, static_argnames=("refine_steps",))
 def _jax_lu_solve_refined(A, lu, piv, h, refine_steps: int = 2):
-    # The factorization may be of an identity-padded system (shapes are
-    # padded to a common size so films share one compilation); the pad
-    # block is decoupled, so pad the RHS with zeros and slice the solution.
+    # The system/factorization may be identity-padded to a shared shape
+    # (the pad block is decoupled); pad the RHS with zeros up front and
+    # slice the solution at the end.
     n = h.shape[0]
     nip = lu.shape[0]
-
-    def pad(v):
-        if nip == n:
-            return v
-        widths = [(0, nip - n)] + [(0, 0)] * (v.ndim - 1)
-        return jnp.pad(v, widths)
-
-    x = jax.scipy.linalg.lu_solve((lu, piv), pad(h))[:n]
+    if nip != n:
+        widths = [(0, nip - n)] + [(0, 0)] * (h.ndim - 1)
+        h = jnp.pad(h, widths)
+    x = jax.scipy.linalg.lu_solve((lu, piv), h)
     for _ in range(refine_steps):
         r = h + A @ x  # residual of (-A) x = h
-        x = x + jax.scipy.linalg.lu_solve((lu, piv), pad(r))[:n]
-    return x
+        x = x + jax.scipy.linalg.lu_solve((lu, piv), r)
+    return x[:n]
 
 
 @jax.jit
@@ -83,18 +79,14 @@ def _jax_chol_solve(L, w_col, h):
 def _jax_chol_solve_refined(A, L, w_col, h, refine_steps: int = 2):
     n = h.shape[0]
     nip = L.shape[0]
-
-    def pad(v):
-        if nip == n:
-            return v
-        widths = [(0, nip - n)] + [(0, 0)] * (v.ndim - 1)
-        return jnp.pad(v, widths)
-
-    x = _jax_chol_solve(L, w_col, pad(h))[:n]
+    if nip != n:
+        widths = [(0, nip - n)] + [(0, 0)] * (h.ndim - 1)
+        h = jnp.pad(h, widths)
+    x = _jax_chol_solve(L, w_col, h)
     for _ in range(refine_steps):
         r = h + A @ x
-        x = x + _jax_chol_solve(L, w_col, pad(r))[:n]
-    return x
+        x = x + _jax_chol_solve(L, w_col, r)
+    return x[:n]
 
 
 @partial(jax.jit, static_argnames=("pad",))
@@ -186,11 +178,16 @@ def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
 
         A = np.asarray(A)
         h = np.asarray(h)
+        n = h.shape[0]
+        if lu.shape[0] != n:
+            # Identity-padded system: pad the RHS, slice the solution.
+            widths = [(0, lu.shape[0] - n)] + [(0, 0)] * (h.ndim - 1)
+            h = np.pad(h, widths)
         x = sla.lu_solve((lu, piv), h)
         for _ in range(refine_steps):
             r = h + A @ x
             x = x + sla.lu_solve((lu, piv), r)
-        return x
+        return x[:n]
     return np.asarray(
         _jax_lu_solve_refined(
             jnp.asarray(A), lu, piv, jnp.asarray(h), refine_steps=refine_steps

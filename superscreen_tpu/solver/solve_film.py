@@ -191,31 +191,42 @@ def _build_system_2d(
     )
 
 
-def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols):
+def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
     """Fused on-device assembly of the low-memory film system:
-    ``A = (-q(sub) + diag(d)) * w - scatter(Lambda_j * L_ij)``.  Keeping the
-    whole chain in one jit lets XLA reuse the (ni, ni) buffers -- eager
-    assembly holds ~6 live copies and exhausts HBM at large n."""
+    ``A = (-q(sub) + diag(d)) * w - scatter(Lambda_j * L_ij)``, padded to a
+    shared shape with an identity block (``A_pad = blockdiag(A, -I)``).
+
+    All inputs are padded to common sizes and ``ni`` (the number of valid
+    rows/cols) is a traced scalar, so every film shares one compilation.
+    Keeping the whole chain in one jit also lets XLA reuse the (nip, nip)
+    buffers -- eager assembly holds ~6 live copies and exhausts HBM at
+    large n.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols):
-        ni = sub_sites.shape[0]
+    def body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
+        nip = sub_sites.shape[0]
         q_sub = kernels.q_matrix(sub_sites, dtype=sub_sites.dtype)
-        eye = jnp.eye(ni, dtype=bool)
+        eye = jnp.eye(nip, dtype=bool)
         A = jnp.where(eye, diag[:, None], -q_sub) * w_sub[None, :]
-        # Subtract the Lambda-scaled Laplacian entries in place.
-        return A.at[rows, cols].add(-lam_scaled_vals)
+        A = A.at[rows, cols].add(-lam_scaled_vals)
+        idx = jnp.arange(nip)
+        valid = idx < ni
+        valid2d = valid[:, None] & valid[None, :]
+        pad_block = jnp.where(eye, jnp.asarray(-1.0, A.dtype), 0.0)
+        return jnp.where(valid2d, A, pad_block)
 
-    return body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols)
+    return body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni)
 
 
-def _build_system_2d_lowmem(film_info, ix):
+def _build_system_2d_lowmem(film_info, ix, pad_to=None):
     """The stream-function system for a large film without materializing the
     full Brandt kernel: the off-diagonal q-block is assembled directly from
     the gathered sites; the diagonal needs the full row sums ``q @ w`` and
-    the boundary vector ``C``, both computed matrix-free."""
+    the boundary vector ``C``, both computed matrix-free.  The result is
+    padded to ``pad_to`` with an identity block (decoupled)."""
     import jax.numpy as jnp
 
     sites = jnp.asarray(film_info.sites)
@@ -224,8 +235,29 @@ def _build_system_2d_lowmem(film_info, ix):
     C = kernels.C_vector(sites, dtype=sites.dtype)
     q_row_w = kernels.q_apply(sites, w)
     ni = len(ix)
-    sub_sites = sites[ix]
-    diag = (C[ix] + q_row_w[ix]) / w[ix]
+    nip = pad_to or ni
+    dtype = np.asarray(film_info.weights).dtype
+    # Padded gather indices: pad slots point at far-away dummy coordinates
+    # (distinct, so the q kernel stays finite) and are overwritten with the
+    # identity block inside the assembly.
+    ixp = np.concatenate([ix, np.zeros(nip - ni, dtype=ix.dtype)])
+    sub_sites = np.asarray(sites)[ixp]
+    if nip > ni:
+        span = float(
+            max(np.ptp(np.asarray(sites)[:, 0]), np.ptp(np.asarray(sites)[:, 1]), 1.0)
+        )
+        dummy = 1e3 * span * (1.0 + np.arange(nip - ni, dtype=dtype))
+        sub_sites[ni:, 0] = dummy
+        sub_sites[ni:, 1] = dummy
+    w_sub = np.concatenate(
+        [np.asarray(film_info.weights)[ix], np.ones(nip - ni, dtype=dtype)]
+    )
+    diag = np.concatenate(
+        [
+            np.asarray((C[ix] + q_row_w[ix])) / np.asarray(film_info.weights)[ix],
+            np.full(nip - ni, -1.0, dtype=dtype),
+        ]
+    ).astype(dtype)
     # Restrict the sparse Laplacian to ix, with the reference's column
     # scaling by Lambda (A -= Lambda_j * L[:, j]).
     lap = film_info.laplacian  # COO
@@ -234,17 +266,26 @@ def _build_system_2d_lowmem(film_info, ix):
     keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
     rows = pos[lap.rows[keep]]
     cols = pos[lap.cols[keep]]
-    dtype = np.asarray(film_info.weights).dtype
     lam_scaled_vals = (
         lap.vals[keep] * Lambda[lap.cols[keep], 0]
     ).astype(dtype)
+    # Pad the scatter triplets to a shared count (zero-valued adds at (0,0)).
+    if pad_to is not None:
+        nnz_pad = -(-len(rows) // 65536) * 65536
+        pad = nnz_pad - len(rows)
+        rows = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)])
+        lam_scaled_vals = np.concatenate(
+            [lam_scaled_vals, np.zeros(pad, dtype=dtype)]
+        )
     return _assemble_lowmem_A(
-        sub_sites,
-        diag,
-        jnp.asarray(film_info.weights)[ix],
+        jnp.asarray(sub_sites),
+        jnp.asarray(diag),
+        jnp.asarray(w_sub),
         jnp.asarray(lam_scaled_vals),
         jnp.asarray(rows),
         jnp.asarray(cols),
+        jnp.asarray(ni),
     )
 
 
@@ -323,15 +364,18 @@ def factorize_linear_systems(
                     interior_indices,
                     np.concatenate(list(hole_indices.values())),
                 )
-            A = _build_system_2d_lowmem(film_info, interior_indices)
+            A = _build_system_2d_lowmem(film_info, interior_indices, pad_to)
+            ni = len(interior_indices)
+            w_col = np.concatenate(
+                [
+                    film_info.weights[interior_indices],
+                    np.ones((pad_to or ni) - ni, dtype=film_info.weights.dtype),
+                ]
+            )
             film_systems[film_name] = LinearSystem(
                 A=A,
                 indices=interior_indices,
-                lu_piv=linalg.lu_factor(
-                    -A,
-                    weights_col=film_info.weights[interior_indices],
-                    pad_to=pad_to,
-                ),
+                lu_piv=linalg.lu_factor(-A, weights_col=w_col),
                 grad_Lambda_term=0,
             )
             continue
@@ -592,7 +636,10 @@ def solve_film(
     g[indices] += gf
 
     if check_inversion:
-        hsim = -(A @ gf)
+        gf_p = gf
+        if A.shape[0] != len(gf):
+            gf_p = np.concatenate([gf, np.zeros(A.shape[0] - len(gf), gf.dtype)])
+        hsim = np.asarray(-(A @ gf_p))[: len(h)]
         if not np.allclose(hsim, h):
             logger.warning(
                 f"Unable to solve for stream function in {film_info.name!r}, "
@@ -611,7 +658,7 @@ def solve_film(
             j_device = int(np.argmin(np.linalg.norm(points - xy, axis=1)))
             rhs[j_film, k] = 1.0
             scales[k] = vortex_flux * vortex.nPhi0 / weights[j_device]
-        K_cols = -linalg.lu_solve(film_system.lu_piv, rhs)
+        K_cols = -linalg.lu_solve(film_system.lu_piv, rhs)[: len(indices)]
         g[indices] += K_cols @ scales
 
     # Current density J = curl(g z) = (dg/dy, -dg/dx).

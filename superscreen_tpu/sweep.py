@@ -57,7 +57,7 @@ class FilmSweepData:
     gy_cols: jnp.ndarray
     gy_vals: jnp.ndarray
     sites: jnp.ndarray  # (n, 2)
-    z0: float
+    z0: jnp.ndarray  # () layer height (traced so film pairs share compiles)
     hole_masks: jnp.ndarray  # (n_holes, n) 1.0 where site in hole
     hole_ha_vecs: jnp.ndarray  # (n_holes, n) effective-field vectors
     vortex_cols: Optional[jnp.ndarray]  # (ni, n_vortices) K columns
@@ -68,9 +68,10 @@ class FilmSweepData:
 _FSD_ARRAY_FIELDS = (
     "interior", "fac_a", "fac_b", "A", "Q", "weights",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
-    "sites", "hole_masks", "hole_ha_vecs", "vortex_cols", "vortex_scales",
+    "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
+    "vortex_scales",
 )
-_FSD_STATIC_FIELDS = ("name", "n", "z0", "hole_names", "fac_kind")
+_FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind")
 
 
 def _fsd_flatten(d: FilmSweepData):
@@ -153,7 +154,7 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         gy_cols=jnp.asarray(gy.cols),
         gy_vals=jnp.asarray(gy.vals.astype(dtype)),
         sites=jnp.asarray(mesh.sites.astype(dtype)),
-        z0=float(layer.z0),
+        z0=jnp.asarray(float(layer.z0), dtype=dtype),
         hole_masks=jnp.asarray(hole_masks),
         hole_ha_vecs=jnp.asarray(hole_ha),
         vortex_cols=vortex_cols,
@@ -187,31 +188,28 @@ def _solve_film_batch(
         Ha_eff = jnp.zeros_like(Hz_total)
     h = (Hz_total - Ha_eff)[:, data.interior]  # (B, ni)
 
-    # One factorized solve with B stacked right-hand sides.  The
-    # factorization may be identity-padded to a shared shape; pad the RHS
-    # and slice the solution.
+    # One factorized solve with B stacked right-hand sides.  The system and
+    # factorization may be identity-padded to a shared shape (decoupled pad
+    # block): pad the RHS up front, slice the solution at the end.
     ni = h.shape[1]
     nip = data.fac_a.shape[0]
-
-    def pad(v):
-        if nip == ni:
-            return v
-        return jnp.pad(v, ((0, nip - ni), (0, 0)))
+    hT = h.T
+    if nip != ni:
+        hT = jnp.pad(hT, ((0, nip - ni), (0, 0)))
 
     if data.fac_kind == "chol":
         def solve(rhs):
-            y = jax.scipy.linalg.cho_solve((data.fac_a, True), pad(rhs))
-            return (y / data.fac_b[:, None])[:ni]
+            y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
+            return y / data.fac_b[:, None]
     else:
         def solve(rhs):
-            return jax.scipy.linalg.lu_solve(
-                (data.fac_a, data.fac_b), pad(rhs)
-            )[:ni]
+            return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
 
-    gf = solve(h.T)  # (ni, B)
+    gf = solve(hT)  # (nip, B)
     for _ in range(refine_steps):
-        r = h.T + data.A @ gf
+        r = hT + data.A @ gf
         gf = gf + solve(r)
+    gf = gf[:ni]
     if data.vortex_cols is not None:
         gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
     g = g0.at[:, data.interior].add(gf.T)
@@ -231,10 +229,11 @@ def _solve_film_batch(
 
 def _film_to_film_batch(src: FilmSweepData, dst: FilmSweepData, J_src):
     """Batched inter-film Biot-Savart: J_src (B, n_src, 2) -> (B, n_dst)."""
+    dz2 = (dst.z0 - src.z0) ** 2
 
     def one(J):
-        return kernels.biot_savart_film_to_film(
-            src.sites, src.z0, src.weights, J, dst.sites, dst.z0
+        return kernels.biot_savart_film_to_film_dz2(
+            src.sites, src.weights, J, dst.sites, jnp.asarray(dz2)
         )
 
     return jax.vmap(one)(J_src)
@@ -329,8 +328,71 @@ class SweepResult:
         return [self.solution(i) for i in range(self.num_solutions)]
 
 
+_solve_film_batch_jit = partial(
+    jax.jit, static_argnames=("refine_steps",)
+)(_solve_film_batch)
+_film_to_film_batch_jit = jax.jit(_film_to_film_batch)
+
+
+def _strip_metadata(film_data):
+    """Canonicalizes per-film metadata (names) so the stage-jitted calls
+    share compilations across films of equal shapes."""
+    from dataclasses import replace
+
+    return {
+        name: replace(d, name="film", hole_names=("h",) * len(d.hole_names))
+        for name, d in film_data.items()
+    }
+
+
+def _run_sweep_staged(
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+):
+    """Stage-jitted sweep: the per-film batched solve and the pairwise
+    coupling kernel are compiled once each (films share padded shapes) and
+    orchestrated from Python.  All intermediates stay on device.  This
+    compiles in seconds where the fully fused program takes minutes at
+    100k-vertex scale, at the cost of ~one dispatch per stage."""
+    films = list(film_data)
+    film_data = _strip_metadata(film_data)
+    streams, Js, self_fields, others = {}, {}, {}, {}
+    for name in films:
+        g, J, sf = _solve_film_batch_jit(
+            film_data[name],
+            jnp.asarray(Hz_applied[name]),
+            jnp.asarray(I_circ[name]),
+            vortex_flux,
+            refine_steps=refine_steps,
+        )
+        streams[name], Js[name], self_fields[name] = g, J, sf
+        others[name] = jnp.zeros_like(jnp.asarray(Hz_applied[name]))
+    for _ in range(iterations):
+        new_others = {
+            name: jnp.zeros_like(jnp.asarray(Hz_applied[name]))
+            for name in films
+        }
+        for src in films:
+            for dst in films:
+                if src == dst:
+                    continue
+                new_others[dst] = new_others[dst] + _film_to_film_batch_jit(
+                    film_data[src], film_data[dst], Js[src]
+                )
+        others = new_others
+        for name in films:
+            g, J, sf = _solve_film_batch_jit(
+                film_data[name],
+                jnp.asarray(Hz_applied[name]) + others[name],
+                jnp.asarray(I_circ[name]),
+                vortex_flux,
+                refine_steps=refine_steps,
+            )
+            streams[name], Js[name], self_fields[name] = g, J, sf
+    return streams, Js, self_fields, others
+
+
 @partial(jax.jit, static_argnames=("iterations", "refine_steps"))
-def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps):
+def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps):
     """The jitted sweep body: batched per-film solves plus ``iterations``
     rounds of batched inter-film coupling (a ``lax.fori_loop`` so the
     compiled program size is independent of the iteration count)."""
@@ -373,6 +435,24 @@ def _run_sweep(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_st
 
     return jax.lax.fori_loop(
         0, iterations, body, (streams, Js, self_fields, others)
+    )
+
+
+def _run_sweep(
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+):
+    """Dispatches to the stage-jitted runner (default) or the fully fused
+    single-program runner (``SUPERSCREEN_TPU_FUSED_SWEEP=1`` -- lowest
+    dispatch overhead, highest compile cost)."""
+    import os
+
+    if os.environ.get("SUPERSCREEN_TPU_FUSED_SWEEP", "0") == "1":
+        return _run_sweep_fused(
+            film_data, Hz_applied, I_circ, vortex_flux, iterations,
+            refine_steps,
+        )
+    return _run_sweep_staged(
+        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
     )
 
 
