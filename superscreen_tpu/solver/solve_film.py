@@ -68,6 +68,9 @@ class LinearSystem:
             if len(self.lu_piv) == 3 and self.lu_piv[0] == "chol":
                 h5group["chol_L"] = np.asarray(self.lu_piv[1])
                 h5group["chol_w"] = np.asarray(self.lu_piv[2])
+            elif len(self.lu_piv) == 3 and self.lu_piv[0] == "inv":
+                h5group["inv_M"] = np.asarray(self.lu_piv[1])
+                h5group["inv_w"] = np.asarray(self.lu_piv[2])
             else:
                 h5group["lu"] = np.asarray(self.lu_piv[0])
                 h5group["piv"] = np.asarray(self.lu_piv[1])
@@ -92,6 +95,14 @@ class LinearSystem:
                 "chol",
                 jnp.asarray(np.array(h5group["chol_L"])),
                 jnp.asarray(np.array(h5group["chol_w"])),
+            )
+        elif "inv_M" in h5group:
+            import jax.numpy as jnp
+
+            lu_piv = (
+                "inv",
+                jnp.asarray(np.array(h5group["inv_M"])),
+                jnp.asarray(np.array(h5group["inv_w"])),
             )
         if "grad_Lambda_term" in h5group:
             grad_Lambda_term = np.array(h5group["grad_Lambda_term"])
@@ -215,7 +226,10 @@ def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
         idx = jnp.arange(nip)
         valid = idx < ni
         valid2d = valid[:, None] & valid[None, :]
-        pad_block = jnp.where(eye, jnp.asarray(-1.0, A.dtype), 0.0)
+        # Pad block = +I so that A_pad / w stays positive definite (the
+        # Cholesky path factors P = -(-A_pad)/w); the padded equations
+        # read (-I) x = 0 -> x = 0.
+        pad_block = jnp.where(eye, jnp.asarray(1.0, A.dtype), 0.0)
         return jnp.where(valid2d, A, pad_block)
 
     return body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni)
@@ -255,7 +269,7 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None):
     diag = np.concatenate(
         [
             np.asarray((C[ix] + q_row_w[ix])) / np.asarray(film_info.weights)[ix],
-            np.full(nip - ni, -1.0, dtype=dtype),
+            np.full(nip - ni, 1.0, dtype=dtype),
         ]
     ).astype(dtype)
     # Restrict the sparse Laplacian to ix, with the reference's column

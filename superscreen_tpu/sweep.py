@@ -43,7 +43,8 @@ class FilmSweepData:
 
     name: str
     n: int
-    interior: jnp.ndarray  # (ni,) interior indices
+    interior: jnp.ndarray  # (nip,) interior indices (zero-padded)
+    n_valid: jnp.ndarray  # () number of valid interior indices (traced)
     fac_kind: str  # "lu" or "chol" (static)
     fac_a: jnp.ndarray  # LU matrix or Cholesky factor L
     fac_b: jnp.ndarray  # LU pivots or the SPD column scaling w
@@ -66,7 +67,7 @@ class FilmSweepData:
 
 
 _FSD_ARRAY_FIELDS = (
-    "interior", "fac_a", "fac_b", "A", "Q", "weights",
+    "interior", "n_valid", "fac_a", "fac_b", "A", "Q", "weights",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
     "vortex_scales",
@@ -130,17 +131,32 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         vortex_scales = jnp.asarray(scales)
     gx = mesh.operators.gradient_x
     gy = mesh.operators.gradient_y
-    if len(system.lu_piv) == 3 and system.lu_piv[0] == "chol":
-        fac_kind = "chol"
+    if len(system.lu_piv) == 3 and system.lu_piv[0] in ("chol", "inv"):
+        fac_kind = system.lu_piv[0]
         fac_a, fac_b = system.lu_piv[1], system.lu_piv[2]
     else:
         fac_kind = "lu"
         fac_a, fac_b = system.lu_piv
     layer = device.layers[info.layer]
+    # Pad the interior gather indices to the factorization size so films of
+    # different interior counts share one compiled solve.  Padded RHS rows
+    # are masked to zero, which keeps the padded solution rows exactly zero
+    # (identity pad block), so the padded scatter-add is a no-op.
+    ni = len(system.indices)
+    nip = fac_a.shape[0]  # NOTE: no np.asarray -- that would d2h-copy the
+    # full factorization (1.6 GB at 100k-vertex scale) just to read a shape.
+    interior = np.concatenate(
+        [np.asarray(system.indices), np.zeros(nip - ni, dtype=np.int64)]
+    )
+    if vortex_cols is not None and vortex_cols.shape[0] != nip:
+        vortex_cols = jnp.pad(
+            vortex_cols, ((0, nip - vortex_cols.shape[0]), (0, 0))
+        )
     return FilmSweepData(
         name=film_name,
         n=n,
-        interior=jnp.asarray(system.indices),
+        interior=jnp.asarray(interior),
+        n_valid=jnp.asarray(ni),
         fac_kind=fac_kind,
         fac_a=jnp.asarray(fac_a),
         fac_b=jnp.asarray(fac_b),
@@ -186,18 +202,20 @@ def _solve_film_batch(
     else:
         g0 = jnp.zeros_like(Hz_total)
         Ha_eff = jnp.zeros_like(Hz_total)
-    h = (Hz_total - Ha_eff)[:, data.interior]  # (B, ni)
+    # The interior gather indices are zero-padded to the (shared)
+    # factorization size; mask the padded RHS rows to zero.  The pad block
+    # of the system is the identity, so padded solution rows stay exactly
+    # zero and the padded scatter-add below is a no-op at site 0.
+    nip = data.interior.shape[0]
+    valid = jnp.arange(nip) < data.n_valid
+    h = (Hz_total - Ha_eff)[:, data.interior]  # (B, nip)
+    h = jnp.where(valid[None, :], h, 0.0)
+    hT = h.T  # (nip, B)
 
-    # One factorized solve with B stacked right-hand sides.  The system and
-    # factorization may be identity-padded to a shared shape (decoupled pad
-    # block): pad the RHS up front, slice the solution at the end.
-    ni = h.shape[1]
-    nip = data.fac_a.shape[0]
-    hT = h.T
-    if nip != ni:
-        hT = jnp.pad(hT, ((0, nip - ni), (0, 0)))
-
-    if data.fac_kind == "chol":
+    if data.fac_kind == "inv":
+        def solve(rhs):
+            return data.fac_a @ rhs
+    elif data.fac_kind == "chol":
         def solve(rhs):
             y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
             return y / data.fac_b[:, None]
@@ -209,9 +227,9 @@ def _solve_film_batch(
     for _ in range(refine_steps):
         r = hT + data.A @ gf
         gf = gf + solve(r)
-    gf = gf[:ni]
     if data.vortex_cols is not None:
         gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
+    gf = jnp.where(valid[:, None], gf, 0.0)
     g = g0.at[:, data.interior].add(gf.T)
     Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
     Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
