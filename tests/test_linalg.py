@@ -1,0 +1,69 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superscreen_tpu.ops import linalg
+
+
+@pytest.fixture(scope="module")
+def spd_system():
+    """A Brandt-like system: A = P diag(w) with P SPD."""
+    rng = np.random.default_rng(0)
+    n = 300
+    Q = rng.standard_normal((n, n))
+    P = Q @ Q.T / n + 5 * np.eye(n)
+    w = rng.random(n) + 0.5
+    A = P * w[None, :]
+    h = rng.standard_normal(n)
+    return A, w, h
+
+
+def test_schulz_inverse_matches_direct(spd_system):
+    A, w, h = spd_system
+    M = np.asarray(linalg._jax_spd_inverse(jnp.asarray(-A), jnp.asarray(w)))
+    x = M @ h
+    x_ref = np.linalg.solve(-A, h)
+    assert np.abs(x - x_ref).max() < 1e-6 * np.abs(x_ref).max()
+
+
+def test_inv_factorization_solve_paths(spd_system):
+    A, w, h = spd_system
+    M = linalg._jax_spd_inverse(jnp.asarray(-A), jnp.asarray(w))
+    fac = ("inv", M, jnp.asarray(w))
+    x_ref = np.linalg.solve(-A, h)
+    x1 = linalg.lu_solve(fac, h)
+    assert np.allclose(x1, x_ref, rtol=1e-6, atol=1e-10)
+    x2 = linalg.lu_solve_refined(A, fac, h)
+    assert np.allclose(x2, x_ref, rtol=1e-9, atol=1e-12)
+    # Stacked right-hand sides.
+    H = np.stack([h, 2 * h], axis=1)
+    X = linalg.lu_solve(fac, H)
+    assert np.allclose(X[:, 1], 2 * np.asarray(x1), rtol=1e-6)
+
+
+def test_chol_factorization(spd_system):
+    A, w, h = spd_system
+    L = linalg._jax_chol_factor(jnp.asarray(-A), jnp.asarray(w))
+    assert np.all(np.isfinite(np.asarray(L)))
+    fac = ("chol", L, jnp.asarray(w))
+    x_ref = np.linalg.solve(-A, h)
+    x = linalg.lu_solve_refined(A, fac, h)
+    assert np.allclose(x, x_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_padded_factorization_roundtrip(spd_system):
+    """Identity-padded systems solve identically on the valid block."""
+    A, w, h = spd_system
+    n = A.shape[0]
+    nip = n + 64
+    A_pad = np.eye(nip, dtype=A.dtype)
+    A_pad[:n, :n] = A
+    w_pad = np.concatenate([w, np.ones(nip - n)])
+    M = linalg._jax_spd_inverse(jnp.asarray(-A_pad), jnp.asarray(w_pad))
+    fac = ("inv", M, jnp.asarray(w_pad))
+    x_ref = np.linalg.solve(-A, h)
+    x = linalg.lu_solve_refined(A_pad, fac, h)
+    assert x.shape == (n,)
+    assert np.allclose(x, x_ref, rtol=1e-8, atol=1e-12)
+    x2 = linalg.lu_solve(fac, h)
+    assert np.allclose(x2, x_ref, rtol=1e-5, atol=1e-9)
