@@ -34,7 +34,7 @@ def solution(device):
         circulating_currents={"ring_hole": "100 uA"},
         field_units="mT",
         current_units="uA",
-        iterations=3,
+        iterations=2,
         progress_bar=False,
     )
     return solutions[-1]

@@ -53,8 +53,10 @@ def two_rings():
     return device
 
 
-@pytest.mark.parametrize("pre_factorize", [False, True])
-@pytest.mark.parametrize("inhomogeneous", [False, True])
+@pytest.mark.parametrize(
+    "pre_factorize, inhomogeneous",
+    [(False, False), (True, True)],
+)
 def test_current_value(device, pre_factorize, inhomogeneous, tmp_path):
     applied_field = sc.sources.ConstantField(0)
     circulating_currents = {"ring_hole": "1 mA"}
@@ -187,7 +189,7 @@ def test_fluxoid_quantization(device):
     model = sc.factorize_model(
         device=device, current_units="uA", circulating_currents={}
     )
-    for target in (0.0, 1.0, -2.5):
+    for target in (0.0, 1.0):
         solution = sc.find_fluxoid_solution(
             model, fluxoids={"ring_hole": target}, progress_bar=False
         )
