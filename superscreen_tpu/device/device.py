@@ -494,6 +494,7 @@ class Device:
         iterations = solve_kwargs.get("iterations", 1)
         solve_kwargs["progress_bar"] = False
         solve_kwargs.pop("current_units", None)
+        use_batched = solve_kwargs.pop("use_batched_solver", not self.terminals)
         I_circ = self.ureg("1 mA")
         if all_iterations:
             n_iter = 1 if len(self.layers) == 1 else iterations + 1
@@ -506,6 +507,68 @@ class Device:
         for film, film_holes in self.holes_by_film().items():
             for hole in film_holes:
                 films_by_hole[hole.name] = film
+        if use_batched:
+            # TPU-native path: all hole columns as ONE batched solve that
+            # reuses a single factorization (the reference loops holes,
+            # device/device.py:610-639).
+            from ..sweep import solve_many
+
+            model = factorize_model(device=self, current_units="mA")
+            I_val = 1.0  # mA
+            result = solve_many(
+                model=model,
+                applied_fields=[
+                    __import__("superscreen_tpu").sources.ConstantField(0)
+                ]
+                * len(hole_names),
+                circulating_currents=[
+                    {name: I_val} for name in hole_names
+                ],
+                field_units=solve_kwargs.get("field_units", "mT"),
+                iterations=iterations if len(self.films) > 1 else 0,
+            )
+            for j, source_hole in enumerate(hole_names):
+                solution = result.solution(j)
+                for i, name in enumerate(hole_names):
+                    fluxoid = solution.polygon_fluxoid(
+                        hole_polygon_mapping[name], film=films_by_hole[name]
+                    )
+                    mutual_inductance[-1, i, j] = (
+                        (sum(fluxoid) / I_circ).to(units).magnitude
+                    )
+            if all_iterations and n_iter > 1:
+                # Batched path stores only the final iteration; re-solve per
+                # iteration count for the convergence series.
+                for it in range(n_iter - 1):
+                    res_it = solve_many(
+                        model=model,
+                        applied_fields=[
+                            __import__("superscreen_tpu").sources.ConstantField(0)
+                        ]
+                        * len(hole_names),
+                        circulating_currents=[
+                            {name: I_val} for name in hole_names
+                        ],
+                        field_units=solve_kwargs.get("field_units", "mT"),
+                        iterations=it,
+                    )
+                    for j in range(len(hole_names)):
+                        solution = res_it.solution(j)
+                        for i, name in enumerate(hole_names):
+                            fluxoid = solution.polygon_fluxoid(
+                                hole_polygon_mapping[name],
+                                film=films_by_hole[name],
+                            )
+                            mutual_inductance[it, i, j] = (
+                                (sum(fluxoid) / I_circ).to(units).magnitude
+                            )
+            mutual_inductance = mutual_inductance * self.ureg(units)
+            result_list = [m for m in mutual_inductance]
+            if not all_iterations:
+                assert len(result_list) == 1
+                return result_list[0]
+            return result_list
+
         model = None
         try:
             from tqdm import tqdm
