@@ -11,7 +11,7 @@ def plus_device():
     width, height = 10, 2
     points = sc.geometry.box(width, height)
     bar = sc.Polygon("plus", points=points)
-    plus = bar.union(bar.rotate(90)).resample(501)
+    plus = bar.union(bar.rotate(90)).resample(251)
     plus.name = "plus"
     plus.layer = layer.name
     terminal = sc.Polygon(
@@ -30,7 +30,7 @@ def plus_device():
         length_units="um",
         solve_dtype="float64",
     )
-    device.make_mesh(max_edge_length=0.25)
+    device.make_mesh(max_edge_length=0.35)
     return device
 
 
@@ -53,7 +53,7 @@ def holey_device():
                 slot_width, slot_height, center=(+(width - slot_width) / 2, 0)
             )
         )
-        .resample(251)
+        .resample(201)
     )
     source_terminal = sc.Polygon(
         "source",
@@ -83,7 +83,7 @@ def holey_device():
         length_units="um",
         solve_dtype="float64",
     )
-    device.make_mesh(max_edge_length=0.06)
+    device.make_mesh(max_edge_length=0.08)
     return device
 
 
