@@ -9,7 +9,37 @@ XLA LU, self-consistent multi-film coupling and parameter sweeps as
 batched device computations.
 """
 
-from . import distance, fem, geometry, sources
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Enables JAX's persistent compilation cache by default.
+
+    Factorizing a model compiles O(10) XLA programs per distinct film shape;
+    on TPU those compiles dominate wall-clock (~1 s each).  The persistent
+    cache makes repeat factorizations (sweep scripts, notebook re-runs,
+    benchmark reruns) skip compilation entirely.  Opt out or redirect with
+    ``SUPERSCREEN_TPU_COMPILE_CACHE=0`` / ``=/path/to/cache``.
+    """
+    setting = _os.environ.get("SUPERSCREEN_TPU_COMPILE_CACHE", "")
+    if setting in ("0", "off", "none"):
+        return
+    path = setting or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "superscreen_tpu", "xla"
+    )
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+from . import distance, fem, geometry, sources  # noqa: E402
 from .about import version_dict, version_table
 from .device import Device, Layer, Mesh, Polygon
 from .fluxoid import find_fluxoid_solution, make_fluxoid_polygons
