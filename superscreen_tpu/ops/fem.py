@@ -302,19 +302,23 @@ def gradient_vertices_coo(
     points: np.ndarray,
     triangles: np.ndarray,
     areas: Optional[np.ndarray] = None,
+    weighting: str = "first_vertex",
 ) -> Tuple[COO, COO]:
     """Vertex gradient operators ``gx, gy`` of shape ``(n, n)``.
 
     The gradient at a vertex is the average of the gradients of its adjacent
-    triangles, each weighted by the triangle's interior angle **at that
-    vertex** (AGS weighting), fully vectorized.
+    triangles, angle-weighted and fully vectorized as a segment sum (this
+    replaces the per-vertex Python loop of the reference, ``fem.py:389-401``).
 
-    Note: this replaces the per-vertex Python loop of the reference
-    (``fem.py:389-401``).  The reference weights each adjacent triangle by
-    the angle at the triangle's *first* vertex rather than at the shared
-    vertex; here the standard angle-at-the-shared-vertex weighting is used,
-    which is exact for linear fields either way and more accurate for curved
-    fields.
+    ``weighting`` selects the angle used for each adjacent triangle:
+
+    * ``"first_vertex"`` (default): the triangle's interior angle at its
+      *first* vertex, exactly matching the reference implementation
+      (``fem.py:389-401``, where ``vec1``/``vec2`` always emanate from
+      ``triangles[adj, 0]``) so results agree to float64 round-off.
+    * ``"shared_vertex"``: the interior angle at the shared vertex (AGS
+      weighting) -- exact for linear fields either way and more accurate
+      for curved fields.
     """
     points = np.asarray(points, dtype=float)
     triangles = np.asarray(triangles)
@@ -323,18 +327,29 @@ def gradient_vertices_coo(
         areas = triangle_areas(points, triangles)
     Gx, Gy = gradient_triangles_coo(points, triangles, areas=areas)
     angles = _triangle_angles(points, triangles)  # (m, 3)
+    if weighting == "first_vertex":
+        # One weight per triangle (its angle at local vertex 0), applied to
+        # every vertex of that triangle.
+        tri_w = np.repeat(angles[:, :1], 3, axis=1)
+    elif weighting == "shared_vertex":
+        tri_w = angles
+    else:
+        raise ValueError(
+            f"weighting must be 'first_vertex' or 'shared_vertex', "
+            f"got {weighting!r}."
+        )
     # Total angle weight per vertex.
     W = np.zeros(n)
-    np.add.at(W, triangles, angles)
+    np.add.at(W, triangles, tri_w)
     # For each (triangle t, local vertex k of t, local vertex l of t):
-    # gx[triangles[t, k], triangles[t, l]] += angles[t, k]/W * Gx_vals[t, l]
+    # gx[triangles[t, k], triangles[t, l]] += tri_w[t, k]/W * Gx_vals[t, l]
     m = len(triangles)
     Gx_vals = Gx.vals.reshape(m, 3)
     Gy_vals = Gy.vals.reshape(m, 3)
     rows, cols, vx, vy = [], [], [], []
     for k in range(3):
         i = triangles[:, k]
-        w = angles[:, k] / W[i]
+        w = tri_w[:, k] / W[i]
         for loc in range(3):
             j = triangles[:, loc]
             rows.append(i)
