@@ -18,6 +18,7 @@ than ``O(n * m)``, letting XLA pipeline HBM traffic on TPU.  They are
 jit-friendly and may be vmapped (e.g. for position sweeps).
 """
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -44,6 +45,18 @@ _ONE_OVER_4PI = 1 / (4 * np.pi)
 
 # Default row-block size for O(n*m) pairwise kernels.
 _BLOCK = 2048
+
+#: Matmul precision for the pairwise-kernel contractions.  TPU MXU default
+#: ("bfloat16", one pass) costs ~2e-3 relative error; "float32" (3-pass)
+#: reaches ~1e-6 at a modest speed cost and is the default.  Override with
+#: SUPERSCREEN_TPU_MATMUL_PRECISION=bfloat16 for maximum throughput.
+MATMUL_PRECISION = os.environ.get(
+    "SUPERSCREEN_TPU_MATMUL_PRECISION", "float32"
+)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=MATMUL_PRECISION)
 
 
 def _blocked(fn, X, block: int):
@@ -151,22 +164,38 @@ def biot_savart_film_to_film_dz2(
 ):
     """Like :func:`biot_savart_film_to_film` but with the squared layer
     separation ``dz2`` as a traced scalar, so one compilation serves every
-    film pair of the same shapes."""
+    film pair of the same shapes.
+
+    ``film1_J`` may be ``(n1, 2)`` (returns ``(n2,)``) or batched
+    ``(B, n1, 2)`` (returns ``(B, n2)``).  The pairwise geometry tile is
+    computed once and contracted against all ``B`` current columns as an
+    MXU matmul, so the O(n1*n2) rsqrt work is amortized over the batch
+    (the reference recomputes it per solve, ``solver/solve.py:28-73``).
+    """
     film1_sites = jnp.asarray(film1_sites)
     film2_sites = jnp.asarray(film2_sites)
     J = jnp.asarray(film1_J)
     areas = jnp.asarray(film1_areas)
     dz2 = jnp.asarray(dz2)
+    squeeze = J.ndim == 2
+    if squeeze:
+        J = J[None]
+    # (n1, B) current columns with areas folded in.
+    aJx = (areas[None, :] * J[:, :, 0]).T
+    aJy = (areas[None, :] * J[:, :, 1]).T
 
     def row_block(P):
         dx = P[:, 0:1] - film1_sites[None, :, 0]
         dy = P[:, 1:2] - film1_sites[None, :, 1]
         r = jax.lax.rsqrt(dx * dx + dy * dy + dz2)
         r3 = r * r * r
-        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
-        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
+        return _dot(dy * r3, aJx) - _dot(dx * r3, aJy)  # (bi, B)
 
-    return _blocked(row_block, film2_sites, block)
+    out = _ONE_OVER_4PI * _blocked(row_block, film2_sites, block)  # (n2, B)
+    out = out.T
+    if squeeze:
+        out = out[0]
+    return out
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -186,20 +215,12 @@ def biot_savart_film_to_film(
     Reference: ``superscreen/solver/solve.py:28-73``.
     """
     film1_sites = jnp.asarray(film1_sites)
-    film2_sites = jnp.asarray(film2_sites)
-    J = jnp.asarray(film1_J)
-    areas = jnp.asarray(film1_areas)
-    dz2 = (film2_z0 - film1_z0) ** 2
-
-    def row_block(P):
-        dx = P[:, 0:1] - film1_sites[None, :, 0]
-        dy = P[:, 1:2] - film1_sites[None, :, 1]
-        r = jax.lax.rsqrt(dx * dx + dy * dy + dz2)
-        r3 = r * r * r
-        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
-        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
-
-    return _blocked(row_block, film2_sites, block)
+    dz2 = jnp.asarray(
+        (film2_z0 - film1_z0) ** 2, dtype=film1_sites.dtype
+    )
+    return biot_savart_film_to_film_dz2(
+        film1_sites, film1_areas, film1_J, film2_sites, dz2, block=block
+    )
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -328,7 +349,7 @@ def q_apply(points, vecs, block: int = _BLOCK):
         d2 = jnp.sum((P[:, None, :] - points[None, :, :]) ** 2, axis=-1)
         r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
         q = jnp.where(d2 > 0, _ONE_OVER_4PI * (r * r * r), 0.0)
-        return q @ V
+        return _dot(q, V)
 
     out = _blocked(row_block, points, block)
     if squeeze:

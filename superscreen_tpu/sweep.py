@@ -214,7 +214,7 @@ def _solve_film_batch(
 
     if data.fac_kind == "inv":
         def solve(rhs):
-            return data.fac_a @ rhs
+            return kernels._dot(data.fac_a, rhs)
     elif data.fac_kind == "chol":
         def solve(rhs):
             y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
@@ -225,7 +225,7 @@ def _solve_film_batch(
 
     gf = solve(hT)  # (nip, B)
     for _ in range(refine_steps):
-        r = hT + data.A @ gf
+        r = hT + kernels._dot(data.A, gf)
         gf = gf + solve(r)
     if data.vortex_cols is not None:
         gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
@@ -235,8 +235,7 @@ def _solve_film_batch(
     Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
     J = jnp.stack([Jx, Jy], axis=-1)
     if data.Q is not None:
-        self_field = (data.Q * data.weights[None, :]) @ g[..., None]
-        self_field = self_field[..., 0]
+        self_field = kernels._dot(data.Q * data.weights[None, :], g.T).T
     else:
         # Low-memory mode: apply the Brandt kernel matrix-free.
         self_field = kernels.Q_apply(
@@ -246,15 +245,15 @@ def _solve_film_batch(
 
 
 def _film_to_film_batch(src: FilmSweepData, dst: FilmSweepData, J_src):
-    """Batched inter-film Biot-Savart: J_src (B, n_src, 2) -> (B, n_dst)."""
+    """Batched inter-film Biot-Savart: J_src (B, n_src, 2) -> (B, n_dst).
+
+    The kernel computes each pairwise-geometry tile once and contracts all
+    ``B`` current columns on the MXU (vs. recomputing the O(n^2) rsqrt
+    geometry per sweep point)."""
     dz2 = (dst.z0 - src.z0) ** 2
-
-    def one(J):
-        return kernels.biot_savart_film_to_film_dz2(
-            src.sites, src.weights, J, dst.sites, jnp.asarray(dz2)
-        )
-
-    return jax.vmap(one)(J_src)
+    return kernels.biot_savart_film_to_film_dz2(
+        src.sites, src.weights, J_src, dst.sites, jnp.asarray(dz2)
+    )
 
 
 class SweepResult:
