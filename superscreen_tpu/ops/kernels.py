@@ -177,6 +177,17 @@ def biot_savart_film_to_film_dz2(
     J = jnp.asarray(film1_J)
     areas = jnp.asarray(film1_areas)
     dz2 = jnp.asarray(dz2)
+    if (
+        J.dtype == jnp.float32
+        and film1_sites.dtype == jnp.float32
+        and os.environ.get("SUPERSCREEN_TPU_PALLAS_COUPLING", "1") != "0"
+    ):
+        from . import pallas_kernels
+
+        if pallas_kernels.pallas_available():
+            return pallas_kernels.pallas_biot_savart_batch(
+                film1_sites, areas, J, film2_sites, dz2
+            )
     squeeze = J.ndim == 2
     if squeeze:
         J = J[None]

@@ -33,7 +33,12 @@ try:  # pragma: no cover - exercised on TPU
 except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
-__all__ = ["pallas_available", "pallas_q_matrix", "pallas_biot_savart"]
+__all__ = [
+    "pallas_available",
+    "pallas_q_matrix",
+    "pallas_biot_savart",
+    "pallas_biot_savart_batch",
+]
 
 _ONE_OVER_4PI = 1 / (4 * np.pi)
 
@@ -228,6 +233,134 @@ def pallas_biot_savart(
     dz2 = jnp.array([[float(film2_z0 - film1_z0) ** 2]], dtype=jnp.float32)
     out = _pallas_bs_padded(xe, ye, xs, ys, aJx, aJy, dz2, tm, tn)
     out = (_ONE_OVER_4PI * out[:n2, :B]).T
+    if squeeze:
+        out = out[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched inter-film Biot-Savart, batch in sublanes (small-B fast path)
+# ---------------------------------------------------------------------------
+
+
+def _bs_T_tile_kernel(
+    xs_ref, ys_ref, xe_ref, ye_ref, ajx_ref, ajy_ref, dz2_ref, out_ref
+):
+    # xs/ys: (TN, 1) source coords; xe/ye: (1, TM) eval coords;
+    # ajx/ajy: (B, TN) area-weighted currents; out: (B, TM).
+    # The geometry tile K = f(dx, dy, r3) of shape (TN, TM) never leaves
+    # VMEM -- it is built on the VPU and immediately contracted on the MXU
+    # as (B, TN) @ (TN, TM).  With the batch in sublanes (B is typically
+    # 8-64), the MXU cost is negligible and the kernel runs at VPU
+    # (geometry) speed, with no HBM round-trip for the dot operands.
+    j = pl.program_id(1)
+    dx = xe_ref[:] - xs_ref[:]  # (TN, TM)
+    dy = ye_ref[:] - ys_ref[:]
+    r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
+    r3 = r * r * r
+    contrib = jnp.dot(
+        ajx_ref[:],
+        dy * r3,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - jnp.dot(
+        ajy_ref[:],
+        dx * r3,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int):
+    n_src = xs.shape[0]
+    n_eval = xe.shape[1]
+    B = aJx.shape[0]
+    grid = (n_eval // tm, n_src // tn)
+    return pl.pallas_call(
+        _bs_T_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_eval), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(xs, ys, xe, ye, aJx, aJy, dz2)
+
+
+def pallas_biot_savart_batch(
+    film1_sites,
+    film1_areas,
+    film1_J,
+    film2_sites,
+    dz2,
+    tm: int = 1024,
+    tn: int = 512,
+):
+    """Batched inter-film Biot-Savart with the sweep batch in MXU sublanes.
+
+    Unlike :func:`pallas_biot_savart` (batch in lanes, padded to 128), the
+    batch axis here lives in sublanes (padded to 8), so small sweep batches
+    pay no MXU padding.  ``dz2`` is a traced scalar, so one compilation
+    serves every film pair of the same shapes.
+
+    Args:
+        film1_sites: ``(n1, 2)`` source sites (float32).
+        film1_areas: ``(n1,)`` source vertex areas.
+        film1_J: ``(B, n1, 2)`` or ``(n1, 2)`` sheet current density.
+        film2_sites: ``(n2, 2)`` evaluation sites.
+        dz2: Squared layer separation (traced scalar).
+
+    Returns:
+        ``(B, n2)`` (or ``(n2,)`` for unbatched input) field in
+        ``current / length`` units.
+    """
+    film1_sites = jnp.asarray(film1_sites, dtype=jnp.float32)
+    film2_sites = jnp.asarray(film2_sites, dtype=jnp.float32)
+    J = jnp.asarray(film1_J, dtype=jnp.float32)
+    squeeze = J.ndim == 2
+    if squeeze:
+        J = J[None]
+    B = J.shape[0]
+    areas = jnp.asarray(film1_areas, dtype=jnp.float32)
+    n1 = film1_sites.shape[0]
+    n2 = film2_sites.shape[0]
+    n1p = _round_up(n1, tn)
+    n2p = _round_up(n2, tm)
+    Bp = _round_up(B, 8)
+    # Padded source points far away (r > 0 against any eval point); their
+    # area-weighted currents are zero-padded, so they contribute nothing.
+    scale = 1e6 * (
+        jnp.max(jnp.abs(film1_sites)) + jnp.max(jnp.abs(film2_sites)) + 1.0
+    )
+    xs = jnp.concatenate(
+        [film1_sites[:, 0], scale * (1.0 + jnp.arange(n1p - n1))]
+    ).reshape(n1p, 1)
+    ys = jnp.concatenate(
+        [film1_sites[:, 1], scale * (1.0 + jnp.arange(n1p - n1))]
+    ).reshape(n1p, 1)
+    xe = _pad_to(film2_sites[:, 0], n2p).reshape(1, n2p)
+    ye = _pad_to(film2_sites[:, 1], n2p).reshape(1, n2p)
+    aJ = areas[None, :, None] * J  # (B, n1, 2)
+    aJx = _pad_to(_pad_to(aJ[:, :, 0], n1p, axis=1), Bp, axis=0)
+    aJy = _pad_to(_pad_to(aJ[:, :, 1], n1p, axis=1), Bp, axis=0)
+    dz2 = jnp.asarray(dz2, dtype=jnp.float32).reshape(1, 1)
+    out = _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm, tn)
+    out = _ONE_OVER_4PI * out[:B, :n2]
     if squeeze:
         out = out[0]
     return out

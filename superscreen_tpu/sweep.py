@@ -185,15 +185,28 @@ def _coo_matvec_batch(rows, cols, vals, g, n_out):
     return jax.ops.segment_sum(contrib.T, rows, num_segments=n_out).T
 
 
+def _self_field_batch(data: FilmSweepData, g):
+    """Batched self-field ``Q @ (w * g)``: g (B, n) -> (B, n)."""
+    if data.Q is not None:
+        return kernels._dot(data.Q * data.weights[None, :], g.T).T
+    # Low-memory mode: apply the Brandt kernel matrix-free.
+    return kernels.Q_apply(
+        data.sites, data.weights, (data.weights[None, :] * g).T
+    ).T
+
+
 def _solve_film_batch(
     data: FilmSweepData,
     Hz_total,  # (B, n): applied + field from other films, solver units
     I_circ,  # (B, n_holes)
     vortex_flux: float,
     refine_steps: int = 1,
+    compute_self_field: bool = True,
 ):
     """Batched single-film solve. Returns (g, J, self_field), shapes
-    (B, n), (B, n, 2), (B, n)."""
+    (B, n), (B, n, 2), (B, n) (``self_field`` is None when
+    ``compute_self_field=False`` -- the self-consistent iteration only
+    needs J, so the O(n^2) self-field is evaluated once at the end)."""
     B = Hz_total.shape[0]
     # Hole boundary conditions (batched rank-1 terms).
     if data.hole_masks.shape[0]:
@@ -234,13 +247,7 @@ def _solve_film_batch(
     Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
     Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
     J = jnp.stack([Jx, Jy], axis=-1)
-    if data.Q is not None:
-        self_field = kernels._dot(data.Q * data.weights[None, :], g.T).T
-    else:
-        # Low-memory mode: apply the Brandt kernel matrix-free.
-        self_field = kernels.Q_apply(
-            data.sites, data.weights, (data.weights[None, :] * g).T
-        ).T
+    self_field = _self_field_batch(data, g) if compute_self_field else None
     return g, J, self_field
 
 
@@ -346,9 +353,10 @@ class SweepResult:
 
 
 _solve_film_batch_jit = partial(
-    jax.jit, static_argnames=("refine_steps",)
+    jax.jit, static_argnames=("refine_steps", "compute_self_field")
 )(_solve_film_batch)
 _film_to_film_batch_jit = jax.jit(_film_to_film_batch)
+_self_field_batch_jit = jax.jit(_self_field_batch)
 
 
 def _strip_metadata(film_data):
@@ -372,16 +380,17 @@ def _run_sweep_staged(
     100k-vertex scale, at the cost of ~one dispatch per stage."""
     films = list(film_data)
     film_data = _strip_metadata(film_data)
-    streams, Js, self_fields, others = {}, {}, {}, {}
+    streams, Js, others = {}, {}, {}
     for name in films:
-        g, J, sf = _solve_film_batch_jit(
+        g, J, _ = _solve_film_batch_jit(
             film_data[name],
             jnp.asarray(Hz_applied[name]),
             jnp.asarray(I_circ[name]),
             vortex_flux,
             refine_steps=refine_steps,
+            compute_self_field=False,
         )
-        streams[name], Js[name], self_fields[name] = g, J, sf
+        streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(jnp.asarray(Hz_applied[name]))
     for _ in range(iterations):
         new_others = {
@@ -397,14 +406,19 @@ def _run_sweep_staged(
                 )
         others = new_others
         for name in films:
-            g, J, sf = _solve_film_batch_jit(
+            g, J, _ = _solve_film_batch_jit(
                 film_data[name],
                 jnp.asarray(Hz_applied[name]) + others[name],
                 jnp.asarray(I_circ[name]),
                 vortex_flux,
                 refine_steps=refine_steps,
+                compute_self_field=False,
             )
-            streams[name], Js[name], self_fields[name] = g, J, sf
+            streams[name], Js[name] = g, J
+    self_fields = {
+        name: _self_field_batch_jit(film_data[name], streams[name])
+        for name in films
+    }
     return streams, Js, self_fields, others
 
 
@@ -414,22 +428,21 @@ def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, ref
     rounds of batched inter-film coupling (a ``lax.fori_loop`` so the
     compiled program size is independent of the iteration count)."""
     films = list(film_data)
-    streams, Js, self_fields, others = {}, {}, {}, {}
+    streams, Js, others = {}, {}, {}
     for name in films:
-        g, J, sf = _solve_film_batch(
+        g, J, _ = _solve_film_batch(
             film_data[name],
             Hz_applied[name],
             I_circ[name],
             vortex_flux,
             refine_steps=refine_steps,
+            compute_self_field=False,
         )
-        streams[name], Js[name], self_fields[name] = g, J, sf
+        streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(Hz_applied[name])
-    if iterations < 1:
-        return streams, Js, self_fields, others
 
     def body(_, carry):
-        streams, Js, self_fields, others = carry
+        streams, Js, others = carry
         new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
         for src in films:
             for dst in films:
@@ -438,32 +451,42 @@ def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, ref
                 new_others[dst] = new_others[dst] + _film_to_film_batch(
                     film_data[src], film_data[dst], Js[src]
                 )
-        streams, Js, self_fields = dict(streams), dict(Js), dict(self_fields)
+        streams, Js = dict(streams), dict(Js)
         for name in films:
-            g, J, sf = _solve_film_batch(
+            g, J, _ = _solve_film_batch(
                 film_data[name],
                 Hz_applied[name] + new_others[name],
                 I_circ[name],
                 vortex_flux,
                 refine_steps=refine_steps,
+                compute_self_field=False,
             )
-            streams[name], Js[name], self_fields[name] = g, J, sf
-        return streams, Js, self_fields, new_others
+            streams[name], Js[name] = g, J
+        return streams, Js, new_others
 
-    return jax.lax.fori_loop(
-        0, iterations, body, (streams, Js, self_fields, others)
-    )
+    if iterations >= 1:
+        streams, Js, others = jax.lax.fori_loop(
+            0, iterations, body, (streams, Js, others)
+        )
+    # The O(n^2) self-field only depends on the final stream functions.
+    self_fields = {
+        name: _self_field_batch(film_data[name], streams[name])
+        for name in films
+    }
+    return streams, Js, self_fields, others
 
 
 def _run_sweep(
     film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
 ):
-    """Dispatches to the stage-jitted runner (default) or the fully fused
-    single-program runner (``SUPERSCREEN_TPU_FUSED_SWEEP=1`` -- lowest
-    dispatch overhead, highest compile cost)."""
+    """Dispatches to the fully fused single-program runner (default --
+    lowest dispatch overhead; its one-time compile cost is amortized by the
+    persistent compilation cache) or the stage-jitted runner
+    (``SUPERSCREEN_TPU_FUSED_SWEEP=0`` -- compiles in seconds even without
+    a warm cache, at ~one dispatch per stage)."""
     import os
 
-    if os.environ.get("SUPERSCREEN_TPU_FUSED_SWEEP", "0") == "1":
+    if os.environ.get("SUPERSCREEN_TPU_FUSED_SWEEP", "1") == "1":
         return _run_sweep_fused(
             film_data, Hz_applied, I_circ, vortex_flux, iterations,
             refine_steps,
