@@ -243,6 +243,106 @@ def factorize_model(
     )
 
 
+def _solve_device_resident(
+    *,
+    model: "FactorizedModel",
+    applied_fields: Dict[str, np.ndarray],
+    field_conversion: float,
+    vortex_flux: float,
+    iterations: int,
+    solution_kwargs: Dict,
+    save_path,
+    return_solutions: bool,
+) -> Optional[List[Solution]]:
+    """Runs :func:`solve`'s numeric core as one jitted device program.
+
+    The initial per-film solve plus the ``iterations``-round self-consistent
+    coupling loop (reference ``solver/solve.py:459-545``) execute device-
+    resident via the batched sweep machinery (batch size 1), with the full
+    per-iteration history returned in a single host round-trip.  Matches
+    ``solve_film`` results; terminal devices and ``check_inversion`` use the
+    legacy per-stage path.
+    """
+    import jax.numpy as jnp
+
+    from ..sweep import (
+        _get_sweep_data,
+        _run_sweep_history,
+        _strip_metadata,
+    )
+
+    device = model.device
+    films = list(device.films)
+    dtype = device.solve_dtype
+    film_data = _get_sweep_data(model)
+    Hz = {
+        name: jnp.asarray(applied_fields[name][None].astype(dtype))
+        for name in films
+    }
+    I_circ = {}
+    for name in films:
+        holes = film_data[name].hole_names
+        row = np.array(
+            [model.circulating_currents.get(h, 0.0) for h in holes],
+            dtype=dtype,
+        )
+        I_circ[name] = jnp.asarray(row[None])
+    eff_iterations = iterations if len(films) >= 2 else 0
+    gs, Js, selfs, others = _run_sweep_history(
+        _strip_metadata(film_data),
+        Hz,
+        I_circ,
+        vortex_flux,
+        eff_iterations,
+        2,  # refine_steps, matching linalg.lu_solve_refined's default
+    )
+    # One host transfer per film per quantity (the history axis rides
+    # along).  np.array (not asarray): zero-copy views of device buffers
+    # are read-only, and downstream consumers (matplotlib tri
+    # interpolators) write into these arrays.
+    gs = {k: np.array(v) for k, v in gs.items()}
+    Js = {k: np.array(v) for k, v in Js.items()}
+    selfs = {k: np.array(v) for k, v in selfs.items()}
+    others = {k: np.array(v) for k, v in others.items()}
+
+    inv = 1.0 / field_conversion
+    n_solutions = 1 if (len(films) < 2 or iterations < 1) else iterations + 1
+    solutions: List[Solution] = []
+    h5file = None
+    try:
+        if save_path is not None:
+            h5file = h5py.File(save_path, "x")
+            model.device.to_hdf5(h5file.create_group("device"))
+        for i in range(n_solutions):
+            film_solutions = {}
+            for name in films:
+                other = None
+                if i > 0:
+                    other = others[name][i, 0] * inv
+                film_solutions[name] = FilmSolution(
+                    stream=gs[name][i, 0],
+                    current_density=Js[name][i, 0],
+                    applied_field=applied_fields[name] * inv,
+                    self_field=selfs[name][i, 0] * inv,
+                    field_from_other_films=other,
+                )
+            solution = Solution(
+                device=device, film_solutions=film_solutions, **solution_kwargs
+            )
+            if h5file is not None:
+                solution.to_hdf5(
+                    h5file.create_group(str(i)), device_path="/device"
+                )
+            if return_solutions:
+                solutions.append(solution)
+    finally:
+        if h5file is not None:
+            h5file.close()
+    if return_solutions:
+        return solutions
+    return None
+
+
 def solve(
     device: Optional[Device] = None,
     *,
@@ -382,6 +482,25 @@ def solve(
         else model.vortices,
         solver=_solver,
     )
+
+    if (
+        not device.terminals
+        and not check_inversion
+        and os.environ.get("SUPERSCREEN_TPU_DEVICE_SOLVE", "1") != "0"
+    ):
+        # Device-resident path: the whole initial solve + self-consistent
+        # iteration history runs as one jitted program (one dispatch, one
+        # host round-trip), instead of ~one dispatch per film per stage.
+        return _solve_device_resident(
+            model=model,
+            applied_fields=applied_fields,
+            field_conversion=field_conversion.magnitude,
+            vortex_flux=vortex_flux,
+            iterations=iterations,
+            solution_kwargs=solution_kwargs,
+            save_path=save_path,
+            return_solutions=return_solutions,
+        )
 
     solutions: List[Solution] = []
     film_solutions: Dict[str, FilmSolution] = {}

@@ -476,6 +476,110 @@ def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, ref
     return streams, Js, self_fields, others
 
 
+@partial(jax.jit, static_argnames=("iterations", "refine_steps"))
+def _run_sweep_history(
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+):
+    """Like :func:`_run_sweep_fused` but records every self-consistent
+    iteration (the reference ``solve`` returns one Solution per iteration,
+    ``solver/solve.py:491-545``).
+
+    Returns per-film dicts of stacked arrays with a leading history axis of
+    length ``iterations + 1``: ``gs (I+1, B, n)``, ``Js (I+1, B, n, 2)``,
+    ``self_fields (I+1, B, n)``, and ``others (I+1, B, n)`` (``others[0]``
+    is zero -- the initial solve sees only the applied field).
+    """
+    films = list(film_data)
+    g0, J0 = {}, {}
+    for name in films:
+        g, J, _ = _solve_film_batch(
+            film_data[name],
+            Hz_applied[name],
+            I_circ[name],
+            vortex_flux,
+            refine_steps=refine_steps,
+            compute_self_field=False,
+        )
+        g0[name], J0[name] = g, J
+
+    def body(carry, _):
+        _, Js_prev = carry
+        new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
+        for src in films:
+            for dst in films:
+                if src == dst:
+                    continue
+                new_others[dst] = new_others[dst] + _film_to_film_batch(
+                    film_data[src], film_data[dst], Js_prev[src]
+                )
+        streams_new, Js_new = {}, {}
+        for name in films:
+            g, J, _ = _solve_film_batch(
+                film_data[name],
+                Hz_applied[name] + new_others[name],
+                I_circ[name],
+                vortex_flux,
+                refine_steps=refine_steps,
+                compute_self_field=False,
+            )
+            streams_new[name], Js_new[name] = g, J
+        return (streams_new, Js_new), (streams_new, Js_new, new_others)
+
+    if iterations >= 1:
+        _, (g_hist, J_hist, o_hist) = jax.lax.scan(
+            body, (g0, J0), None, length=iterations
+        )
+        gs = {
+            name: jnp.concatenate([g0[name][None], g_hist[name]])
+            for name in films
+        }
+        Js = {
+            name: jnp.concatenate([J0[name][None], J_hist[name]])
+            for name in films
+        }
+        others = {
+            name: jnp.concatenate(
+                [jnp.zeros_like(Hz_applied[name])[None], o_hist[name]]
+            )
+            for name in films
+        }
+    else:
+        gs = {name: g0[name][None] for name in films}
+        Js = {name: J0[name][None] for name in films}
+        others = {
+            name: jnp.zeros_like(Hz_applied[name])[None] for name in films
+        }
+    # One batched O(n^2) self-field evaluation per film over the whole
+    # history.
+    self_fields = {}
+    for name in films:
+        hist_shape = gs[name].shape  # (I+1, B, n)
+        flat = gs[name].reshape(hist_shape[0] * hist_shape[1], hist_shape[2])
+        self_fields[name] = _self_field_batch(film_data[name], flat).reshape(
+            hist_shape
+        )
+    return gs, Js, self_fields, others
+
+
+def _get_sweep_data(model) -> Dict[str, FilmSweepData]:
+    """Per-film sweep arrays for a factorized model, cached on the model.
+
+    The cache is keyed on the model's vortex configuration (the only
+    mutable state baked into :class:`FilmSweepData`; circulating currents
+    enter as runtime inputs)."""
+    films = list(model.device.films)
+    snapshot = tuple(
+        (name, tuple(model.film_info[name].vortices or ()))
+        for name in films
+    )
+    cached = getattr(model, "_sweep_data_cache", None)
+    if cached is not None and cached[0] == snapshot:
+        return cached[1]
+    data = {name: _film_sweep_data(model, name) for name in films}
+    model._sweep_data_cache = (snapshot, data)
+    return data
+
+
 def _run_sweep(
     film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
 ):
