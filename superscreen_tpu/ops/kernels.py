@@ -247,6 +247,14 @@ def biot_savart_within_film(
     cent = jnp.asarray(tri_centroids)
     areas = jnp.asarray(tri_areas)
     J = jnp.asarray(tri_J)
+    squeeze = J.ndim == 2
+    if squeeze:
+        J = J[None]
+    # (m, B) current columns with areas folded in; geometry tiles are
+    # contracted against all B columns at once (cf.
+    # biot_savart_film_to_film_dz2).
+    aJx = (areas[None, :] * J[:, :, 0]).T
+    aJy = (areas[None, :] * J[:, :, 1]).T
 
     def row_block(P):
         dx = P[:, 0:1] - cent[None, :, 0]
@@ -254,10 +262,13 @@ def biot_savart_within_film(
         r2 = dx * dx + dy * dy
         r = jax.lax.rsqrt(jnp.where(r2 > 0, r2, 1.0))
         r3 = jnp.where(r2 > 0, r * r * r, 0.0)
-        integrand = areas[None, :] * (J[None, :, 0] * dy - J[None, :, 1] * dx) * r3
-        return _ONE_OVER_4PI * jnp.sum(integrand, axis=1)
+        return _dot(dy * r3, aJx) - _dot(dx * r3, aJy)
 
-    return _blocked(row_block, sites, block)
+    out = _ONE_OVER_4PI * _blocked(row_block, sites, block)  # (n, B)
+    out = out.T
+    if squeeze:
+        out = out[0]
+    return out
 
 
 @partial(jax.jit, static_argnames=("block",))

@@ -260,8 +260,9 @@ def _solve_device_resident(
     coupling loop (reference ``solver/solve.py:459-545``) execute device-
     resident via the batched sweep machinery (batch size 1), with the full
     per-iteration history returned in a single host round-trip.  Matches
-    ``solve_film`` results; terminal devices and ``check_inversion`` use the
-    legacy per-stage path.
+    ``solve_film`` results, including transport-terminal films (whose
+    fixed transport stream and boundary effective field enter as offsets);
+    ``check_inversion`` uses the legacy per-stage path.
     """
     import jax.numpy as jnp
 
@@ -484,8 +485,7 @@ def solve(
     )
 
     if (
-        not device.terminals
-        and not check_inversion
+        not check_inversion
         and os.environ.get("SUPERSCREEN_TPU_DEVICE_SOLVE", "1") != "0"
     ):
         # Device-resident path: the whole initial solve + self-consistent

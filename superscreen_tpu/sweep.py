@@ -64,15 +64,30 @@ class FilmSweepData:
     vortex_cols: Optional[jnp.ndarray]  # (ni, n_vortices) K columns
     vortex_scales: Optional[jnp.ndarray]  # (n_vortices,) nPhi0 / w_j
     hole_names: Sequence[str] = field(default_factory=list)
+    # Transport-terminal films (reference solve_film.py:308-437): fixed
+    # stream/effective-field offsets from the terminal currents, plus the
+    # triangle data for the in-film Biot-Savart self-field.
+    terminal: bool = False
+    g_offset: Optional[jnp.ndarray] = None  # (n,) transport stream
+    ha_offset: Optional[jnp.ndarray] = None  # (n,) boundary effective field
+    tri_centroids: Optional[jnp.ndarray] = None  # (m, 2)
+    tri_areas: Optional[jnp.ndarray] = None  # (m,)
+    gtx_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (x)
+    gtx_cols: Optional[jnp.ndarray] = None
+    gtx_vals: Optional[jnp.ndarray] = None
+    gty_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (y)
+    gty_cols: Optional[jnp.ndarray] = None
+    gty_vals: Optional[jnp.ndarray] = None
 
 
 _FSD_ARRAY_FIELDS = (
     "interior", "n_valid", "fac_a", "fac_b", "A", "Q", "weights",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
-    "vortex_scales",
+    "vortex_scales", "g_offset", "ha_offset", "tri_centroids", "tri_areas",
+    "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
 )
-_FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind")
+_FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind", "terminal")
 
 
 def _fsd_flatten(d: FilmSweepData):
@@ -152,7 +167,64 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         vortex_cols = jnp.pad(
             vortex_cols, ((0, nip - vortex_cols.shape[0]), (0, 0))
         )
+    # Transport-terminal films: the terminal currents are fixed for a given
+    # model, so their stream function and boundary effective field are
+    # constant offsets across the sweep (reference solve_film.py:440-524);
+    # the self-field needs the triangle data for the in-film Biot-Savart.
+    terminal = film_name in device.terminals
+    terminal_kwargs = {}
+    if terminal:
+        from .geometry import close_curve, path_vectors
+        from .ops import kernels as _kernels
+        from .solver.solve_film import solve_for_terminal_current_stream
+
+        g_tr = np.asarray(
+            solve_for_terminal_current_stream(
+                device,
+                info,
+                model.terminal_systems[film_name],
+                info.terminal_currents or {},
+            )
+        )
+        points = mesh.sites
+        boundary_indices = info.boundary_indices
+        boundary_sites = points[boundary_indices]
+        boundary_stream = g_tr[boundary_indices]
+        boundary_centers = 0.5 * (
+            boundary_sites + np.roll(boundary_sites, -1, axis=0)
+        )
+        boundary_stream_mid = 0.5 * (
+            boundary_stream + np.roll(boundary_stream, -1, axis=0)
+        )
+        edge_lengths, boundary_normals = path_vectors(
+            close_curve(boundary_sites)
+        )
+        ha = np.asarray(
+            _kernels.boundary_effective_field(
+                points,
+                boundary_centers,
+                edge_lengths,
+                boundary_normals,
+                boundary_stream_mid,
+            )
+        )
+        gtx = mesh.operators.gradient_tri_x
+        gty = mesh.operators.gradient_tri_y
+        terminal_kwargs = dict(
+            terminal=True,
+            g_offset=jnp.asarray(g_tr.astype(dtype)),
+            ha_offset=jnp.asarray(ha.astype(dtype)),
+            tri_centroids=jnp.asarray(mesh.triangle_centroids.astype(dtype)),
+            tri_areas=jnp.asarray(mesh.triangle_areas.astype(dtype)),
+            gtx_rows=jnp.asarray(gtx.rows),
+            gtx_cols=jnp.asarray(gtx.cols),
+            gtx_vals=jnp.asarray(gtx.vals.astype(dtype)),
+            gty_rows=jnp.asarray(gty.rows),
+            gty_cols=jnp.asarray(gty.cols),
+            gty_vals=jnp.asarray(gty.vals.astype(dtype)),
+        )
     return FilmSweepData(
+        **terminal_kwargs,
         name=film_name,
         n=n,
         interior=jnp.asarray(interior),
@@ -186,7 +258,24 @@ def _coo_matvec_batch(rows, cols, vals, g, n_out):
 
 
 def _self_field_batch(data: FilmSweepData, g):
-    """Batched self-field ``Q @ (w * g)``: g (B, n) -> (B, n)."""
+    """Batched self-field: g (B, n) -> (B, n).
+
+    ``Q @ (w * g)`` for ordinary films; for transport-terminal films the
+    stream is nonzero on the boundary, so the self-field is the in-film
+    Biot-Savart sum over triangle-centroid currents instead (reference
+    solve_film.py:556-565)."""
+    if data.terminal:
+        m = data.tri_areas.shape[0]
+        Jtx = _coo_matvec_batch(
+            data.gty_rows, data.gty_cols, data.gty_vals, g, m
+        )
+        Jty = -_coo_matvec_batch(
+            data.gtx_rows, data.gtx_cols, data.gtx_vals, g, m
+        )
+        J_tri = jnp.stack([Jtx, Jty], axis=-1)  # (B, m, 2)
+        return kernels.biot_savart_within_film(
+            data.sites, data.tri_centroids, data.tri_areas, J_tri
+        )
     if data.Q is not None:
         return kernels._dot(data.Q * data.weights[None, :], g.T).T
     # Low-memory mode: apply the Brandt kernel matrix-free.
@@ -215,6 +304,10 @@ def _solve_film_batch(
     else:
         g0 = jnp.zeros_like(Hz_total)
         Ha_eff = jnp.zeros_like(Hz_total)
+    if data.g_offset is not None:
+        # Transport stream + its boundary effective field (fixed offsets).
+        g0 = g0 + data.g_offset[None, :]
+        Ha_eff = Ha_eff + data.ha_offset[None, :]
     # The interior gather indices are zero-padded to the (shared)
     # factorization size; mask the padded RHS rows to zero.  The pad block
     # of the system is the identity, so padded solution rows stay exactly
@@ -649,15 +742,10 @@ def solve_many(
             vortices=vortices,
         )
     device = model.device
-    if device.terminals:
-        raise NotImplementedError(
-            "solve_many does not support films with transport terminals yet; "
-            "use superscreen_tpu.solve for terminal devices."
-        )
     current_units = model.current_units
     dtype = device.solve_dtype
     films = list(device.films)
-    film_data = {name: _film_sweep_data(model, name) for name in films}
+    film_data = _get_sweep_data(model)
 
     field_conversion = field_conversion_factor(
         field_units, current_units, length_units=device.length_units,

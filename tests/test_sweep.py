@@ -175,7 +175,10 @@ def test_make_mesh_validation():
     assert sh is not None
 
 
-def test_solve_many_terminals_unsupported():
+def test_solve_many_with_terminals():
+    """solve_many supports transport terminals: the fixed terminal
+    currents enter as precomputed stream/effective-field offsets, and the
+    result matches a direct solve() of the same model."""
     layer = sc.Layer("base", Lambda=1)
     film = sc.Polygon("strip", layer="base", points=geo.box(4, 2, points=40))
     src = sc.Polygon("source", points=geo.box(0.2, 2, points=16, center=(-2, 0)))
@@ -188,9 +191,23 @@ def test_solve_many_terminals_unsupported():
         solve_dtype="float64",
     )
     dev.make_mesh(max_edge_length=0.5)
-    model = sc.factorize_model(device=dev, current_units="uA")
-    with pytest.raises(NotImplementedError):
-        solve_many(
-            model=model,
-            applied_fields=[sc.sources.ConstantField(0)],
-        )
+    model = sc.factorize_model(
+        device=dev,
+        current_units="uA",
+        terminal_currents={"strip": {"source": 3.0, "drain": -3.0}},
+    )
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(0.1)] * 2,
+        field_units="mT",
+    )
+    sol = result.solution(1)
+    ref = sc.solve(
+        model=model,
+        applied_field=sc.sources.ConstantField(0.1),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    a = sol.film_solutions["strip"].stream
+    b = ref.film_solutions["strip"].stream
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-9

@@ -233,3 +233,31 @@ def test_holey_device(holey_device):
         currents.append(np.sum(J * edge_lengths[:, np.newaxis] * unit_normals))
     for actual, target in zip(currents, target_currents):
         assert np.isclose(actual, target, rtol=5e-2, atol=1e-2)
+
+
+def test_device_resident_path_matches_legacy(holey_device, monkeypatch):
+    """The batched device-resident solve must reproduce the legacy
+    per-stage path for transport-terminal films (stream, J, self-field)."""
+    terminal_currents = {"film": {"source": "5 uA", "drain": "-5 uA"}}
+    circulating_currents = {"hole1": "1.5 uA"}
+
+    def run():
+        return sc.solve(
+            holey_device,
+            applied_field=sc.sources.ConstantField(0.2),
+            terminal_currents=terminal_currents,
+            circulating_currents=circulating_currents,
+            field_units="mT",
+            current_units="uA",
+            progress_bar=False,
+        )[-1]
+
+    monkeypatch.setenv("SUPERSCREEN_TPU_DEVICE_SOLVE", "1")
+    fast = run()
+    monkeypatch.setenv("SUPERSCREEN_TPU_DEVICE_SOLVE", "0")
+    legacy = run()
+    for attr in ("stream", "current_density", "self_field", "applied_field"):
+        a = getattr(fast.film_solutions["film"], attr)
+        b = getattr(legacy.film_solutions["film"], attr)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-9, attr
