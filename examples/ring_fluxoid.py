@@ -4,6 +4,11 @@ self-inductance.
 Run: python examples/ring_fluxoid.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import superscreen_tpu as sc
 
 

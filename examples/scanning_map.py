@@ -8,6 +8,11 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import superscreen_tpu as sc
 from superscreen_tpu.sweep import solve_many
 

@@ -5,6 +5,11 @@ screening.
 Run: python examples/squid_susceptometer.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from superscreen_tpu import squids
 
 

@@ -6,6 +6,11 @@ Run: python examples/transport_strip.py
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import superscreen_tpu as sc
 
 

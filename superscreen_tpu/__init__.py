@@ -41,9 +41,10 @@ _enable_compile_cache()
 
 from . import distance, fem, geometry, sources  # noqa: E402
 from .about import version_dict, version_table
-from .device import Device, Layer, Mesh, Polygon
+from .device import Device, EdgeMesh, Layer, Mesh, MeshOperators, Polygon
+from .device.mesh_generation import generate_mesh, smooth_mesh
 from .fluxoid import find_fluxoid_solution, make_fluxoid_polygons
-from .parameter import Constant, Parameter
+from .parameter import CompositeParameter, Constant, Parameter
 from .solution import FilmSolution, Fluxoid, Solution, Vortex
 from .solver import FactorizedModel, convert_field, factorize_model, solve
 from .sweep import SweepResult, solve_many
@@ -53,6 +54,7 @@ from .visualization import (
     auto_grid,
     cross_section,
     grids_to_vecs,
+    non_gui_backend,
     plot_currents,
     plot_field_at_positions,
     plot_fields,
