@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lu_factor", "lu_solve", "lu_solve_refined", "LU_MAX_N_TPU"]
+__all__ = [
+    "lu_factor",
+    "lu_solve",
+    "lu_solve_refined",
+    "LU_MAX_N_TPU",
+    "brandt_matvec",
+    "brandt_cg_solve",
+]
 
 #: XLA's TPU LuDecompositionBlock custom call allocates a double-buffered
 #: (n, 128) panel in scoped VMEM (16 MB limit), capping LU at n ~ 16.4k.
@@ -196,6 +203,109 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
     out = _jax_lu_factor(jnp.asarray(neg_A))
     return tuple(out)
 
+def brandt_matvec(op, x):
+    """Matrix-free ``A @ x`` for the Brandt system restricted to a film's
+    interior: ``A = (-q_sub + diag(d)) diag(w) - L_lam`` where the q-block
+    is assembled tile-by-tile from the gathered interior sites and never
+    materialized (``O(block * n)`` memory).
+
+    Args:
+        op: Operator pieces: ``sub_sites (ni, 2)``, ``w_sub (ni,)``,
+            ``diag (ni,)`` (the regularized Brandt diagonal, computed from
+            the FULL site set), and the Lambda-scaled restricted Laplacian
+            as COO triplets ``lap_rows/lap_cols/lap_vals``.
+        x: ``(ni,)`` or ``(ni, B)``.
+
+    Returns:
+        ``A @ x`` with the same shape as ``x``.
+    """
+    from . import kernels
+
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    ni = x.shape[0]
+    wx = op["w_sub"][:, None] * x
+    Ax = -kernels.q_apply(op["sub_sites"], wx) + op["diag"][:, None] * wx
+    # L_lam @ x via segment-sum (rows <- vals * x[cols]).
+    contrib = op["lap_vals"][:, None] * x[op["lap_cols"]]
+    Ax = Ax - jax.ops.segment_sum(contrib, op["lap_rows"], num_segments=ni)
+    if squeeze:
+        Ax = Ax[:, 0]
+    return Ax
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def brandt_cg_solve(op, h, tol: float = 1e-6, maxiter: int = 1000):
+    """Solves ``(-A) x = h`` matrix-free by preconditioned CG.
+
+    ``P = A diag(1/w)`` is symmetric positive definite (an inductance-like
+    kernel), so CG runs on ``P y = -h`` with a Jacobi preconditioner and
+    ``x = y / w``.  Memory is ``O(block * n)`` -- this is the only path
+    once the explicit inverse/Cholesky (O(n^2) storage) exceeds HBM.
+
+    Args:
+        op: Operator pieces (see :func:`brandt_matvec`).
+        h: ``(ni,)`` or ``(ni, B)`` right-hand sides.
+        tol: Relative residual tolerance (per column, on ``P y = -h``).
+        maxiter: Iteration cap.
+
+    Returns:
+        ``x`` with the same shape as ``h``.
+    """
+    h = jnp.asarray(h)
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+    w = op["w_sub"]
+
+    def P_matvec(v):
+        return brandt_matvec(op, v / w[:, None])
+
+    # Jacobi preconditioner: diag(P) = diag(A) / w.
+    lam_diag = jax.ops.segment_sum(
+        jnp.where(op["lap_rows"] == op["lap_cols"], op["lap_vals"], 0.0),
+        op["lap_rows"],
+        num_segments=w.shape[0],
+    )
+    p_diag = op["diag"] - lam_diag / w
+    minv = jnp.where(jnp.abs(p_diag) > 0, 1.0 / p_diag, 1.0)[:, None]
+
+    b = -h
+    bnorm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = minv * r0
+    rz0 = jnp.sum(r0 * z0, axis=0)
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        res = jnp.max(jnp.linalg.norm(r, axis=0) / bnorm)
+        return (k < maxiter) & (res > tol)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = P_matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(jnp.abs(pAp) > 0, rz / pAp, 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = minv * r
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    y, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0))
+    )
+    x = y / w[:, None]
+    if squeeze:
+        x = x[:, 0]
+    return x
+
+
 def _pad_rhs(n_fac, h):
     """Pads the RHS with zeros when the factorization was built from a
     padded (block-diagonal identity) system; returns (padded_h, n_orig)."""
@@ -211,6 +321,8 @@ def lu_solve(lu_piv: Tuple, h):
     ``h`` may be a vector or a matrix of stacked right-hand sides.  If the
     factorization is larger than ``h`` (identity-padded system), the RHS is
     zero-padded and the solution sliced back."""
+    if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
+        return np.asarray(brandt_cg_solve(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         h, n = _pad_rhs(L.shape[0], h)
@@ -231,6 +343,9 @@ def lu_solve(lu_piv: Tuple, h):
 def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
     """Solves ``(-A) x = h`` with ``refine_steps`` rounds of iterative
     refinement (``x += lu_solve(h + A @ x)``)."""
+    if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
+        # CG controls accuracy via its own tolerance; no outer refinement.
+        return np.asarray(brandt_cg_solve(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         return np.asarray(

@@ -16,6 +16,7 @@ linear algebra moved to XLA:
 """
 
 import logging
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple, Union
 
@@ -62,10 +63,14 @@ class LinearSystem:
     def to_hdf5(self, h5group: h5py.Group) -> None:
         # Explicit host copies: serialization is the one place device
         # arrays cross back to the host.
-        h5group["A"] = np.asarray(self.A)
+        if self.A is not None:
+            h5group["A"] = np.asarray(self.A)
         h5group["indices"] = np.asarray(self.indices)
         if self.lu_piv is not None:
-            if len(self.lu_piv) == 3 and self.lu_piv[0] == "chol":
+            if isinstance(self.lu_piv[0], str) and self.lu_piv[0] == "cg":
+                for key, val in self.lu_piv[1].items():
+                    h5group[f"cg_{key}"] = np.asarray(val)
+            elif len(self.lu_piv) == 3 and self.lu_piv[0] == "chol":
                 h5group["chol_L"] = np.asarray(self.lu_piv[1])
                 h5group["chol_w"] = np.asarray(self.lu_piv[2])
             elif len(self.lu_piv) == 3 and self.lu_piv[0] == "inv":
@@ -83,10 +88,19 @@ class LinearSystem:
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "LinearSystem":
-        A = np.array(h5group["A"])
+        A = np.array(h5group["A"]) if "A" in h5group else None
         indices = np.array(h5group["indices"])
         lu_piv = None
-        if "lu" in h5group:
+        if "cg_sub_sites" in h5group:
+            import jax.numpy as jnp
+
+            op = {
+                key[len("cg_"):]: jnp.asarray(np.array(h5group[key]))
+                for key in h5group
+                if key.startswith("cg_")
+            }
+            lu_piv = ("cg", op)
+        elif "lu" in h5group:
             lu_piv = (np.array(h5group["lu"]), np.array(h5group["piv"]))
         elif "chol_L" in h5group:
             import jax.numpy as jnp
@@ -303,6 +317,41 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None):
     )
 
 
+def _lowmem_operator_pieces(film_info, ix):
+    """Matrix-free operator pieces for the interior Brandt system (used by
+    the CG path, which never materializes even the (ni, ni) interior
+    system): gathered interior sites, weights, the regularized diagonal
+    (computed from the FULL site set), and the Lambda-scaled restricted
+    Laplacian as COO triplets."""
+    import jax.numpy as jnp
+
+    sites = jnp.asarray(film_info.sites)
+    w_full = jnp.asarray(film_info.weights)
+    Lambda = np.asarray(film_info.lambda_info.Lambda)
+    C = kernels.C_vector(sites, dtype=sites.dtype)
+    q_row_w = kernels.q_apply(sites, w_full)
+    ni = len(ix)
+    dtype = np.asarray(film_info.weights).dtype
+    sub_sites = np.asarray(sites)[ix].astype(dtype)
+    w_sub = np.asarray(film_info.weights)[ix].astype(dtype)
+    diag = (np.asarray(C[ix] + q_row_w[ix]) / w_sub).astype(dtype)
+    lap = film_info.laplacian
+    pos = np.full(lap.shape[0], -1, dtype=np.int64)
+    pos[ix] = np.arange(ni)
+    keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
+    rows = pos[lap.rows[keep]]
+    cols = pos[lap.cols[keep]]
+    vals = (lap.vals[keep] * Lambda[lap.cols[keep], 0]).astype(dtype)
+    return {
+        "sub_sites": jnp.asarray(sub_sites),
+        "w_sub": jnp.asarray(w_sub),
+        "diag": jnp.asarray(diag),
+        "lap_rows": jnp.asarray(rows),
+        "lap_cols": jnp.asarray(cols),
+        "lap_vals": jnp.asarray(vals),
+    }
+
+
 def _hole_effective_field_vector_lowmem(film_info, ix):
     """Effective-field vector for unit circulating current in a hole:
     ``(Q[:, ix] w[ix] - Lambda[ix] L[:, ix]) @ 1``, computed matrix-free as
@@ -378,6 +427,24 @@ def factorize_linear_systems(
                     interior_indices,
                     np.concatenate(list(hole_indices.values())),
                 )
+            method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+            max_materialized = int(
+                os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
+            )
+            if method == "cg" or len(interior_indices) > max_materialized:
+                # Matrix-free CG path: beyond ~65k interior sites even the
+                # (ni, ni) system / explicit inverse exceeds HBM; solves
+                # run as preconditioned CG with tiled kernel matvecs.
+                film_systems[film_name] = LinearSystem(
+                    A=None,
+                    indices=interior_indices,
+                    lu_piv=(
+                        "cg",
+                        _lowmem_operator_pieces(film_info, interior_indices),
+                    ),
+                    grad_Lambda_term=0,
+                )
+                continue
             A = _build_system_2d_lowmem(film_info, interior_indices, pad_to)
             ni = len(interior_indices)
             w_col = np.concatenate(
@@ -649,7 +716,7 @@ def solve_film(
     gf = linalg.lu_solve_refined(A, film_system.lu_piv, h)
     g[indices] += gf
 
-    if check_inversion:
+    if check_inversion and A is not None:
         gf_p = gf
         if A.shape[0] != len(gf):
             gf_p = np.concatenate([gf, np.zeros(A.shape[0] - len(gf), gf.dtype)])
@@ -663,8 +730,9 @@ def solve_film(
     if film_info.vortices:
         # One batched lu_solve over the vortex unit vectors (Brandt Eq. 28)
         # instead of materializing the full inverse.
-        n_sys = A.shape[0]
-        rhs = np.zeros((n_sys, len(film_info.vortices)), dtype=A.dtype)
+        n_sys = A.shape[0] if A is not None else len(indices)
+        rhs_dtype = A.dtype if A is not None else film_info.weights.dtype
+        rhs = np.zeros((n_sys, len(film_info.vortices)), dtype=rhs_dtype)
         scales = np.zeros(len(film_info.vortices), dtype=float)
         for k, vortex in enumerate(film_info.vortices):
             xy = (vortex.x, vortex.y)

@@ -78,6 +78,9 @@ class FilmSweepData:
     gty_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (y)
     gty_cols: Optional[jnp.ndarray] = None
     gty_vals: Optional[jnp.ndarray] = None
+    # Matrix-free CG films (fac_kind == "cg"): operator pieces for
+    # ops.linalg.brandt_matvec / brandt_cg_solve.
+    cg_op: Optional[dict] = None
 
 
 _FSD_ARRAY_FIELDS = (
@@ -86,6 +89,7 @@ _FSD_ARRAY_FIELDS = (
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
     "vortex_scales", "g_offset", "ha_offset", "tri_centroids", "tri_areas",
     "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
+    "cg_op",
 )
 _FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind", "terminal")
 
@@ -131,7 +135,10 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         from .ops import linalg
 
         ni = len(system.indices)
-        rhs = np.zeros((ni, len(info.vortices)), dtype=system.A.dtype)
+        rhs_dtype = (
+            system.A.dtype if system.A is not None else info.weights.dtype
+        )
+        rhs = np.zeros((ni, len(info.vortices)), dtype=rhs_dtype)
         scales = np.zeros(len(info.vortices))
         points = mesh.sites
         for k, vortex in enumerate(info.vortices):
@@ -146,7 +153,12 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         vortex_scales = jnp.asarray(scales)
     gx = mesh.operators.gradient_x
     gy = mesh.operators.gradient_y
-    if len(system.lu_piv) == 3 and system.lu_piv[0] in ("chol", "inv"):
+    cg_op = None
+    if isinstance(system.lu_piv[0], str) and system.lu_piv[0] == "cg":
+        fac_kind = "cg"
+        fac_a = fac_b = None
+        cg_op = system.lu_piv[1]
+    elif len(system.lu_piv) == 3 and system.lu_piv[0] in ("chol", "inv"):
         fac_kind = system.lu_piv[0]
         fac_a, fac_b = system.lu_piv[1], system.lu_piv[2]
     else:
@@ -158,8 +170,9 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
     # are masked to zero, which keeps the padded solution rows exactly zero
     # (identity pad block), so the padded scatter-add is a no-op.
     ni = len(system.indices)
-    nip = fac_a.shape[0]  # NOTE: no np.asarray -- that would d2h-copy the
-    # full factorization (1.6 GB at 100k-vertex scale) just to read a shape.
+    # NOTE: no np.asarray on fac_a -- that would d2h-copy the full
+    # factorization (1.6 GB at 100k-vertex scale) just to read a shape.
+    nip = ni if fac_a is None else fac_a.shape[0]
     interior = np.concatenate(
         [np.asarray(system.indices), np.zeros(nip - ni, dtype=np.int64)]
     )
@@ -230,9 +243,10 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         interior=jnp.asarray(interior),
         n_valid=jnp.asarray(ni),
         fac_kind=fac_kind,
-        fac_a=jnp.asarray(fac_a),
-        fac_b=jnp.asarray(fac_b),
-        A=jnp.asarray(system.A),
+        fac_a=jnp.asarray(fac_a) if fac_a is not None else None,
+        fac_b=jnp.asarray(fac_b) if fac_b is not None else None,
+        cg_op=cg_op,
+        A=jnp.asarray(system.A) if system.A is not None else None,
         Q=jnp.asarray(info.kernel) if info.kernel is not None else None,
         weights=jnp.asarray(info.weights),
         gx_rows=jnp.asarray(gx.rows),
@@ -318,7 +332,12 @@ def _solve_film_batch(
     h = jnp.where(valid[None, :], h, 0.0)
     hT = h.T  # (nip, B)
 
-    if data.fac_kind == "inv":
+    if data.fac_kind == "cg":
+        from .ops import linalg as _linalg
+
+        def solve(rhs):
+            return _linalg.brandt_cg_solve(data.cg_op, rhs)
+    elif data.fac_kind == "inv":
         def solve(rhs):
             return kernels._dot(data.fac_a, rhs)
     elif data.fac_kind == "chol":
@@ -330,7 +349,8 @@ def _solve_film_batch(
             return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
 
     gf = solve(hT)  # (nip, B)
-    for _ in range(refine_steps):
+    # CG controls its own accuracy; no outer refinement (and no dense A).
+    for _ in range(0 if data.fac_kind == "cg" else refine_steps):
         r = hT + kernels._dot(data.A, gf)
         gf = gf + solve(r)
     if data.vortex_cols is not None:

@@ -100,3 +100,63 @@ def test_lowmem_model_hdf5_roundtrip(device, monkeypatch, tmp_path):
         progress_bar=False,
     )[-1]
     assert np.all(np.isfinite(sol.film_solutions["ring"].stream))
+
+
+def test_cg_matches_dense(device, monkeypatch):
+    """The matrix-free CG path (no materialized system at all) agrees with
+    the dense path; exercises solve() end-to-end and the sweep engine."""
+    dense = _solve(device)
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    monkeypatch.setenv("SUPERSCREEN_TPU_LARGE_FACTOR", "cg")
+    model = sc.factorize_model(
+        device=device,
+        circulating_currents={"hole": "500 uA"},
+        current_units="uA",
+    )
+    assert model.film_systems["ring"].A is None
+    assert model.film_systems["ring"].lu_piv[0] == "cg"
+    cg = sc.solve(
+        model=model,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    a = dense.film_solutions["ring"]
+    b = cg.film_solutions["ring"]
+    scale = np.abs(a.stream).max()
+    assert np.abs(a.stream - b.stream).max() < 1e-5 * scale
+    sf_scale = np.abs(a.self_field).max()
+    assert np.abs(a.self_field - b.self_field).max() < 1e-5 * sf_scale
+
+
+def test_cg_model_hdf5_roundtrip(device, monkeypatch, tmp_path):
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    monkeypatch.setenv("SUPERSCREEN_TPU_LARGE_FACTOR", "cg")
+    model = sc.factorize_model(
+        device=device,
+        circulating_currents={"hole": "500 uA"},
+        current_units="uA",
+    )
+    import h5py
+
+    path = tmp_path / "cg_model.h5"
+    with h5py.File(path, "w") as f:
+        model.to_hdf5(f)
+    with h5py.File(path, "r") as f:
+        loaded = sc.FactorizedModel.from_hdf5(f)
+    assert loaded.film_systems["ring"].lu_piv[0] == "cg"
+    a = sc.solve(
+        model=model,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    b = sc.solve(
+        model=loaded,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    fa = a.film_solutions["ring"].stream
+    fb = b.film_solutions["ring"].stream
+    assert np.abs(fa - fb).max() < 1e-10 * np.abs(fa).max()
