@@ -257,6 +257,18 @@ def main():
 
     t0 = time.perf_counter()
     model = sc.factorize_model(device=device, current_units="uA")
+    # Block on the factorizations so factorize_s reports real device time
+    # (XLA dispatch is async; without this the cost hides in the first
+    # sweep run).
+    import jax
+
+    for system in model.film_systems.values():
+        if system.lu_piv is not None:
+            for part in system.lu_piv:
+                if hasattr(part, "block_until_ready"):
+                    jax.block_until_ready(part)
+                elif isinstance(part, dict):
+                    jax.block_until_ready(part)
     factorize_s = time.perf_counter() - t0
     _log(f"factorized in {factorize_s:.1f}s")
     interiors = {
