@@ -262,3 +262,35 @@ def test_terminal_current_conservation_error():
             current_units="uA",
             terminal_currents={"strip": {"source": 1.0, "drain": 0.0}},
         )
+
+
+def test_non_1d_applied_field_raises(device):
+    """The reference raises for applied fields that don't evaluate to a 1D
+    vector (solver/solve.py:431-435)."""
+
+    def bad_field(x, y, z):
+        return np.ones((len(np.atleast_1d(x)), 2))
+
+    with pytest.raises(ValueError):
+        sc.solve(device=device, applied_field=bad_field, progress_bar=False)
+
+
+def test_check_inversion_matches_fast_path(device):
+    """check_inversion routes through the legacy per-stage path; the
+    results must match the device-resident path."""
+    fast = sc.solve(
+        device=device,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    checked = sc.solve(
+        device=device,
+        applied_field=sc.sources.ConstantField(0.5),
+        field_units="mT",
+        check_inversion=True,
+        progress_bar=False,
+    )[-1]
+    a = fast.film_solutions["ring"].stream
+    b = checked.film_solutions["ring"].stream
+    assert np.abs(a - b).max() < 1e-10 * np.abs(a).max()
