@@ -63,8 +63,16 @@ def _jax_lu_solve(lu, piv, h):
     return jax.scipy.linalg.lu_solve((lu, piv), h)
 
 
+#: Schulz-Hotelling iteration count. On real Brandt systems (cond(P) ~
+#: 1e3-1e4) the f32 iteration converges to its ~1.5e-6 floor by iteration
+#: ~16-18 and flatlines; 24 leaves margin, and any undershoot is absorbed
+#: by the exact-residual refinement at solve time (each step multiplies
+#: the error by ||I - PX||).
+SCHULZ_ITERS = int(os.environ.get("SUPERSCREEN_TPU_SCHULZ_ITERS", "24"))
+
+
 @partial(jax.jit, static_argnames=("iters",))
-def _jax_spd_inverse(neg_A, w_col, iters: int = 30):
+def _jax_spd_inverse(neg_A, w_col, iters: int = SCHULZ_ITERS):
     """Explicit inverse of the Brandt system via Schulz-Hotelling iteration.
 
     ``A = P diag(w)`` with ``P = A/w`` symmetric positive definite, so the
@@ -92,8 +100,10 @@ def _jax_spd_inverse(neg_A, w_col, iters: int = 30):
     X0 = jnp.eye(n, dtype=P.dtype) / (1.05 * lam)
 
     def body(_, X):
-        R = jnp.eye(n, dtype=P.dtype) - P @ X
-        return X + X @ R
+        # X <- X (2I - P X), written eye-free to avoid materializing an
+        # (n, n) identity every iteration.
+        Y = P @ X
+        return 2.0 * X - X @ Y
 
     X = jax.lax.fori_loop(0, iters, body, X0)
     # Solution operator for (-A) x = h: x = -(X @ h) / w.
