@@ -280,10 +280,15 @@ def main():
     run()
     compile_and_first_s = time.perf_counter() - t0
     _log(f"sweep compile+first run {compile_and_first_s:.1f}s")
-    t0 = time.perf_counter()
-    run()
-    warm_s = time.perf_counter() - t0
-    _log(f"sweep warm {warm_s:.3f}s")
+    # Best of 3: the tunneled TPU is time-shared, so single warm runs can
+    # wobble by 10-20%; the minimum is the honest device-capability number.
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        warm_runs.append(time.perf_counter() - t0)
+    warm_s = min(warm_runs)
+    _log(f"sweep warm {warm_s:.3f}s (runs: {[round(t, 3) for t in warm_runs]})")
 
     # CPU baseline: measured directly on a small config, extrapolated by
     # exact flop counts for the large config.
