@@ -380,6 +380,31 @@ def q_apply(points, vecs, block: int = _BLOCK):
 
 
 @partial(jax.jit, static_argnames=("block",))
+def q_apply_rect(eval_sites, src_sites, vecs, block: int = _BLOCK):
+    """Matrix-free rectangular ``q @ vecs``: rows are ``eval_sites``,
+    columns are ``src_sites`` (coincident points contribute zero, matching
+    the zero diagonal of the square kernel).  Used by the row-sharded
+    multi-chip self-field (:mod:`superscreen_tpu.parallel`)."""
+    eval_sites = jnp.asarray(eval_sites)
+    src_sites = jnp.asarray(src_sites)
+    V = jnp.asarray(vecs, dtype=eval_sites.dtype)
+    squeeze = V.ndim == 1
+    if squeeze:
+        V = V[:, None]
+
+    def row_block(P):
+        d2 = jnp.sum((P[:, None, :] - src_sites[None, :, :]) ** 2, axis=-1)
+        r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+        q = jnp.where(d2 > 0, _ONE_OVER_4PI * (r * r * r), 0.0)
+        return _dot(q, V)
+
+    out = _blocked(row_block, eval_sites, block)
+    if squeeze:
+        out = out[:, 0]
+    return out
+
+
+@partial(jax.jit, static_argnames=("block",))
 def Q_apply(points, weights, vecs, block: int = _BLOCK):
     """Matrix-free ``Q @ vecs`` for the full Brandt kernel
     ``Q_ij = -q_ij + delta_ij (C_i + sum_l q_il w_l) / w_i``, computed in one

@@ -3,5 +3,7 @@ from .sharding import (
     make_mesh,
     replicated_sharding,
     shard_sweep_inputs,
+    sharded_biot_savart,
     sharded_film_data,
+    sharded_self_field,
 )

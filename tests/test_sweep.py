@@ -211,3 +211,49 @@ def test_solve_many_with_terminals():
     a = sol.film_solutions["strip"].stream
     b = ref.film_solutions["strip"].stream
     assert np.abs(a - b).max() / np.abs(b).max() < 1e-9
+
+
+def test_sharded_biot_savart_matches_unsharded():
+    """The shard_map coupling kernel (dst rows over 'model', batch over
+    'data') must match the single-device kernel exactly."""
+    from superscreen_tpu.ops import kernels
+    from superscreen_tpu.parallel import make_mesh, sharded_biot_savart
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n_data=n_dev // 2, n_model=2)
+    rng = np.random.default_rng(0)
+    n1, n2, B = 501, 643, mesh.shape["data"] * 2 + 1  # non-divisible shapes
+    src = rng.uniform(-10, 10, (n1, 2))
+    dst = rng.uniform(-10, 10, (n2, 2))
+    areas = rng.uniform(0.01, 0.02, n1)
+    J = rng.normal(size=(B, n1, 2))
+    dz2 = 1.7
+    out = np.asarray(sharded_biot_savart(mesh, src, areas, J, dst, dz2))
+    ref = np.asarray(
+        kernels.biot_savart_film_to_film_dz2(src, areas, J, dst, dz2)
+    )
+    assert np.abs(out - ref).max() <= 1e-12 * np.abs(ref).max()
+
+
+def test_sharded_self_field_matches_unsharded(two_rings, model):
+    """The row-sharded self-field matches Q @ (w g) on one device."""
+    from superscreen_tpu.ops import kernels
+    from superscreen_tpu.parallel import make_mesh, sharded_self_field
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n_data=n_dev // 2, n_model=2)
+    m = two_rings.meshes["big_ring"]
+    sites = m.sites
+    weights = np.asarray(m.operators.weights)
+    rng = np.random.default_rng(1)
+    B = mesh.shape["data"] + 1
+    g = rng.normal(size=(B, len(sites)))
+    out = np.asarray(sharded_self_field(mesh, sites, weights, g))
+    ref = np.asarray(
+        kernels.Q_apply(sites, weights, (weights[None, :] * g).T)
+    ).T
+    assert np.abs(out - ref).max() <= 1e-10 * np.abs(ref).max()
