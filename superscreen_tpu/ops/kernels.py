@@ -20,7 +20,6 @@ jit-friendly and may be vmapped (e.g. for position sweeps).
 
 import os
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ Use is gated on the TPU backend; the blocked jnp kernels in
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

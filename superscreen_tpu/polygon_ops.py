@@ -18,7 +18,7 @@ Everything here is host-side preprocessing; none of it runs under jit.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ import logging
 import numbers
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 import h5py
 import numpy as np

@@ -11,7 +11,7 @@ presets spanning the same scale range as the reference layouts are
 provided; all coordinates are generated, not digitized.
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Dict, Optional
 
 import numpy as np
