@@ -435,12 +435,17 @@ class SweepResult:
             other = None
             if self.other_fields is not None:
                 other = np.asarray(self.other_fields[name][index])
+            # np.array (copies): zero-copy views of device buffers are
+            # read-only, and downstream consumers (matplotlib tri
+            # interpolators) write into these arrays.
             film_solutions[name] = FilmSolution(
-                stream=np.asarray(self.streams[name][index]),
-                current_density=np.asarray(self.current_densities[name][index]),
-                applied_field=np.asarray(self.applied_fields[name][index]),
-                self_field=np.asarray(self.self_fields[name][index]),
-                field_from_other_films=other,
+                stream=np.array(self.streams[name][index]),
+                current_density=np.array(self.current_densities[name][index]),
+                applied_field=np.array(self.applied_fields[name][index]),
+                self_field=np.array(self.self_fields[name][index]),
+                field_from_other_films=(
+                    None if other is None else np.array(other)
+                ),
             )
         applied_func = ConstantField(0)
         if self.applied_field_funcs is not None:
