@@ -351,7 +351,10 @@ def q_apply(points, vecs, block: int = _BLOCK):
     (zero diagonal) is assembled tile-by-tile and never materialized.
 
     Peak memory is ``O(block * n)`` instead of ``O(n^2)`` -- this is the
-    backbone of the large-mesh (low-memory) solve path.
+    backbone of the large-mesh (low-memory) solve path.  On TPU/float32
+    the Pallas kernel keeps geometry tiles in VMEM (the blocked jnp
+    fallback materializes O(block*n) intermediates to HBM and is ~100x
+    slower at 100k+ sites).
 
     Args:
         points: ``(n, 2)`` mesh sites.
@@ -361,6 +364,11 @@ def q_apply(points, vecs, block: int = _BLOCK):
         ``q @ vecs`` with the same trailing shape as ``vecs``.
     """
     points = jnp.asarray(points)
+    if points.dtype == jnp.float32:
+        from . import pallas_kernels
+
+        if pallas_kernels.pallas_available():
+            return pallas_kernels.pallas_q_apply_rect(points, points, vecs)
     V = jnp.asarray(vecs, dtype=points.dtype)
     squeeze = V.ndim == 1
     if squeeze:
@@ -386,6 +394,13 @@ def q_apply_rect(eval_sites, src_sites, vecs, block: int = _BLOCK):
     multi-chip self-field (:mod:`superscreen_tpu.parallel`)."""
     eval_sites = jnp.asarray(eval_sites)
     src_sites = jnp.asarray(src_sites)
+    if eval_sites.dtype == jnp.float32:
+        from . import pallas_kernels
+
+        if pallas_kernels.pallas_available():
+            return pallas_kernels.pallas_q_apply_rect(
+                eval_sites, src_sites, vecs
+            )
     V = jnp.asarray(vecs, dtype=eval_sites.dtype)
     squeeze = V.ndim == 1
     if squeeze:

@@ -24,6 +24,7 @@ __all__ = [
     "LU_MAX_N_TPU",
     "brandt_matvec",
     "brandt_cg_solve",
+    "brandt_cg_solve_host",
 ]
 
 #: XLA's TPU LuDecompositionBlock custom call allocates a double-buffered
@@ -316,6 +317,71 @@ def brandt_cg_solve(op, h, tol: float = 1e-6, maxiter: int = 1000):
     return x
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _cg_chunk(op, minv, state, iters: int):
+    """Runs ``iters`` fixed PCG iterations (converged columns are held
+    stable by the zero-guarded alpha/beta)."""
+    w = op["w_sub"]
+
+    def P_matvec(v):
+        return brandt_matvec(op, v / w[:, None])
+
+    def body(_, st):
+        x, r, z, p, rz = st
+        Ap = P_matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(jnp.abs(pAp) > 0, rz / pAp, 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = minv * r
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new)
+
+    return jax.lax.fori_loop(0, iters, body, state)
+
+
+def brandt_cg_solve_host(
+    op, h, tol: float = 1e-6, maxiter: int = 1000, chunk: int = 25
+):
+    """Like :func:`brandt_cg_solve` but driven from the host in bounded
+    chunks of iterations (one tiny device->host residual read per chunk).
+
+    Each chunk is a short-running device program -- required on tunneled /
+    time-shared TPUs where a single long-running program (minutes of CG at
+    100k+ sites) trips execution watchdogs.
+    """
+    h = jnp.asarray(h)
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+    w = op["w_sub"]
+    lam_diag = jax.ops.segment_sum(
+        jnp.where(op["lap_rows"] == op["lap_cols"], op["lap_vals"], 0.0),
+        op["lap_rows"],
+        num_segments=w.shape[0],
+    )
+    p_diag = op["diag"] - lam_diag / w
+    minv = jnp.where(jnp.abs(p_diag) > 0, 1.0 / p_diag, 1.0)[:, None]
+    b = -h
+    bnorm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    x0 = jnp.zeros_like(b)
+    z0 = minv * b
+    state = (x0, b, z0, z0, jnp.sum(b * z0, axis=0))
+    done = 0
+    while done < maxiter:
+        state = _cg_chunk(op, minv, state, min(chunk, maxiter - done))
+        done += chunk
+        res = float(jnp.max(jnp.linalg.norm(state[1], axis=0) / bnorm))
+        if res < tol or not np.isfinite(res):
+            break
+    x = state[0] / w[:, None]
+    if squeeze:
+        x = x[:, 0]
+    return x
+
+
 def _pad_rhs(n_fac, h):
     """Pads the RHS with zeros when the factorization was built from a
     padded (block-diagonal identity) system; returns (padded_h, n_orig)."""
@@ -332,7 +398,7 @@ def lu_solve(lu_piv: Tuple, h):
     factorization is larger than ``h`` (identity-padded system), the RHS is
     zero-padded and the solution sliced back."""
     if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
-        return np.asarray(brandt_cg_solve(lu_piv[1], jnp.asarray(h)))
+        return np.asarray(brandt_cg_solve_host(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         h, n = _pad_rhs(L.shape[0], h)
@@ -355,7 +421,7 @@ def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
     refinement (``x += lu_solve(h + A @ x)``)."""
     if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
         # CG controls accuracy via its own tolerance; no outer refinement.
-        return np.asarray(brandt_cg_solve(lu_piv[1], jnp.asarray(h)))
+        return np.asarray(brandt_cg_solve_host(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         return np.asarray(

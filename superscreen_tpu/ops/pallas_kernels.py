@@ -37,6 +37,7 @@ __all__ = [
     "pallas_q_matrix",
     "pallas_biot_savart",
     "pallas_biot_savart_batch",
+    "pallas_q_apply_rect",
 ]
 
 _ONE_OVER_4PI = 1 / (4 * np.pi)
@@ -362,4 +363,99 @@ def pallas_biot_savart_batch(
     out = _ONE_OVER_4PI * out[:B, :n2]
     if squeeze:
         out = out[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free q-kernel application (rectangular), batch in sublanes
+# ---------------------------------------------------------------------------
+
+
+def _q_apply_tile_kernel(xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref):
+    # xs/ys: (TN, 1) source coords; xe/ye: (1, TM) eval coords;
+    # vT: (K, TN) vector columns; out: (K, TM).
+    # K tile = q(eval, src) built in VMEM (zero at coincident points,
+    # matching the square kernel's zero diagonal) and contracted on the
+    # MXU -- the O(n^2) geometry never touches HBM (the blocked jnp
+    # version is ~100x slower at 100k+ sites from materialized
+    # intermediates).
+    j = pl.program_id(1)
+    dx = xe_ref[:] - xs_ref[:]  # (TN, TM)
+    dy = ye_ref[:] - ys_ref[:]
+    d2 = dx * dx + dy * dy
+    r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
+    q = jnp.where(d2 > 0, r * r * r, 0.0)
+    contrib = jnp.dot(
+        vT_ref[:],
+        q,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int):
+    n_src = xs.shape[0]
+    n_eval = xe.shape[1]
+    K = vT.shape[0]
+    grid = (n_eval // tm, n_src // tn)
+    return pl.pallas_call(
+        _q_apply_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((K, n_eval), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(xs, ys, xe, ye, vT)
+
+
+def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 512):
+    """Matrix-free ``q(eval, src) @ vecs`` on TPU (float32), with the
+    vector columns in MXU sublanes.
+
+    Coincident eval/src points contribute zero (the square kernel's zero
+    diagonal).  Returns ``(n_eval,)`` or ``(n_eval, k)`` matching ``vecs``;
+    the result includes the ``1/(4 pi)`` prefactor.
+    """
+    eval_sites = jnp.asarray(eval_sites, dtype=jnp.float32)
+    src_sites = jnp.asarray(src_sites, dtype=jnp.float32)
+    V = jnp.asarray(vecs, dtype=jnp.float32)
+    squeeze = V.ndim == 1
+    if squeeze:
+        V = V[:, None]
+    k = V.shape[1]
+    n_src = src_sites.shape[0]
+    n_eval = eval_sites.shape[0]
+    n_src_p = _round_up(n_src, tn)
+    n_eval_p = _round_up(n_eval, tm)
+    k_p = _round_up(k, 8)
+    scale = 1e6 * (
+        jnp.max(jnp.abs(src_sites)) + jnp.max(jnp.abs(eval_sites)) + 1.0
+    )
+    xs = jnp.concatenate(
+        [src_sites[:, 0], scale * (1.0 + jnp.arange(n_src_p - n_src))]
+    ).reshape(n_src_p, 1)
+    ys = jnp.concatenate(
+        [src_sites[:, 1], scale * (1.0 + jnp.arange(n_src_p - n_src))]
+    ).reshape(n_src_p, 1)
+    xe = _pad_to(eval_sites[:, 0], n_eval_p).reshape(1, n_eval_p)
+    ye = _pad_to(eval_sites[:, 1], n_eval_p).reshape(1, n_eval_p)
+    vT = _pad_to(_pad_to(V.T, n_src_p, axis=1), k_p, axis=0)
+    out = _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm, tn)
+    out = _ONE_OVER_4PI * out[:k, :n_eval].T
+    if squeeze:
+        out = out[:, 0]
     return out

@@ -306,6 +306,7 @@ class Solution:
         device = self.device
         if units is None:
             units = self.current_units
+        path_coords = np.asarray(path_coords, dtype=float)
         edge_positions = (path_coords[:-1] + path_coords[1:]) / 2
         J_edge = self.interp_current_density(
             edge_positions, film=film, method=interp_method, with_units=False

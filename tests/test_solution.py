@@ -216,3 +216,17 @@ def test_incremental_save(device, tmp_path):
     loaded = sc.Solution.load_solutions(path)
     assert len(loaded) == 2
     assert loaded[-1].equals(solutions[-1])
+
+
+def test_positional_apis_accept_lists(solution):
+    """All position-taking APIs accept plain Python lists (the reference
+    coerces array-likes)."""
+    film = list(solution.device.films)[0]
+    solution.current_through_path(
+        [[2.5, 0.0], [3.9, 0.0]], film=film, units="uA"
+    )
+    solution.interp_current_density([[3.0, 0.0]], film=film)
+    solution.interp_field([[3.0, 0.0]], film=film)
+    solution.field_at_position([[0.5, 0.5]], zs=2.0)
+    solution.vector_potential_at_position([[0.5, 0.5]], zs=2.0)
+    solution.screening_field_at_position([[0.5, 0.5]], zs=2.0)
