@@ -484,9 +484,22 @@ def solve(
         solver=_solver,
     )
 
+    device_solve = os.environ.get("SUPERSCREEN_TPU_DEVICE_SOLVE", "auto")
+    has_cg_film = any(
+        s.lu_piv is not None
+        and isinstance(s.lu_piv[0], str)
+        and s.lu_piv[0] == "cg"
+        for s in film_systems.values()
+    )
     if (
         not check_inversion
-        and os.environ.get("SUPERSCREEN_TPU_DEVICE_SOLVE", "1") != "0"
+        and device_solve != "0"
+        # "auto": matrix-free CG films use the legacy per-stage path, whose
+        # host-chunked CG keeps each device program short (a single jitted
+        # CG running minutes trips execution watchdogs on tunneled TPUs);
+        # force the fully device-resident path with
+        # SUPERSCREEN_TPU_DEVICE_SOLVE=1.
+        and not (device_solve == "auto" and has_cg_film)
     ):
         # Device-resident path: the whole initial solve + self-consistent
         # iteration history runs as one jitted program (one dispatch, one
