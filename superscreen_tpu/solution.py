@@ -313,9 +313,12 @@ class Solution:
         )
         edge_lengths, unit_normals = path_vectors(path_coords)
         J_dot_n = np.sum(J_edge * unit_normals, axis=1)
-        # Trapezoidal sum over the per-edge samples of J.n weighted by
-        # edge length: sum of J.n * dl.
-        integral = np.trapezoid(J_dot_n * edge_lengths)
+        # Midpoint rule: J.n is sampled at edge centers, so the line
+        # integral is the plain sum of J.n * dl.  (The reference applies
+        # np.trapezoid to these per-edge products, solution.py:359, which
+        # half-weights the two end edges -- a first-order error at the path
+        # ends and exactly zero for a two-point path.)
+        integral = np.sum(J_dot_n * edge_lengths)
         total_current = Quantity(
             integral, f"{self.current_units} / {device.length_units}"
         ) * Quantity(1.0, device.length_units)

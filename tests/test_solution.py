@@ -230,3 +230,19 @@ def test_positional_apis_accept_lists(solution):
     solution.field_at_position([[0.5, 0.5]], zs=2.0)
     solution.vector_potential_at_position([[0.5, 0.5]], zs=2.0)
     solution.screening_field_at_position([[0.5, 0.5]], zs=2.0)
+
+
+def test_current_through_two_point_path(solution):
+    """A two-point path is a valid cross-section (midpoint rule; the
+    reference's trapezoid over per-edge products returns exactly 0 here)."""
+    I2 = solution.current_through_path(
+        [[2.2, 0.0], [3.9, 0.0]], film="ring", units="uA", with_units=False
+    )
+    Imany = solution.current_through_path(
+        np.stack([np.linspace(2.2, 3.9, 60), np.zeros(60)], axis=1),
+        film="ring",
+        units="uA",
+        with_units=False,
+    )
+    assert I2 != 0.0
+    assert np.isclose(I2, Imany, rtol=0.1)
