@@ -5,12 +5,12 @@ Two kernels carry almost all of the solver's O(n^2) work:
 * ``pallas_q_matrix``: tiled assembly of the Brandt kernel
   ``q_ij = 1/(4 pi |r_i - r_j|^3)`` -- pure VPU work (rsqrt^3 per pair),
   written tile-by-tile so only (TM, TN) tiles live in VMEM.
-* ``pallas_biot_savart``: the inter-film coupling field.  The pairwise
-  geometry factors ``K1 = a_j (y_i - y_j) / r^3`` and
-  ``K2 = a_j (x_i - x_j) / r^3`` are built per tile on the VPU and then
-  contracted against the batched sheet current on the **MXU**:
-  ``out[i, b] += K1 @ Jx[:, b] - K2 @ Jy[:, b]`` -- turning the reference's
-  numba loops (``superscreen/solver/solve.py:28-73``) into matmuls.
+* ``pallas_biot_savart_batch`` / ``pallas_q_apply_rect``: the pairwise
+  geometry factors (e.g. ``K1 = a_j (y_i - y_j)/r^3``) are built per tile
+  on the VPU and contracted against all batched vector columns on the
+  **MXU** with the batch in sublanes -- turning the reference's numba
+  loops (``superscreen/solver/solve.py:28-73``) into matmuls whose
+  geometry never leaves VMEM.
 
 Inputs are padded to tile multiples with zero-area dummy points (zero
 contribution), so arbitrary mesh sizes are supported with static shapes.
@@ -35,7 +35,6 @@ except Exception:  # pragma: no cover
 __all__ = [
     "pallas_available",
     "pallas_q_matrix",
-    "pallas_biot_savart",
     "pallas_biot_savart_batch",
     "pallas_q_apply_rect",
 ]
@@ -124,121 +123,6 @@ def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512):
 
 
 # ---------------------------------------------------------------------------
-# Batched inter-film Biot-Savart (MXU contraction)
-# ---------------------------------------------------------------------------
-
-
-def _bs_tile_kernel(
-    xe_ref, ye_ref, xs_ref, ys_ref, ajx_ref, ajy_ref, dz2_ref, out_ref
-):
-    j = pl.program_id(1)
-    dx = xe_ref[:] - xs_ref[:]  # (TM, 1) - (1, TN) -> (TM, TN)
-    dy = ye_ref[:] - ys_ref[:]
-    r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
-    r3 = r * r * r
-    K1 = dy * r3  # weighted by areas inside aJx/aJy already
-    K2 = dx * r3
-    contrib = jnp.dot(
-        K1, ajx_ref[:], preferred_element_type=jnp.float32
-    ) - jnp.dot(K2, ajy_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += contrib
-
-
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
-def _pallas_bs_padded(xe, ye, xs, ys, aJx, aJy, dz2, tm: int, tn: int):
-    n_eval = xe.shape[0]
-    n_src = xs.shape[1]
-    B = aJx.shape[1]
-    grid = (n_eval // tm, n_src // tn)
-    out = pl.pallas_call(
-        _bs_tile_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_eval, B), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tm, B), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-        ),
-    )(xe, ye, xs, ys, aJx, aJy, dz2)
-    return out
-
-
-def pallas_biot_savart(
-    film1_sites,
-    film1_z0: float,
-    film1_areas,
-    film1_J,
-    film2_sites,
-    film2_z0: float,
-    tm: int = 256,
-    tn: int = 512,
-):
-    """Batched inter-film Biot-Savart field via MXU contraction.
-
-    Args:
-        film1_sites: ``(n1, 2)`` source sites.
-        film1_z0: Source film height.
-        film1_areas: ``(n1,)`` source vertex areas.
-        film1_J: ``(B, n1, 2)`` or ``(n1, 2)`` sheet current density.
-        film2_sites: ``(n2, 2)`` evaluation sites.
-        film2_z0: Evaluation film height.
-
-    Returns:
-        ``(B, n2)`` (or ``(n2,)`` for unbatched input) field in
-        ``current / length`` units.
-    """
-    film1_sites = jnp.asarray(film1_sites, dtype=jnp.float32)
-    film2_sites = jnp.asarray(film2_sites, dtype=jnp.float32)
-    J = jnp.asarray(film1_J, dtype=jnp.float32)
-    squeeze = J.ndim == 2
-    if squeeze:
-        J = J[None]
-    B = J.shape[0]
-    areas = jnp.asarray(film1_areas, dtype=jnp.float32)
-    n1 = film1_sites.shape[0]
-    n2 = film2_sites.shape[0]
-    n1p = _round_up(n1, tn)
-    n2p = _round_up(n2, tm)
-    Bp = _round_up(B, 128)
-    xe = _pad_to(film2_sites[:, 0], n2p).reshape(n2p, 1)
-    ye = _pad_to(film2_sites[:, 1], n2p).reshape(n2p, 1)
-    # Padded source points: zero area -> zero contribution; offset coords
-    # so r > 0 even against padded eval points.
-    scale = 1e6 * (
-        jnp.max(jnp.abs(film1_sites)) + jnp.max(jnp.abs(film2_sites)) + 1.0
-    )
-    xs = jnp.concatenate(
-        [film1_sites[:, 0], scale * (1.0 + jnp.arange(n1p - n1))]
-    ).reshape(1, n1p)
-    ys = jnp.concatenate(
-        [film1_sites[:, 1], scale * (1.0 + jnp.arange(n1p - n1))]
-    ).reshape(1, n1p)
-    aJ = areas[None, :, None] * J  # (B, n1, 2)
-    aJx = _pad_to(aJ[:, :, 0].T, n1p, axis=0)  # (n1p, B)
-    aJy = _pad_to(aJ[:, :, 1].T, n1p, axis=0)
-    aJx = _pad_to(aJx, Bp, axis=1)
-    aJy = _pad_to(aJy, Bp, axis=1)
-    dz2 = jnp.array([[float(film2_z0 - film1_z0) ** 2]], dtype=jnp.float32)
-    out = _pallas_bs_padded(xe, ye, xs, ys, aJx, aJy, dz2, tm, tn)
-    out = (_ONE_OVER_4PI * out[:n2, :B]).T
-    if squeeze:
-        out = out[0]
-    return out
-
-
-# ---------------------------------------------------------------------------
 # Batched inter-film Biot-Savart, batch in sublanes (small-B fast path)
 # ---------------------------------------------------------------------------
 
@@ -313,10 +197,9 @@ def pallas_biot_savart_batch(
 ):
     """Batched inter-film Biot-Savart with the sweep batch in MXU sublanes.
 
-    Unlike :func:`pallas_biot_savart` (batch in lanes, padded to 128), the
-    batch axis here lives in sublanes (padded to 8), so small sweep batches
-    pay no MXU padding.  ``dz2`` is a traced scalar, so one compilation
-    serves every film pair of the same shapes.
+    The batch axis lives in MXU sublanes (padded to 8, not 128 lanes), so
+    small sweep batches pay no padding waste.  ``dz2`` is a traced scalar,
+    so one compilation serves every film pair of the same shapes.
 
     Args:
         film1_sites: ``(n1, 2)`` source sites (float32).
