@@ -110,11 +110,10 @@ def q_matrix(points, dtype=None, block: int = _BLOCK):
     kernel elsewhere.  Reference: ``superscreen/distance.py:87-115``.
     """
     out_dtype = jnp.asarray(points).dtype if dtype is None else jnp.dtype(dtype)
-    if out_dtype == jnp.float32:
+    if out_dtype == jnp.float32 and _pallas_ok(None):
         from . import pallas_kernels
 
-        if pallas_kernels.pallas_available():
-            return pallas_kernels.pallas_q_matrix(points, dtype=dtype)
+        return pallas_kernels.pallas_q_matrix(points, dtype=dtype)
     return _q_matrix_jnp(points, dtype=dtype, block=block)
 
 
@@ -157,9 +156,30 @@ def _q_to_Q(points, weights, q):
     return jnp.where(jnp.eye(n, dtype=bool), diag[:, None], -q)
 
 
-@partial(jax.jit, static_argnames=("block",))
+def _pallas_ok(use_pallas):
+    """Whether to dispatch to the Pallas TPU kernels.
+
+    ``None`` (auto): single-device TPU only -- under GSPMD with sharded
+    operands a pallas_call cannot be partitioned.  Explicit ``True`` is
+    used by the shard_map wrappers in :mod:`superscreen_tpu.parallel`,
+    where each device runs the kernel on its local shard.
+    """
+    setting = os.environ.get("SUPERSCREEN_TPU_PALLAS_COUPLING", "auto")
+    if setting == "0":
+        return False
+    from . import pallas_kernels
+
+    if not pallas_kernels.pallas_available():
+        return False
+    if use_pallas is None:
+        return setting == "force" or jax.device_count() == 1
+    return bool(use_pallas)
+
+
+@partial(jax.jit, static_argnames=("block", "use_pallas"))
 def biot_savart_film_to_film_dz2(
-    film1_sites, film1_areas, film1_J, film2_sites, dz2, block: int = _BLOCK
+    film1_sites, film1_areas, film1_J, film2_sites, dz2, block: int = _BLOCK,
+    use_pallas=None,
 ):
     """Like :func:`biot_savart_film_to_film` but with the squared layer
     separation ``dz2`` as a traced scalar, so one compilation serves every
@@ -179,14 +199,13 @@ def biot_savart_film_to_film_dz2(
     if (
         J.dtype == jnp.float32
         and film1_sites.dtype == jnp.float32
-        and os.environ.get("SUPERSCREEN_TPU_PALLAS_COUPLING", "1") != "0"
+        and _pallas_ok(use_pallas)
     ):
         from . import pallas_kernels
 
-        if pallas_kernels.pallas_available():
-            return pallas_kernels.pallas_biot_savart_batch(
-                film1_sites, areas, J, film2_sites, dz2
-            )
+        return pallas_kernels.pallas_biot_savart_batch(
+            film1_sites, areas, J, film2_sites, dz2
+        )
     squeeze = J.ndim == 2
     if squeeze:
         J = J[None]
@@ -345,8 +364,8 @@ def biot_savart_2d_field(
     return _blocked(row_block, eval_positions, block)
 
 
-@partial(jax.jit, static_argnames=("block",))
-def q_apply(points, vecs, block: int = _BLOCK):
+@partial(jax.jit, static_argnames=("block", "use_pallas"))
+def q_apply(points, vecs, block: int = _BLOCK, use_pallas=None):
     """Matrix-free ``q @ vecs`` where ``q_ij = 1/(4 pi |r_i - r_j|^3)``
     (zero diagonal) is assembled tile-by-tile and never materialized.
 
@@ -364,11 +383,10 @@ def q_apply(points, vecs, block: int = _BLOCK):
         ``q @ vecs`` with the same trailing shape as ``vecs``.
     """
     points = jnp.asarray(points)
-    if points.dtype == jnp.float32:
+    if points.dtype == jnp.float32 and _pallas_ok(use_pallas):
         from . import pallas_kernels
 
-        if pallas_kernels.pallas_available():
-            return pallas_kernels.pallas_q_apply_rect(points, points, vecs)
+        return pallas_kernels.pallas_q_apply_rect(points, points, vecs)
     V = jnp.asarray(vecs, dtype=points.dtype)
     squeeze = V.ndim == 1
     if squeeze:
@@ -386,21 +404,20 @@ def q_apply(points, vecs, block: int = _BLOCK):
     return out
 
 
-@partial(jax.jit, static_argnames=("block",))
-def q_apply_rect(eval_sites, src_sites, vecs, block: int = _BLOCK):
+@partial(jax.jit, static_argnames=("block", "use_pallas"))
+def q_apply_rect(eval_sites, src_sites, vecs, block: int = _BLOCK, use_pallas=None):
     """Matrix-free rectangular ``q @ vecs``: rows are ``eval_sites``,
     columns are ``src_sites`` (coincident points contribute zero, matching
     the zero diagonal of the square kernel).  Used by the row-sharded
     multi-chip self-field (:mod:`superscreen_tpu.parallel`)."""
     eval_sites = jnp.asarray(eval_sites)
     src_sites = jnp.asarray(src_sites)
-    if eval_sites.dtype == jnp.float32:
+    if eval_sites.dtype == jnp.float32 and _pallas_ok(use_pallas):
         from . import pallas_kernels
 
-        if pallas_kernels.pallas_available():
-            return pallas_kernels.pallas_q_apply_rect(
-                eval_sites, src_sites, vecs
-            )
+        return pallas_kernels.pallas_q_apply_rect(
+            eval_sites, src_sites, vecs
+        )
     V = jnp.asarray(vecs, dtype=eval_sites.dtype)
     squeeze = V.ndim == 1
     if squeeze:

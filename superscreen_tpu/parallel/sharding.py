@@ -167,7 +167,7 @@ def sharded_biot_savart(mesh, src_sites, src_areas, J, dst_sites, dz2):
 
     f = jax.shard_map(
         lambda s, a, Jl, d, z: kernels.biot_savart_film_to_film_dz2(
-            s, a, Jl, d, z
+            s, a, Jl, d, z, use_pallas=True
         ),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None, None), P("model", None), P()),
@@ -228,7 +228,7 @@ def sharded_self_field(mesh, sites, weights, g):
     # is added on the replicated arrays afterwards.
     f = jax.shard_map(
         lambda s_shard, s_full, wg_full: -kernels.q_apply_rect(
-            s_shard, s_full, wg_full.T
+            s_shard, s_full, wg_full.T, use_pallas=True
         ).T,
         mesh=mesh,
         in_specs=(P("model", None), P(), P("data", None)),
