@@ -257,3 +257,22 @@ def test_sharded_self_field_matches_unsharded(two_rings, model):
         kernels.Q_apply(sites, weights, (weights[None, :] * g).T)
     ).T
     assert np.abs(out - ref).max() <= 1e-10 * np.abs(ref).max()
+
+
+def test_solve_many_sharding_arg(two_rings, model):
+    """solve_many(sharding=...) over the data axis matches unsharded."""
+    from superscreen_tpu.parallel import batch_sharding, make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    fields = [sc.sources.ConstantField(v) for v in np.linspace(0.2, 1.0, n_dev)]
+    ref = solve_many(model=model, applied_fields=fields, field_units="mT",
+                     iterations=1)
+    sharded = solve_many(model=model, applied_fields=fields, field_units="mT",
+                         iterations=1, sharding=batch_sharding(mesh))
+    for film in two_rings.films:
+        a = ref.streams[film]
+        b = sharded.streams[film]
+        assert np.allclose(a, b, rtol=1e-10, atol=1e-12)
