@@ -1,0 +1,206 @@
+"""FFT-accelerated inter-film Biot-Savart coupling (opt-in).
+
+For films separated by ``dz > 0``, the screening field of a sheet current
+with stream function ``g`` has an exact Fourier representation:
+
+.. math::
+
+    \\hat{H}_z(\\vec{k}, dz) = \\tfrac{k}{2} e^{-k\\,dz}\\, \\hat{g}(\\vec{k})
+
+(the 2D Fourier transform of the dipole kernel; see e.g. Tafuri & Kirtley
+reviews of scanning SQUID microscopy).  Instead of the O(n_a * n_b) dense
+pairwise sum, the coupling becomes:
+
+1. evaluate ``g_a`` on a regular grid (piecewise-linear interpolation on
+   the source mesh; exact for the FEM representation of ``g``),
+2. rfft2, multiply by the analytic transfer factor ``(k/2) e^{-k dz}``,
+   irfft2,
+3. sample the grid field at the destination sites (bilinear).
+
+Cost: O(n + G^2 log G) per pair instead of O(n_a n_b).  At moderate
+sizes (<~50k sites/film) the exact Pallas kernel is faster on TPU (the
+mesh<->grid scatters dominate); the FFT path wins for 100k+ sites per
+film, where the exact kernel costs hundreds of ms per pair.  Error
+sources, both measured: FFT wraparound ~ pad_factor^-3 (the dipole far
+field; default pad 3x -> ~7e-3 per application), and the discrete
+kernel's own O(mesh_h^2) quadrature error -- refining the mesh shrinks
+the gap to the exact kernel (4.3e-3 -> 7.6e-4 from mesh 0.2 -> 0.05 at
+dz=1).  Same-plane films (dz ~ 0) must use the exact kernel.
+
+The mesh<->grid interpolation operators are built once on the host
+(:func:`build_fft_coupling_data`) and applied as segment-sum sparse
+matvecs inside jit.
+"""
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["FilmGridData", "build_film_grid_data", "fft_coupling_field"]
+
+
+class FilmGridData(NamedTuple):
+    """Per-film grid interpolation data for FFT coupling.
+
+    The grid is shared by all films of a device (one bounding box).
+    ``m2g_*``: sparse (G*G, n) piecewise-linear interpolation of mesh
+    values onto grid points (rows: grid indices with any support).
+    ``g2m_*``: sparse (n, G*G) bilinear sampling of grid values at mesh
+    sites.  ``kmag``: |k| on the rfft2 grid, shape (G, G // 2 + 1) --
+    the grid size G is recovered from its (static) shape.
+    """
+
+    m2g_rows: jnp.ndarray
+    m2g_cols: jnp.ndarray
+    m2g_vals: jnp.ndarray
+    g2m_rows: jnp.ndarray
+    g2m_cols: jnp.ndarray
+    g2m_vals: jnp.ndarray
+    kmag: jnp.ndarray
+
+
+def _grid_axes(all_sites, h, pad_factor=3.0):
+    """A common square grid covering all films with zero-padding margin."""
+    mins = np.min([s.min(axis=0) for s in all_sites], axis=0)
+    maxs = np.max([s.max(axis=0) for s in all_sites], axis=0)
+    center = 0.5 * (mins + maxs)
+    span = float((maxs - mins).max()) * pad_factor
+    G = int(2 ** np.ceil(np.log2(span / h + 1)))
+    x = center[0] - span / 2 + np.arange(G) * (span / G)
+    y = center[1] - span / 2 + np.arange(G) * (span / G)
+    return x, y, span / G
+
+
+def build_film_grid_data(
+    device, h: float = None, pad_factor: float = 3.0
+) -> Dict[str, FilmGridData]:
+    """Builds per-film grid interpolation data for FFT coupling.
+
+    Args:
+        device: A meshed :class:`Device`.
+        h: Grid spacing (defaults to the smallest mean mesh edge length
+            among the films).
+        pad_factor: Bounding-box padding against FFT wraparound.
+
+    Returns:
+        ``{film_name: FilmGridData}``.
+    """
+    import matplotlib.tri as mtri
+
+    meshes = device.meshes
+    all_sites = [m.sites for m in meshes.values()]
+    if h is None:
+        h = min(
+            float(np.mean(m.edge_mesh.edge_lengths)) for m in meshes.values()
+        )
+    gx, gy, dx = _grid_axes(all_sites, h, pad_factor)
+    G = len(gx)
+    XX, YY = np.meshgrid(gx, gy, indexing="ij")
+    grid_pts = np.stack([XX.ravel(), YY.ravel()], axis=1)
+
+    # rfft2 wavenumbers for the shared grid.
+    kx = 2 * np.pi * np.fft.fftfreq(G, d=dx)
+    ky = 2 * np.pi * np.fft.rfftfreq(G, d=dx)
+    kmag = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+
+    out = {}
+    dtype = device.solve_dtype
+    for name, mesh in meshes.items():
+        sites = mesh.sites
+        tri = mesh.triangulation
+        finder = tri.get_trifinder()
+        # mesh -> grid: barycentric weights of each grid point's triangle.
+        t_idx = finder(grid_pts[:, 0], grid_pts[:, 1])
+        inside = t_idx >= 0
+        gi = np.flatnonzero(inside)
+        tris = mesh.elements[t_idx[gi]]
+        p = grid_pts[gi]
+        a, b, c = (sites[tris[:, k]] for k in range(3))
+        det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (c[:, 0] - a[:, 0])
+        w0 = (
+            (b[:, 0] - p[:, 0]) * (c[:, 1] - p[:, 1])
+            - (b[:, 1] - p[:, 1]) * (c[:, 0] - p[:, 0])
+        ) / det
+        w1 = (
+            (c[:, 0] - p[:, 0]) * (a[:, 1] - p[:, 1])
+            - (c[:, 1] - p[:, 1]) * (a[:, 0] - p[:, 0])
+        ) / det
+        w2 = 1.0 - w0 - w1
+        m2g_rows = np.repeat(gi, 3)
+        m2g_cols = tris.ravel()
+        m2g_vals = np.stack([w0, w1, w2], axis=1).ravel()
+
+        # grid -> mesh: bilinear weights of the 4 surrounding grid points.
+        fx = (sites[:, 0] - gx[0]) / dx
+        fy = (sites[:, 1] - gy[0]) / dx
+        ix0 = np.clip(np.floor(fx).astype(int), 0, G - 2)
+        iy0 = np.clip(np.floor(fy).astype(int), 0, G - 2)
+        tx = np.clip(fx - ix0, 0.0, 1.0)
+        ty = np.clip(fy - iy0, 0.0, 1.0)
+        n = len(sites)
+        rows, cols, vals = [], [], []
+        for ox, oy, w in (
+            (0, 0, (1 - tx) * (1 - ty)),
+            (1, 0, tx * (1 - ty)),
+            (0, 1, (1 - tx) * ty),
+            (1, 1, tx * ty),
+        ):
+            rows.append(np.arange(n))
+            cols.append((ix0 + ox) * G + (iy0 + oy))
+            vals.append(w)
+        g2m_rows = np.concatenate(rows)
+        g2m_cols = np.concatenate(cols)
+        g2m_vals = np.concatenate(vals)
+
+        out[name] = FilmGridData(
+            m2g_rows=jnp.asarray(m2g_rows),
+            m2g_cols=jnp.asarray(m2g_cols),
+            m2g_vals=jnp.asarray(m2g_vals.astype(dtype)),
+            g2m_rows=jnp.asarray(g2m_rows),
+            g2m_cols=jnp.asarray(g2m_cols),
+            g2m_vals=jnp.asarray(g2m_vals.astype(dtype)),
+            kmag=jnp.asarray(kmag.astype(dtype)),
+        )
+    return out
+
+
+@jax.jit
+def fft_source_spectrum(src: FilmGridData, g):
+    """rfft2 of the source stream function on the grid: g (B, n) ->
+    (B, G, G//2+1) complex."""
+    G = src.kmag.shape[0]
+    contrib = src.m2g_vals[None, :] * g[:, src.m2g_cols]
+    grid_g = jax.ops.segment_sum(
+        contrib.T, src.m2g_rows, num_segments=G * G
+    ).T.reshape(g.shape[0], G, G)
+    return jnp.fft.rfft2(grid_g)
+
+
+@jax.jit
+def fft_coupling_field(src: FilmGridData, dst: FilmGridData, spectrum, dz):
+    """Field at the destination sites from a precomputed source spectrum.
+
+    Args:
+        src, dst: Grid data (must share one grid).
+        spectrum: ``(B, G, G//2+1)`` from :func:`fft_source_spectrum`.
+        dz: |z_dst - z_src| (traced scalar, must be > 0 for accuracy).
+
+    Returns:
+        ``(B, n_dst)`` H_z at the destination sites.
+    """
+    k = src.kmag
+    transfer = 0.5 * k * jnp.exp(-k * jnp.abs(dz))
+    B = spectrum.shape[0]
+    G = src.kmag.shape[0]
+    field_grid = jnp.fft.irfft2(spectrum * transfer[None], s=(G, G))
+    flat = field_grid.reshape(B, G * G)
+    contrib = dst.g2m_vals[None, :] * flat[:, dst.g2m_cols]
+    # g2m has exactly 4 entries per destination site.
+    return jax.ops.segment_sum(
+        contrib.T, dst.g2m_rows, num_segments=dst.g2m_rows.shape[0] // 4
+    ).T

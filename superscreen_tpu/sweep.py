@@ -81,6 +81,8 @@ class FilmSweepData:
     # Matrix-free CG films (fac_kind == "cg"): operator pieces for
     # ops.linalg.brandt_matvec / brandt_cg_solve.
     cg_op: Optional[dict] = None
+    # Grid interpolation data for FFT-accelerated coupling (opt-in).
+    fft_grid: Optional["object"] = None
 
 
 _FSD_ARRAY_FIELDS = (
@@ -89,7 +91,7 @@ _FSD_ARRAY_FIELDS = (
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
     "vortex_scales", "g_offset", "ha_offset", "tri_centroids", "tri_areas",
     "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
-    "cg_op",
+    "cg_op", "fft_grid",
 )
 _FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind", "terminal")
 
@@ -364,6 +366,47 @@ def _solve_film_batch(
     return g, J, self_field
 
 
+def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
+    """One full inter-film coupling exchange.
+
+    ``coupling="exact"``: O(n^2) pairwise Biot-Savart per ordered pair.
+    ``coupling="fft"``: each source's stream function is transformed once
+    (grid interpolation + rfft2) and every destination applies the
+    analytic transfer ``(k/2) e^(-k dz)`` -- O(n + G^2 log G) per film
+    pair; requires films on distinct layer heights.
+    """
+    new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
+    if coupling == "fft":
+        from .ops import fft_coupling
+
+        spectra = {
+            name: fft_coupling.fft_source_spectrum(
+                film_data[name].fft_grid, streams[name]
+            )
+            for name in films
+        }
+        for src in films:
+            for dst in films:
+                if src == dst:
+                    continue
+                dz = jnp.abs(film_data[dst].z0 - film_data[src].z0)
+                new_others[dst] = new_others[dst] + fft_coupling.fft_coupling_field(
+                    film_data[src].fft_grid,
+                    film_data[dst].fft_grid,
+                    spectra[src],
+                    dz,
+                )
+        return new_others
+    for src in films:
+        for dst in films:
+            if src == dst:
+                continue
+            new_others[dst] = new_others[dst] + _film_to_film_batch(
+                film_data[src], film_data[dst], Js[src]
+            )
+    return new_others
+
+
 def _film_to_film_batch(src: FilmSweepData, dst: FilmSweepData, J_src):
     """Batched inter-film Biot-Savart: J_src (B, n_src, 2) -> (B, n_dst).
 
@@ -474,6 +517,9 @@ _solve_film_batch_jit = partial(
     jax.jit, static_argnames=("refine_steps", "compute_self_field")
 )(_solve_film_batch)
 _film_to_film_batch_jit = jax.jit(_film_to_film_batch)
+_coupling_round_jit = partial(
+    jax.jit, static_argnames=("films", "coupling")
+)(_coupling_round)
 _self_field_batch_jit = jax.jit(_self_field_batch)
 
 
@@ -489,7 +535,8 @@ def _strip_metadata(film_data):
 
 
 def _run_sweep_staged(
-    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+    coupling="exact",
 ):
     """Stage-jitted sweep: the per-film batched solve and the pairwise
     coupling kernel are compiled once each (films share padded shapes) and
@@ -511,17 +558,9 @@ def _run_sweep_staged(
         streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(jnp.asarray(Hz_applied[name]))
     for _ in range(iterations):
-        new_others = {
-            name: jnp.zeros_like(jnp.asarray(Hz_applied[name]))
-            for name in films
-        }
-        for src in films:
-            for dst in films:
-                if src == dst:
-                    continue
-                new_others[dst] = new_others[dst] + _film_to_film_batch_jit(
-                    film_data[src], film_data[dst], Js[src]
-                )
+        new_others = _coupling_round_jit(
+            film_data, tuple(films), streams, Js, Hz_applied, coupling
+        )
         others = new_others
         for name in films:
             g, J, _ = _solve_film_batch_jit(
@@ -540,8 +579,11 @@ def _run_sweep_staged(
     return streams, Js, self_fields, others
 
 
-@partial(jax.jit, static_argnames=("iterations", "refine_steps"))
-def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps):
+@partial(jax.jit, static_argnames=("iterations", "refine_steps", "coupling"))
+def _run_sweep_fused(
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+    coupling="exact",
+):
     """The jitted sweep body: batched per-film solves plus ``iterations``
     rounds of batched inter-film coupling (a ``lax.fori_loop`` so the
     compiled program size is independent of the iteration count)."""
@@ -561,14 +603,9 @@ def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, ref
 
     def body(_, carry):
         streams, Js, others = carry
-        new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
-        for src in films:
-            for dst in films:
-                if src == dst:
-                    continue
-                new_others[dst] = new_others[dst] + _film_to_film_batch(
-                    film_data[src], film_data[dst], Js[src]
-                )
+        new_others = _coupling_round(
+            film_data, films, streams, Js, Hz_applied, coupling
+        )
         streams, Js = dict(streams), dict(Js)
         for name in films:
             g, J, _ = _solve_film_batch(
@@ -594,9 +631,10 @@ def _run_sweep_fused(film_data, Hz_applied, I_circ, vortex_flux, iterations, ref
     return streams, Js, self_fields, others
 
 
-@partial(jax.jit, static_argnames=("iterations", "refine_steps"))
+@partial(jax.jit, static_argnames=("iterations", "refine_steps", "coupling"))
 def _run_sweep_history(
-    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+    coupling="exact",
 ):
     """Like :func:`_run_sweep_fused` but records every self-consistent
     iteration (the reference ``solve`` returns one Solution per iteration,
@@ -621,15 +659,10 @@ def _run_sweep_history(
         g0[name], J0[name] = g, J
 
     def body(carry, _):
-        _, Js_prev = carry
-        new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
-        for src in films:
-            for dst in films:
-                if src == dst:
-                    continue
-                new_others[dst] = new_others[dst] + _film_to_film_batch(
-                    film_data[src], film_data[dst], Js_prev[src]
-                )
+        streams_prev, Js_prev = carry
+        new_others = _coupling_round(
+            film_data, films, streams_prev, Js_prev, Hz_applied, coupling
+        )
         streams_new, Js_new = {}, {}
         for name in films:
             g, J, _ = _solve_film_batch(
@@ -699,7 +732,8 @@ def _get_sweep_data(model) -> Dict[str, FilmSweepData]:
 
 
 def _run_sweep(
-    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+    film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+    coupling="exact",
 ):
     """Dispatches to the fully fused single-program runner (default --
     lowest dispatch overhead; its one-time compile cost is amortized by the
@@ -711,10 +745,11 @@ def _run_sweep(
     if os.environ.get("SUPERSCREEN_TPU_FUSED_SWEEP", "1") == "1":
         return _run_sweep_fused(
             film_data, Hz_applied, I_circ, vortex_flux, iterations,
-            refine_steps,
+            refine_steps, coupling,
         )
     return _run_sweep_staged(
-        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+        coupling,
     )
 
 
@@ -731,6 +766,7 @@ def solve_many(
     iterations: int = 0,
     refine_steps: int = 1,
     sharding: Optional["jax.sharding.Sharding"] = None,
+    coupling: str = "exact",
 ) -> SweepResult:
     """Solves a batch of models that share one factorization.
 
@@ -754,6 +790,14 @@ def solve_many(
         iterations: Self-consistent inter-film coupling rounds.
         refine_steps: Iterative-refinement rounds per solve.
         sharding: Optional sharding for the batch axis.
+        coupling: "exact" (O(n^2) pairwise Biot-Savart, the default) or
+            "fft" (analytic Fourier transfer on a shared grid,
+            O(n + G^2 log G) per film pair; requires films on distinct
+            layer heights). "fft" pays off for ~100k+ sites per film;
+            below that the exact Pallas kernel is faster. Agreement with
+            the exact kernel is limited by FFT wraparound (~7e-3 per
+            application at the default padding) and the mesh's own
+            quadrature error.
 
     Returns:
         A :class:`SweepResult`.
@@ -771,6 +815,23 @@ def solve_many(
     dtype = device.solve_dtype
     films = list(device.films)
     film_data = _get_sweep_data(model)
+    if coupling == "fft" and iterations > 0 and len(films) > 1:
+        from dataclasses import replace as _replace
+
+        from .ops.fft_coupling import build_film_grid_data
+
+        z0s = [device.layers[model.film_info[f].layer].z0 for f in films]
+        if len(set(np.round(z0s, 12))) != len(z0s):
+            raise ValueError(
+                "coupling='fft' requires films on distinct layer heights "
+                "(the analytic transfer suppresses no wavenumbers at "
+                "dz=0); use coupling='exact'."
+            )
+        grids = build_film_grid_data(device)
+        film_data = {
+            name: _replace(d, fft_grid=grids[name])
+            for name, d in film_data.items()
+        }
 
     field_conversion = field_conversion_factor(
         field_units, current_units, length_units=device.length_units,
@@ -857,7 +918,8 @@ def solve_many(
         I_circ = {k: jax.device_put(v, sharding) for k, v in I_circ.items()}
 
     streams, Js, self_fields, others = _run_sweep(
-        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps
+        film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
+        coupling,
     )
 
     # Convert fields back to field_units for storage.

@@ -276,3 +276,40 @@ def test_solve_many_sharding_arg(two_rings, model):
         a = ref.streams[film]
         b = sharded.streams[film]
         assert np.allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_fft_coupling_matches_exact(two_rings, model):
+    """The FFT-accelerated coupling agrees with the exact pairwise kernel
+    to the mesh's own quadrature accuracy."""
+    fields = [sc.sources.ConstantField(v) for v in (0.5, 1.5)]
+    exact = solve_many(model=model, applied_fields=fields, field_units="mT",
+                       iterations=3)
+    fft = solve_many(model=model, applied_fields=fields, field_units="mT",
+                     iterations=3, coupling="fft")
+    for film in two_rings.films:
+        a = exact.streams[film]
+        b = fft.streams[film]
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 2e-2 * scale
+    # The coupling fields themselves (the quantity approximated).
+    for film in two_rings.films:
+        oa = exact.other_fields[film]
+        ob = fft.other_fields[film]
+        # The fixture mesh is very coarse (max_edge 0.9 at dz=1),
+        # so the discrete kernel's own quadrature error dominates.
+        assert np.abs(oa - ob).max() < 1e-1 * np.abs(oa).max()
+
+
+def test_fft_coupling_same_plane_rejected(two_rings):
+    dev = two_rings.copy()
+    layers = [sc.Layer("layer0", Lambda=1, z0=0), sc.Layer("layer1", Lambda=1, z0=0)]
+    films = [
+        sc.Polygon("big_ring", layer="layer0", points=geo.circle(7.5, points=40)),
+        sc.Polygon("little_ring", layer="layer1", points=geo.circle(5, points=30)),
+    ]
+    d = sc.Device("flat", layers=layers, films=films, solve_dtype="float64")
+    d.make_mesh(max_edge_length=1.2)
+    m = sc.factorize_model(device=d, current_units="uA")
+    with pytest.raises(ValueError):
+        solve_many(model=m, applied_fields=[sc.sources.ConstantField(1)],
+                   field_units="mT", iterations=1, coupling="fft")
