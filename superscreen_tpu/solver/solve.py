@@ -297,14 +297,37 @@ def _solve_device_resident(
         eff_iterations,
         2,  # refine_steps, matching linalg.lu_solve_refined's default
     )
-    # One host transfer per film per quantity (the history axis rides
-    # along).  np.array (not asarray): zero-copy views of device buffers
-    # are read-only, and downstream consumers (matplotlib tri
-    # interpolators) write into these arrays.
-    gs = {k: np.array(v) for k, v in gs.items()}
-    Js = {k: np.array(v) for k, v in Js.items()}
-    selfs = {k: np.array(v) for k, v in selfs.items()}
-    others = {k: np.array(v) for k, v in others.items()}
+    # ONE host transfer for the whole history: pack every per-film
+    # quantity into a single flat device buffer (each tunnel round-trip
+    # costs ~0.1-1 s).  np.array copies below keep the final arrays
+    # writable (downstream matplotlib tri interpolators write in place).
+    import jax.numpy as _jnp
+
+    packed = _jnp.concatenate(
+        [
+            _jnp.ravel(arr)
+            for name in films
+            for arr in (gs[name], Js[name], selfs[name], others[name])
+        ]
+    )
+    flat = np.asarray(packed)
+    gs_h, Js_h, selfs_h, others_h = {}, {}, {}, {}
+    offset = 0
+
+    def _take(shape):
+        nonlocal offset
+        size = int(np.prod(shape))
+        out = np.array(flat[offset:offset + size]).reshape(shape)
+        offset += size
+        return out
+
+    for name in films:
+        hist_shape = gs[name].shape  # (H, B, n)
+        gs_h[name] = _take(hist_shape)
+        Js_h[name] = _take(hist_shape + (2,))
+        selfs_h[name] = _take(hist_shape)
+        others_h[name] = _take(hist_shape)
+    gs, Js, selfs, others = gs_h, Js_h, selfs_h, others_h
 
     inv = 1.0 / field_conversion
     n_solutions = 1 if (len(films) < 2 or iterations < 1) else iterations + 1
