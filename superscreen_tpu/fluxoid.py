@@ -1,9 +1,12 @@
-"""Fluxoid tools: enclosing polygons and fluxoid-state optimization.
+"""Fluxoid tools: hole-enclosing polygons and fluxoid-state optimization.
 
-Reference: ``superscreen/fluxoid.py``.
+Behavioral parity with the reference ``superscreen/fluxoid.py:13-119``,
+built on this package's own polygon kernel (``polygon_ops``) and batched
+solver.
 """
 
 import logging
+from contextlib import contextmanager
 from typing import Dict, List, Optional, Union
 
 import numpy as np
@@ -18,45 +21,69 @@ logger = logging.getLogger(__name__)
 __all__ = ["make_fluxoid_polygons", "find_fluxoid_solution"]
 
 
+def _hole_clearance(device: Device, hole_name: str) -> float:
+    """Distance from a hole's boundary to the nearest other polygon boundary
+    in the same layer (films and holes alike)."""
+    hole = device.holes[hole_name]
+    distances = [
+        pops.polygon_boundary_distance(hole.points, neighbor.points)
+        for neighbor in list(device.films.values()) + list(device.holes.values())
+        if neighbor.layer == hole.layer and neighbor.name != hole_name
+    ]
+    return min(distances)
+
+
 def make_fluxoid_polygons(
     device: Device,
     holes: Optional[Union[List[str], str]] = None,
     join_style: str = "mitre",
     interp_points: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """Generates polygons enclosing the given holes for fluxoid calculation:
-    each hole is buffered outward by half the minimum distance to any other
-    polygon in its layer (reference: ``fluxoid.py:13-52``).
+    """Build a polygon around each requested hole, suitable for evaluating
+    that hole's fluxoid.
+
+    Each hole boundary is offset outward by half its clearance to the nearest
+    neighboring polygon in the same layer, so the resulting contour stays in
+    superconductor and encloses only its own hole (reference
+    ``fluxoid.py:13-52``).
 
     Args:
-        device: The device.
-        holes: Hole name(s) (defaults to all holes).
-        join_style: Buffer join style.
-        interp_points: Resample the polygons to this many vertices.
+        device: The device whose holes to enclose.
+        holes: Hole name or list of names; all holes by default.
+        join_style: Corner treatment for the outward offset.
+        interp_points: If given, resample each polygon to this many vertices.
 
     Returns:
-        ``{hole_name: polygon_coordinates}``.
+        ``{hole_name: (m, 2) polygon coordinate array}``.
     """
-    device_polygons = {**device.films, **device.holes}
-    device_holes = device.holes
     if holes is None:
-        holes = list(device_holes)
-    if isinstance(holes, str):
-        holes = [holes]
-    polygons = {}
-    for name in holes:
-        hole = device_holes[name]
-        min_dist = min(
-            pops.polygon_boundary_distance(hole.points, other.points)
-            for other in device_polygons.values()
-            if other.layer == hole.layer and other.name != name
+        requested = list(device.holes)
+    elif isinstance(holes, str):
+        requested = [holes]
+    else:
+        requested = list(holes)
+
+    enclosing = {}
+    for name in requested:
+        offset = 0.5 * _hole_clearance(device, name)
+        contour = pops.buffer_polygon(
+            device.holes[name].points, offset, join_style=join_style
         )
-        delta = min_dist / 2
-        new_poly = pops.buffer_polygon(hole.points, delta, join_style=join_style)
         if interp_points:
-            new_poly = pops.resample_polygon(new_poly, interp_points)
-        polygons[name] = new_poly
-    return polygons
+            contour = pops.resample_polygon(contour, interp_points)
+        enclosing[name] = contour
+    return enclosing
+
+
+@contextmanager
+def _circulating_currents(model: FactorizedModel, currents: Dict[str, float]):
+    """Temporarily install ``currents`` on ``model``, restoring on exit."""
+    saved = model.circulating_currents
+    model.set_circulating_currents(currents)
+    try:
+        yield model
+    finally:
+        model.set_circulating_currents(saved)
 
 
 def find_fluxoid_solution(
@@ -64,58 +91,53 @@ def find_fluxoid_solution(
     fluxoids: Optional[Dict[str, float]] = None,
     **solve_kwargs,
 ) -> Solution:
-    """Solves for the circulating currents that realize the given fluxoid
-    state (in units of Phi_0 per hole), then returns the optimized solution.
+    """Find the circulating currents that put each hole in a prescribed
+    fluxoid state, and return the solution with those currents installed.
 
-    The circulating currents are the solution of ``M I = Phi_target - Phi_0``
-    where ``M`` is the mutual inductance matrix (reference:
+    The fluxoid is affine in the circulating currents, so one zero-current
+    solve plus the device's mutual-inductance matrix ``M`` determine the
+    answer: ``I = M^{-1} (Phi_target - Phi_zero_current)`` (reference
     ``fluxoid.py:55-119``).
 
     Args:
-        model: The factorized model.
-        fluxoids: ``{hole_name: fluxoid_in_Phi_0}`` (missing holes default
-            to 0).
-        solve_kwargs: Passed to :func:`superscreen_tpu.solve`.
+        model: Factorized model to optimize (its circulating currents are
+            restored before returning).
+        fluxoids: Target fluxoid per hole in units of ``Phi_0``; holes not
+            listed are targeted at 0.
+        solve_kwargs: Forwarded to :func:`superscreen_tpu.solve` (e.g.
+            ``applied_field``, ``iterations``).
+
+    Returns:
+        The optimized :class:`Solution`.
     """
-    device = model.device
-    fluxoids = fluxoids or {}
-    hole_names = list(device.holes)
-    current_units = model.current_units
-    inductance_units = f"Phi_0 / {current_units}"
-    solve_kwargs = solve_kwargs.copy()
+    targets = dict(fluxoids or {})
+    hole_names = list(model.device.holes)
     applied_field = solve_kwargs.pop("applied_field", None)
-    target_fluxoids = np.array([fluxoids.get(name, 0) for name in hole_names])
 
-    orig_circulating_currents = model.circulating_currents
-    try:
-        model.set_circulating_currents({name: 0 for name in hole_names})
-        solution_no_circ = solve(
-            model=model, applied_field=applied_field, **solve_kwargs
-        )[-1]
+    def last_solution() -> Solution:
+        return solve(model=model, applied_field=applied_field, **solve_kwargs)[-1]
 
-        if not hole_names:
-            if np.any(target_fluxoids):
-                raise ValueError(
-                    "Cannot calculate nonzero fluxoid solution for a device "
-                    "with no holes."
-                )
-            return solution_no_circ
+    if not hole_names:
+        if any(targets.values()):
+            raise ValueError(
+                "Cannot realize a nonzero fluxoid in a device with no holes."
+            )
+        with _circulating_currents(model, {}):
+            return last_solution()
 
-        base_fluxoids = np.array(
-            [
-                sum(solution_no_circ.hole_fluxoid(name)).to("Phi_0").magnitude
-                for name in hole_names
-            ]
-        )
-        M = device.mutual_inductance_matrix(units=inductance_units, **solve_kwargs)
-        I_circ = np.linalg.solve(
-            np.asarray(M.magnitude), target_fluxoids - base_fluxoids
-        )
-        circulating_currents = dict(zip(hole_names, I_circ))
-        model.set_circulating_currents(circulating_currents)
-        solution = solve(model=model, applied_field=applied_field, **solve_kwargs)[
-            -1
+    with _circulating_currents(model, dict.fromkeys(hole_names, 0)):
+        zero_current_solution = last_solution()
+    phi_zero = np.array(
+        [
+            sum(zero_current_solution.hole_fluxoid(name)).to("Phi_0").magnitude
+            for name in hole_names
         ]
-    finally:
-        model.set_circulating_currents(orig_circulating_currents)
-    return solution
+    )
+    phi_target = np.array([targets.get(name, 0) for name in hole_names])
+
+    mutuals = model.device.mutual_inductance_matrix(
+        units=f"Phi_0 / {model.current_units}", **solve_kwargs
+    )
+    optimal = np.linalg.solve(np.asarray(mutuals.magnitude), phi_target - phi_zero)
+    with _circulating_currents(model, dict(zip(hole_names, optimal))):
+        return last_solution()

@@ -1,114 +1,163 @@
 """Position-dependent parameters.
 
-API parity with the reference ``superscreen/parameter.py``: a ``Parameter``
-wraps a function ``f(x, y[, z], **kwargs)``; arithmetic between Parameters
-and numbers builds ``CompositeParameter`` expression trees.  Evaluation is
-NumPy/JAX-agnostic -- the wrapped function may consume and return either
-``numpy`` or ``jax.numpy`` arrays, so Parameters can be evaluated inside
-jitted computations (e.g. vmapped applied-field sweeps).
+A :class:`Parameter` wraps a user function ``f(x, y[, z], **kwargs)`` and can
+be combined with other Parameters and real numbers using ``+ - * / **``,
+yielding :class:`CompositeParameter` expression trees that evaluate lazily at
+given coordinates.  This mirrors the public contract of the reference package
+(``superscreen/parameter.py:65-339``) while using its own machinery:
+``inspect.signature``-based argument classification and a symbol-keyed
+operator table.
+
+Wrapped functions may consume/return numpy arrays (the default, used for
+host-side applied-field evaluation) and the evaluation path does not inspect
+values, so numeric array-likes flow through untouched.
 """
 
 import inspect
 import numbers
-import operator
 from typing import Callable, Optional, Union
 
 import numpy as np
 
 __all__ = ["Parameter", "CompositeParameter", "Constant"]
 
-
-class _FakeArgSpec:
-    def __init__(
-        self,
-        args=None,
-        varargs=None,
-        varkw=None,
-        defaults=None,
-        kwonlyargs=None,
-        kwonlydefaults=None,
-        annotations=None,
-    ):
-        self.args = args
-        self.varargs = varargs
-        self.varkw = varkw
-        self.defaults = defaults
-        self.kwonlyargs = kwonlyargs
-        self.kwonlydefaults = kwonlydefaults
-        self.annotations = annotations
+# Binary operations supported between parameter expressions, keyed by the
+# symbol used in reprs.  Callables from the ``operator`` module are accepted
+# as aliases for backward compatibility with the reference API.
+_OP_TABLE = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "**": lambda a, b: a**b,
+}
 
 
-def function_repr(func, argspec=None) -> str:
-    """Human-readable string representation for a function signature."""
-    if argspec is None:
-        argspec = inspect.getfullargspec(func)
-    args = [str(arg) for arg in (argspec.args or [])]
-    if argspec.defaults:
-        for i, val in enumerate(argspec.defaults[::-1]):
-            args[-(i + 1)] = args[-(i + 1)] + f"={val!r}"
-    if argspec.varargs:
-        args.append("*" + argspec.varargs)
-    if argspec.kwonlyargs:
-        if not argspec.varargs:
-            args.append("*")
-        args.extend(argspec.kwonlyargs)
-    if argspec.kwonlydefaults:
-        for i, name in enumerate(args):
-            if name in argspec.kwonlydefaults:
-                args[i] = args[i] + f"={argspec.kwonlydefaults[name]!r}"
-    if argspec.varkw:
-        args.append("**" + argspec.varkw)
-    return func.__name__ + "(" + ", ".join(args) + ")"
+def _op_symbol(op) -> str:
+    """Normalize an operator spec (symbol string or stdlib callable) to a symbol."""
+    import operator as _stdlib_operator
+
+    aliases = {
+        _stdlib_operator.add: "+",
+        _stdlib_operator.sub: "-",
+        _stdlib_operator.mul: "*",
+        _stdlib_operator.truediv: "/",
+        _stdlib_operator.pow: "**",
+    }
+    if isinstance(op, str):
+        symbol = op.strip()
+    else:
+        symbol = aliases.get(op)
+    if symbol not in _OP_TABLE:
+        raise ValueError(
+            f"Unsupported operator {op!r}; expected one of {sorted(_OP_TABLE)}."
+        )
+    return symbol
+
+
+def _classify_signature(func: Callable):
+    """Split ``func``'s signature into coordinate args, bound defaults, and
+    the set of names that may be overridden by keyword.
+
+    Returns ``(takes_z, defaults, overridable, accepts_any_kwarg)``.
+    Raises ``ValueError`` if the signature does not start with ``x, y``
+    (optionally followed by ``z``) or has required non-coordinate positional
+    arguments.
+    """
+    sig = inspect.signature(func)
+    params = list(sig.parameters.values())
+    positional_kinds = (
+        inspect.Parameter.POSITIONAL_ONLY,
+        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+    )
+    positional = [p.name for p in params if p.kind in positional_kinds]
+    if positional[:2] != ["x", "y"]:
+        raise ValueError(
+            f"Parameter functions must accept x and y as their first two "
+            f"arguments; got signature {func.__name__}{sig}."
+        )
+    takes_z = "z" in sig.parameters
+    n_coords = 2
+    if takes_z:
+        if len(positional) < 3 or positional[2] != "z":
+            raise ValueError(
+                f"If a parameter function accepts z, it must be the third "
+                f"positional argument; got signature {func.__name__}{sig}."
+            )
+        n_coords = 3
+    defaults = {}
+    overridable = set()
+    accepts_any = False
+    for p in params:
+        if p.name in ("x", "y", "z"):
+            continue
+        if p.kind == inspect.Parameter.VAR_KEYWORD:
+            accepts_any = True
+            continue
+        if p.kind == inspect.Parameter.VAR_POSITIONAL:
+            continue
+        if p.kind in positional_kinds and p.default is inspect.Parameter.empty:
+            raise ValueError(
+                f"Parameter function argument {p.name!r} must be a keyword "
+                f"argument (all non-coordinate arguments require defaults)."
+            )
+        overridable.add(p.name)
+        if p.default is not inspect.Parameter.empty:
+            defaults[p.name] = p.default
+    return takes_z, defaults, overridable, accepts_any
+
+
+def _coerce_coord(value):
+    """Bring a coordinate input to the canonical 1D form used for evaluation."""
+    return np.atleast_1d(np.squeeze(value))
+
+
+def _values_equal(a, b) -> bool:
+    """Tolerant equality for bound keyword values (handles arrays)."""
+    try:
+        return bool(np.all(np.asarray(a) == np.asarray(b)))
+    except Exception:
+        try:
+            return bool(a == b)
+        except Exception:
+            return False
 
 
 class Parameter:
-    """A callable computing a scalar or vector quantity as a function of
-    position coordinates ``x, y`` (and optionally ``z``).
+    """A callable ``f(x, y[, z])`` representing a physical quantity that
+    varies with position.
 
-    Supports ``+ - * / **`` with other Parameters and real numbers, producing
-    :class:`CompositeParameter` expression trees.
+    Arithmetic (``+ - * / **``) with other Parameters or real numbers builds
+    a lazy :class:`CompositeParameter` expression tree.
 
     Args:
-        func: The function evaluating the parameter.  Its first positional
-            arguments must be ``x, y`` (and optionally ``z`` third); all other
-            arguments must be keyword arguments.
-        kwargs: Keyword arguments bound to ``func``.
+        func: Function evaluating the parameter.  Must take ``x, y`` (and
+            optionally ``z`` third) positionally; every other argument must
+            have a default or be keyword-only.
+        kwargs: Values bound to ``func``'s keyword arguments for every
+            evaluation.
     """
 
-    __slots__ = ("func", "kwargs")
-
     def __init__(self, func: Callable, **kwargs):
-        argspec = inspect.getfullargspec(func)
-        args = argspec.args
-        num_args = 2
-        if args[:num_args] != ["x", "y"]:
-            raise ValueError(
-                "The first function arguments must be x and y, "
-                f"not {', '.join(args[:num_args])!r}."
-            )
-        if "z" in args:
-            if args.index("z") != num_args:
+        takes_z, defaults, overridable, accepts_any = _classify_signature(func)
+        if not accepts_any:
+            unknown = set(kwargs) - overridable
+            if unknown:
                 raise ValueError(
-                    "If the function takes an argument z, "
-                    "it must be the third argument (x, y, z)."
+                    f"Unknown keyword argument(s) {sorted(unknown)!r} for "
+                    f"parameter function {func.__name__}."
                 )
-            num_args = 3
-        defaults = argspec.defaults or []
-        if len(defaults) != len(args) - num_args:
-            raise ValueError(
-                "All arguments other than x, y, z must be keyword arguments."
-            )
-        defaults_dict = dict(zip(args[num_args:], defaults))
-        kwonlyargs = set(kwargs) - set(argspec.args[num_args:])
-        if not kwonlyargs.issubset(set(argspec.kwonlyargs or [])):
-            raise ValueError(
-                f"Provided keyword-only arguments ({kwonlyargs!r}) "
-                f"do not match the function signature: {function_repr(func)}."
-            )
-        defaults_dict.update(argspec.kwonlydefaults or {})
+        bound = dict(defaults)
+        bound.update(kwargs)
         self.func = func
-        self.kwargs = defaults_dict
-        self.kwargs.update(kwargs)
+        self.kwargs = bound
+
+    def _evaluate(self, x, y, z):
+        """Expression-node protocol: evaluate at already-coerced coordinates."""
+        call_kwargs = dict(self.kwargs)
+        if z is not None:
+            call_kwargs["z"] = z
+        return self.func(x, y, **call_kwargs)
 
     def __call__(
         self,
@@ -116,173 +165,147 @@ class Parameter:
         y: Union[int, float, np.ndarray],
         z: Optional[Union[int, float, np.ndarray]] = None,
     ):
-        kwargs = self.kwargs.copy()
-        x, y = np.atleast_1d(np.squeeze(x), np.squeeze(y))
+        x = _coerce_coord(x)
+        y = _coerce_coord(y)
         if z is not None:
-            kwargs["z"] = np.atleast_1d(np.squeeze(z))
-        result = np.asarray(self.func(x, y, **kwargs)).squeeze()
-        if result.ndim == 0:
-            result = result.item()
-        return result
+            z = _coerce_coord(z)
+        out = np.asarray(self._evaluate(x, y, z)).squeeze()
+        return out.item() if out.ndim == 0 else out
 
-    def _get_argspec(self) -> _FakeArgSpec:
-        if not self.kwargs:
-            return _FakeArgSpec(args=[], defaults=[])
-        kwargs, kwarg_values = list(zip(*self.kwargs.items()))
-        return _FakeArgSpec(args=list(kwargs), defaults=kwarg_values)
+    def _describe(self) -> str:
+        """Render this node for use inside a repr."""
+        bound = ", ".join(f"{k}={v!r}" for k, v in self.kwargs.items())
+        coords = "x, y" + (", z" if "z" in inspect.signature(self.func).parameters else "")
+        inner = coords if not bound else f"{coords}, {bound}"
+        return f"{self.func.__name__}({inner})"
 
     def __repr__(self) -> str:
-        func_repr = function_repr(self.func, argspec=self._get_argspec())
-        return f"{self.__class__.__name__}<{func_repr}>"
-
-    def __add__(self, other):
-        return CompositeParameter(self, other, operator.add)
-
-    def __radd__(self, other):
-        return CompositeParameter(other, self, operator.add)
-
-    def __sub__(self, other):
-        return CompositeParameter(self, other, operator.sub)
-
-    def __rsub__(self, other):
-        return CompositeParameter(other, self, operator.sub)
-
-    def __mul__(self, other):
-        return CompositeParameter(self, other, operator.mul)
-
-    def __rmul__(self, other):
-        return CompositeParameter(other, self, operator.mul)
-
-    def __truediv__(self, other):
-        return CompositeParameter(self, other, operator.truediv)
-
-    def __rtruediv__(self, other):
-        return CompositeParameter(other, self, operator.truediv)
-
-    def __pow__(self, other):
-        return CompositeParameter(self, other, operator.pow)
-
-    def __rpow__(self, other):
-        return CompositeParameter(other, self, operator.pow)
+        return f"{type(self).__name__}<{self._describe()}>"
 
     def __eq__(self, other) -> bool:
-        if other is self:
+        if self is other:
             return True
-        if not isinstance(other, Parameter):
-            return False
+        if type(other) is not type(self):
+            return NotImplemented
         if self.func.__code__ != other.func.__code__:
             return False
+        if set(self.kwargs) != set(other.kwargs):
+            return False
+        return all(_values_equal(v, other.kwargs[k]) for k, v in self.kwargs.items())
 
-        def _eq(a, b):
-            try:
-                return bool(np.all(np.asarray(a) == np.asarray(b)))
-            except Exception:
-                return a == b
+    # -- operator overloads ------------------------------------------------
+    def __add__(self, other):
+        return CompositeParameter(self, other, "+")
 
-        return set(self.kwargs) == set(other.kwargs) and all(
-            _eq(v, other.kwargs[k]) for k, v in self.kwargs.items()
-        )
+    def __radd__(self, other):
+        return CompositeParameter(other, self, "+")
+
+    def __sub__(self, other):
+        return CompositeParameter(self, other, "-")
+
+    def __rsub__(self, other):
+        return CompositeParameter(other, self, "-")
+
+    def __mul__(self, other):
+        return CompositeParameter(self, other, "*")
+
+    def __rmul__(self, other):
+        return CompositeParameter(other, self, "*")
+
+    def __truediv__(self, other):
+        return CompositeParameter(self, other, "/")
+
+    def __rtruediv__(self, other):
+        return CompositeParameter(other, self, "/")
+
+    def __pow__(self, other):
+        return CompositeParameter(self, other, "**")
+
+    def __rpow__(self, other):
+        return CompositeParameter(other, self, "**")
 
 
 class CompositeParameter(Parameter):
-    """The result of arithmetic between Parameters and/or real numbers.
-
-    Args:
-        left: Left operand (number, Parameter, or CompositeParameter).
-        right: Right operand.
-        op: The binary operator (or its string form, one of ``+ - * / **``).
+    """An interior node of a parameter expression tree: ``left <op> right``
+    where each operand is a number, :class:`Parameter`, or another
+    CompositeParameter.
     """
 
-    VALID_OPERATORS = {
-        operator.add: "+",
-        operator.sub: "-",
-        operator.mul: "*",
-        operator.truediv: "/",
-        operator.pow: "**",
-    }
-
-    __slots__ = ("left", "right", "operator")
+    # Kept for API compatibility with code that introspects valid operators.
+    VALID_OPERATORS = tuple(_OP_TABLE)
 
     def __init__(self, left, right, op):
-        valid_types = (int, float, Parameter, CompositeParameter)
-        if not isinstance(left, valid_types):
+        for name, operand in (("left", left), ("right", right)):
+            if not isinstance(operand, (numbers.Real, Parameter)):
+                raise TypeError(
+                    f"CompositeParameter {name} operand must be a real number "
+                    f"or Parameter, not {type(operand).__name__}."
+                )
+        if not (isinstance(left, Parameter) or isinstance(right, Parameter)):
             raise TypeError(
-                f"Left must be a number, Parameter, or CompositeParameter, "
-                f"not {type(left)!r}."
-            )
-        if not isinstance(right, valid_types):
-            raise TypeError(
-                f"Right must be a number, Parameter, or CompositeParameter, "
-                f"not {type(right)!r}."
-            )
-        if isinstance(left, numbers.Real) and isinstance(right, numbers.Real):
-            raise TypeError(
-                "Either left or right must be a Parameter or CompositeParameter."
-            )
-        if isinstance(op, str):
-            operators = {v: k for k, v in self.VALID_OPERATORS.items()}
-            op = operators.get(op.strip(), None)
-        if op not in self.VALID_OPERATORS:
-            raise ValueError(
-                f"Unknown operator, {op!r}. "
-                f"Valid operators are {list(self.VALID_OPERATORS.values())!r}."
+                "At least one CompositeParameter operand must be a Parameter."
             )
         self.left = left
         self.right = right
-        self.operator = op
+        self.operator = _op_symbol(op)
+
+    def _evaluate(self, x, y, z):
+        def branch(node):
+            if isinstance(node, Parameter):
+                return node._evaluate(x, y, z)
+            return node  # plain number
+
+        return _OP_TABLE[self.operator](branch(self.left), branch(self.right))
 
     def __call__(self, x, y, z=None):
-        left_val = (
-            self.left if isinstance(self.left, numbers.Real) else self.left(x, y, z)
-        )
-        right_val = (
-            self.right
-            if isinstance(self.right, numbers.Real)
-            else self.right(x, y, z)
-        )
-        return self.operator(left_val, right_val)
+        x = _coerce_coord(x)
+        y = _coerce_coord(y)
+        if z is not None:
+            z = _coerce_coord(z)
+        return self._evaluate(x, y, z)
 
-    def _bare_repr(self) -> str:
-        op_str = self.VALID_OPERATORS[self.operator]
+    def _describe(self) -> str:
+        def side(node):
+            return node._describe() if isinstance(node, Parameter) else repr(node)
 
-        def _repr(side):
-            if isinstance(side, CompositeParameter):
-                return side._bare_repr()
-            if isinstance(side, Parameter):
-                return function_repr(side.func, side._get_argspec())
-            return str(side)
-
-        return f"({_repr(self.left)} {op_str} {_repr(self.right)})"
+        return f"({side(self.left)} {self.operator} {side(self.right)})"
 
     def __repr__(self) -> str:
-        return f"{self.__class__.__name__}<{self._bare_repr()}>"
+        return f"{type(self).__name__}<{self._describe()}>"
 
     def __eq__(self, other) -> bool:
-        if other is self:
+        if self is other:
             return True
-        if not isinstance(other, type(self)):
-            return False
+        if type(other) is not type(self):
+            return NotImplemented
         return (
-            self.left == other.left
+            self.operator == other.operator
+            and self.left == other.left
             and self.right == other.right
-            and self.operator is other.operator
         )
+
+
+def _constant_2d(x, y, value=0.0):
+    return np.full(np.shape(np.asarray(x, dtype=float)), value, dtype=float)
+
+
+def _constant_3d(x, y, z, value=0.0):
+    return np.full(np.shape(np.asarray(x, dtype=float)), value, dtype=float)
 
 
 class Constant(Parameter):
-    """A Parameter whose value does not depend on position."""
+    """A position-independent :class:`Parameter` (returns ``value`` everywhere).
+
+    Args:
+        value: The constant value.
+        dimensions: 2 for ``f(x, y)``, 3 for ``f(x, y, z)``.
+    """
 
     def __init__(self, value, dimensions: int = 2):
-        if dimensions not in (2, 3):
-            raise ValueError(f"Dimensions must be 2 or 3, got {dimensions}.")
         if dimensions == 2:
-
-            def constant(x, y, value=0):
-                return value * np.ones_like(np.asarray(x, dtype=float))
-
+            base = _constant_2d
+        elif dimensions == 3:
+            base = _constant_3d
         else:
-
-            def constant(x, y, z, value=0):
-                return value * np.ones_like(np.asarray(x, dtype=float))
-
-        super().__init__(constant, value=value)
+            raise ValueError(f"dimensions must be 2 or 3, got {dimensions}.")
+        super().__init__(base, value=value)

@@ -166,7 +166,7 @@ def test_device_hdf5_roundtrip(device, tmp_path):
     assert set(loaded.meshes) == {"disk", "ring"}
     # Position-dependent Lambda round-trips via dill.
     dev2 = device.copy(with_mesh=False)
-    dev2.layers["layer1"]._Lambda = sc.Parameter(
+    dev2.layers["layer1"].Lambda = sc.Parameter(
         lambda x, y, a=1: a + 0 * x, a=2
     )
     path2 = tmp_path / "device2.h5"
