@@ -62,6 +62,7 @@ class Mesh:
         self.edge_mesh = edge_mesh
         self.operators: Optional[MeshOperators] = None
         self._triangulation = None
+        self._spatial_index = None
         if build_operators:
             self.operators = MeshOperators.from_mesh(self)
 
@@ -75,6 +76,28 @@ class Mesh:
                 self.sites[:, 0], self.sites[:, 1], self.elements
             )
         return self._triangulation
+
+    @property
+    def spatial_index(self):
+        """Uniform-grid triangle index for device-resident interpolation
+        (built lazily, cached)."""
+        if self._spatial_index is None:
+            from ..ops import interp
+
+            self._spatial_index = interp.build_triangle_index(
+                self.sites, self.elements
+            )
+        return self._spatial_index
+
+    def vertex_gradient(self, values: np.ndarray) -> np.ndarray:
+        """Per-vertex gradient ``(n, 2)`` of per-vertex scalar ``values``
+        via the AGS vertex-gradient operators."""
+        ops = self.operators
+        if ops is None:
+            raise RuntimeError("Mesh was built without operators.")
+        return np.stack(
+            [ops.gradient_x.matvec(values), ops.gradient_y.matvec(values)], axis=-1
+        )
 
     def stats(self) -> Dict[str, Union[int, float]]:
         """A dictionary of information about the mesh."""

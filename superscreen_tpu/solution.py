@@ -1,27 +1,23 @@
 """Solution containers and post-processing.
 
-API parity with the reference ``superscreen/solution.py``: ``FilmSolution``
-holds raw per-film results; ``Solution`` provides interpolation, flux/fluxoid
-integrals, and field/vector-potential evaluation anywhere in space (via the
-blocked JAX Biot-Savart kernels).
+``FilmSolution`` holds the raw per-film arrays produced by the solver;
+``Solution`` layers post-processing on top: interpolation (device-resident
+barycentric, :mod:`superscreen_tpu.ops.interp`), flux and fluxoid integrals,
+and field / vector-potential evaluation anywhere in space via the blocked
+JAX Biot-Savart kernels.
+
+Public API matches the reference ``superscreen/solution.py:39-1155``; the
+implementation is this package's own (the reference interpolates through
+``matplotlib.tri`` on the host and evaluates Biot-Savart sums with numba).
 """
 
 import datetime as dt
 import logging
+import numbers
 import os
-from contextlib import nullcontext
-from dataclasses import dataclass
-from typing import (
-    Any,
-    Callable,
-    Dict,
-    List,
-    Literal,
-    NamedTuple,
-    Optional,
-    Sequence,
-    Union,
-)
+from contextlib import contextmanager, nullcontext
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Literal, NamedTuple, Optional, Sequence, Union
 
 import h5py
 import numpy as np
@@ -30,6 +26,7 @@ from .about import version_dict
 from .device import Device, Polygon
 from .geometry import path_vectors
 from .io import deserialize_obj, serialize_obj
+from .ops import interp as interp_ops
 from .ops.fem import in_polygon
 from .parameter import Constant
 from .sources.current import biot_savart_2d
@@ -70,59 +67,51 @@ class Vortex:
     nPhi0: float = 1
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
-        h5group.attrs["x"] = self.x
-        h5group.attrs["y"] = self.y
-        h5group.attrs["film"] = self.film
-        h5group.attrs["nPhi0"] = self.nPhi0
+        for key in ("x", "y", "film", "nPhi0"):
+            h5group.attrs[key] = getattr(self, key)
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "Vortex":
-        return Vortex(
-            x=h5group.attrs["x"],
-            y=h5group.attrs["y"],
-            film=h5group.attrs["film"],
-            nPhi0=h5group.attrs["nPhi0"],
-        )
+        attrs = h5group.attrs
+        return Vortex(attrs["x"], attrs["y"], attrs["film"], attrs["nPhi0"])
 
 
+@dataclass(eq=False)
 class FilmSolution:
-    """Raw solution data for a single film (all arrays are in solver units:
-    fields in ``current_units / length_units``... converted to
-    ``field_units`` by the solver before construction).
+    """Raw per-film solver output, in ``field_units`` / ``current_units`` /
+    ``device.length_units``.
 
     Args:
-        stream: The stream function at the mesh sites.
-        current_density: The sheet current density at the mesh sites.
-        applied_field: The applied field at the mesh sites.
-        self_field: The field from screening currents in this film.
-        field_from_other_films: The field from screening currents in other
-            films, if any.
+        stream: Stream function at the mesh sites.
+        current_density: Sheet current density at the mesh sites.
+        applied_field: Applied field at the mesh sites.
+        self_field: Field from this film's own screening currents.
+        field_from_other_films: Screening field from all other films, if any.
     """
 
-    def __init__(
-        self,
-        stream: np.ndarray,
-        current_density: np.ndarray,
-        applied_field: np.ndarray,
-        self_field: np.ndarray,
-        field_from_other_films: Optional[np.ndarray] = None,
-    ):
-        self.stream = np.asarray(stream)
-        self.current_density = np.asarray(current_density)
-        self.applied_field = np.asarray(applied_field)
-        self.self_field = np.asarray(self_field)
-        if field_from_other_films is not None:
-            field_from_other_films = np.asarray(field_from_other_films)
-        self.field_from_other_films = field_from_other_films
-        self._total_field: Optional[np.ndarray] = None
+    stream: np.ndarray
+    current_density: np.ndarray
+    applied_field: np.ndarray
+    self_field: np.ndarray
+    field_from_other_films: Optional[np.ndarray] = None
+    _total_field: Optional[np.ndarray] = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self.stream = np.asarray(self.stream)
+        self.current_density = np.asarray(self.current_density)
+        self.applied_field = np.asarray(self.applied_field)
+        self.self_field = np.asarray(self.self_field)
+        if self.field_from_other_films is not None:
+            self.field_from_other_films = np.asarray(self.field_from_other_films)
 
     @property
     def total_field(self) -> np.ndarray:
-        """The total out-of-plane field in the film."""
+        """Total out-of-plane field in the film."""
         if self._total_field is None:
-            self._total_field = self.applied_field + self.self_field
+            total = self.applied_field + self.self_field
             if self.field_from_other_films is not None:
-                self._total_field = self._total_field + self.field_from_other_films
+                total = total + self.field_from_other_films
+            self._total_field = total
         return self._total_field
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
@@ -135,39 +124,59 @@ class FilmSolution:
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "FilmSolution":
-        field_from_other_films = h5group.get("field_from_other_films", None)
-        if field_from_other_films is not None:
-            field_from_other_films = np.array(field_from_other_films)
-        return FilmSolution(
-            stream=np.array(h5group["stream"]),
-            current_density=np.array(h5group["current_density"]),
-            applied_field=np.array(h5group["applied_field"]),
-            self_field=np.array(h5group["self_field"]),
-            field_from_other_films=field_from_other_films,
-        )
+        data = {key: np.array(val) for key, val in h5group.items()}
+        return FilmSolution(**data)
 
     def is_close(
         self, other: "FilmSolution", rtol: float = 1e-4, atol: float = 1e-7
     ) -> bool:
         """Whether two FilmSolutions agree within tolerances."""
-        kw = dict(rtol=rtol, atol=atol)
+
+        def close(a, b):
+            return np.allclose(a, b, rtol=rtol, atol=atol)
+
         return (
-            np.allclose(self.stream, other.stream, **kw)
-            and np.allclose(self.applied_field, other.applied_field, **kw)
-            and np.allclose(self.self_field, other.self_field, **kw)
-            and np.allclose(self.total_field, other.total_field, **kw)
+            close(self.stream, other.stream)
+            and close(self.applied_field, other.applied_field)
+            and close(self.self_field, other.self_field)
+            and close(self.total_field, other.total_field)
         )
 
     def __eq__(self, other) -> bool:
-        if other is self:
-            return True
         if not isinstance(other, FilmSolution):
-            return False
+            return NotImplemented
         if (self.field_from_other_films is None) != (
             other.field_from_other_films is None
         ):
             return False
-        return self.is_close(other)
+        return self is other or self.is_close(other)
+
+
+def _normalize_coordinates(positions, zs, dtype):
+    """Split ``(m, 2)/(m, 3)`` positions and scalar/array zs into
+    ``((m, 2) xy, (m,) z)``."""
+    xy = np.atleast_2d(positions)
+    if xy.shape[1] == 3:
+        if zs is not None:
+            raise ValueError("zs cannot be given when positions are (m, 3).")
+        return xy[:, :2], xy[:, 2]
+    z = np.squeeze(np.asarray(zs))
+    if z.ndim == 0:
+        z = np.full(xy.shape[0], z.item(), dtype=dtype)
+    if not isinstance(z, np.ndarray):
+        raise ValueError(f"Expected zs to be an ndarray, but got {type(z)}.")
+    return xy, z
+
+
+@contextmanager
+def _h5_context(path_or_group, mode):
+    """Yield an h5py Group from either an open group or a file path."""
+    if isinstance(path_or_group, h5py.Group):
+        with nullcontext(path_or_group) as grp:
+            yield grp
+    else:
+        with h5py.File(path_or_group, mode) as grp:
+            yield grp
 
 
 class Solution:
@@ -187,6 +196,14 @@ class Solution:
         solver: The solver name that generated this solution.
     """
 
+    # Datasets accepted by interp_field, mapped to FilmSolution attributes.
+    _FIELD_DATASETS = {
+        "field": "total_field",
+        "self_field": "self_field",
+        "applied_field": "applied_field",
+        "field_from_other_films": "field_from_other_films",
+    }
+
     def __init__(
         self,
         *,
@@ -203,9 +220,9 @@ class Solution:
         self.device = device.copy(with_mesh=True, copy_mesh=False)
         self.film_solutions = film_solutions
         self.applied_field_func = applied_field_func
-        self.circulating_currents = circulating_currents or {}
-        self.terminal_currents = terminal_currents or {}
-        self.vortices = vortices or []
+        self.circulating_currents = dict(circulating_currents or {})
+        self.terminal_currents = dict(terminal_currents or {})
+        self.vortices = list(vortices or [])
         self._field_units = field_units
         self._current_units = current_units
         self._solver = solver
@@ -237,14 +254,41 @@ class Solution:
         """Dependency versions at creation time."""
         return self._version_info
 
-    @staticmethod
-    def _select_interpolator(method: InterpolatorType):
-        import matplotlib.tri as mtri
+    # -- device-resident interpolation --------------------------------------
 
-        return {
-            "linear": mtri.LinearTriInterpolator,
-            "cubic": mtri.CubicTriInterpolator,
-        }[method]
+    def _interpolate(
+        self,
+        film: str,
+        values: np.ndarray,
+        positions: np.ndarray,
+        method: InterpolatorType,
+    ) -> np.ndarray:
+        """Interpolate per-vertex data at ``positions`` using the film
+        mesh's spatial index (one jitted dispatch; NaN outside the mesh)."""
+        mesh = self.device.meshes[film]
+        index = mesh.spatial_index
+        if method == "linear":
+            out = interp_ops.interp_linear(index, values, positions)
+        elif method == "cubic":
+            values = np.asarray(values)
+            if values.ndim == 1:
+                out = interp_ops.interp_cubic(
+                    index, values, mesh.vertex_gradient(values), positions
+                )
+            else:
+                cols = [
+                    interp_ops.interp_cubic(
+                        index, col, mesh.vertex_gradient(col), positions
+                    )
+                    for col in values.T
+                ]
+                out = np.stack([np.asarray(c) for c in cols], axis=-1)
+        else:
+            raise ValueError(
+                f"Invalid interpolation method: {method!r} "
+                "(expected 'linear' or 'cubic')."
+            )
+        return np.asarray(out)
 
     def interp_current_density(
         self,
@@ -261,29 +305,21 @@ class Solution:
             positions: ``(m, 2)`` coordinates at which to evaluate ``J``.
             film: The film in which to interpolate.
             method: "linear" or "cubic".
-            units: Desired units (default
-                ``current_units / length_units``).
+            units: Desired units (default ``current_units / length_units``).
             with_units: Return a Quantity array.
         """
-        device = self.device
-        default_units = f"{self.current_units} / {device.length_units}"
-        if units is None:
-            units = default_units
         positions = np.atleast_2d(positions)
-        xv, yv = positions.T
-        interp_type = self._select_interpolator(method)
-        mesh = device.meshes[film]
-        J = self.film_solutions[film].current_density
-        Jx_interp = interp_type(mesh.triangulation, J[:, 0])
-        Jy_interp = interp_type(mesh.triangulation, J[:, 1])
-        J = np.array([Jx_interp(xv, yv).data, Jy_interp(xv, yv).data]).T
-        in_film = device.films[film].contains_points(positions)
-        J[~in_film] = 0
-        J[~np.isfinite(J).all(axis=1)] = 0
-        J = Quantity(J, default_units).to(units)
-        if with_units:
-            return J
-        return J.magnitude
+        J = self._interpolate(
+            film, self.film_solutions[film].current_density, positions, method
+        )
+        # Zero J outside the film (including in holes) and wherever the
+        # interpolation had no containing triangle.
+        keep = self.device.films[film].contains_points(positions)
+        keep &= np.isfinite(J).all(axis=1)
+        J = np.where(keep[:, None], np.nan_to_num(J), 0.0)
+        natural_units = f"{self.current_units} / {self.device.length_units}"
+        quantity = Quantity(J, natural_units).to(units or natural_units)
+        return quantity if with_units else quantity.magnitude
 
     def current_through_path(
         self,
@@ -303,29 +339,21 @@ class Solution:
             units: Desired current units.
             with_units: Return a Quantity.
         """
-        device = self.device
-        if units is None:
-            units = self.current_units
-        path_coords = np.asarray(path_coords, dtype=float)
-        edge_positions = (path_coords[:-1] + path_coords[1:]) / 2
-        J_edge = self.interp_current_density(
-            edge_positions, film=film, method=interp_method, with_units=False
+        path = np.asarray(path_coords, dtype=float)
+        # Midpoint rule: sample J.n at each edge center and sum J.n * dl.
+        # (Deliberate deviation from the reference, which instead applies
+        # np.trapezoid to per-vertex products, solution.py:359 -- that
+        # half-weights the end edges and returns 0 for two-point paths.
+        # Documented in docs/MIGRATING.md.)
+        midpoints = 0.5 * (path[:-1] + path[1:])
+        J_mid = self.interp_current_density(
+            midpoints, film=film, method=interp_method, with_units=False
         )
-        edge_lengths, unit_normals = path_vectors(path_coords)
-        J_dot_n = np.sum(J_edge * unit_normals, axis=1)
-        # Midpoint rule: J.n is sampled at edge centers, so the line
-        # integral is the plain sum of J.n * dl.  (The reference applies
-        # np.trapezoid to these per-edge products, solution.py:359, which
-        # half-weights the two end edges -- a first-order error at the path
-        # ends and exactly zero for a two-point path.)
-        integral = np.sum(J_dot_n * edge_lengths)
-        total_current = Quantity(
-            integral, f"{self.current_units} / {device.length_units}"
-        ) * Quantity(1.0, device.length_units)
-        total_current = total_current.to(units)
-        if not with_units:
-            total_current = total_current.magnitude
-        return total_current
+        lengths, normals = path_vectors(path)
+        crossing = float(np.sum((J_mid * normals).sum(axis=1) * lengths))
+        current = Quantity(crossing, self.current_units)
+        current = current.to(units or self.current_units)
+        return current if with_units else current.magnitude
 
     def interp_field(
         self,
@@ -352,40 +380,53 @@ class Solution:
         """
         from .solver.utils import convert_field
 
-        interp_type = self._select_interpolator(method)
-        device = self.device
-        if units is None:
-            units = self.field_units
-        valid_datasets = (
-            "field",
-            "self_field",
-            "applied_field",
-            "field_from_other_films",
-        )
-        if dataset not in valid_datasets:
+        try:
+            attr = self._FIELD_DATASETS[dataset]
+        except KeyError:
             raise ValueError(
-                f"Invalid dataset: {dataset!r}. Expected one of {valid_datasets!r}"
-            )
-        mesh = device.meshes[film]
-        if dataset == "field":
-            field = self.film_solutions[film].total_field
-        elif dataset == "self_field":
-            field = self.film_solutions[film].self_field
-        elif dataset == "applied_field":
-            field = self.film_solutions[film].applied_field
-        else:
-            field = self.film_solutions[film].field_from_other_films
-            if field is None:
-                field = np.zeros(len(mesh.sites))
-        positions = np.atleast_2d(positions)
-        Hz_interp = interp_type(mesh.triangulation, field)
+                f"Invalid dataset: {dataset!r}. "
+                f"Expected one of {tuple(self._FIELD_DATASETS)!r}"
+            ) from None
+        data = getattr(self.film_solutions[film], attr)
+        if data is None:  # field_from_other_films for a single-film device
+            data = np.zeros(len(self.device.meshes[film].sites))
+        sampled = self._interpolate(film, data, np.atleast_2d(positions), method)
         return convert_field(
-            Hz_interp(positions[:, 0], positions[:, 1]).data,
-            units,
+            sampled,
+            units or self.field_units,
             old_units=self.field_units,
-            ureg=device.ureg,
+            ureg=self.device.ureg,
             with_units=with_units,
         )
+
+    # -- flux and fluxoid ----------------------------------------------------
+
+    def _film_containing_polygon(self, polygon: Polygon) -> str:
+        """Name of the film (in the polygon's layer) containing the polygon."""
+        for name, film in self.device.films.items():
+            if film.layer == polygon.layer and film.contains_points(
+                polygon.points
+            ).all():
+                return name
+        raise ValueError(
+            f"No film in layer {polygon.layer!r} contains polygon "
+            f"{polygon.name!r}."
+        )
+
+    def _integrate_field_over(self, film: str, site_mask) -> Quantity:
+        """``sum_i B_z,i * w_i`` over selected mesh sites, as a flux Quantity."""
+        from .solver.utils import convert_field
+
+        mesh = self.device.meshes[film]
+        B_mT = convert_field(
+            self.film_solutions[film].total_field[site_mask],
+            "mT",
+            old_units=self.field_units,
+            ureg=self.device.ureg,
+            with_units=False,
+        )
+        total = float(np.sum(B_mT * mesh.vertex_areas[site_mask]))
+        return Quantity(total, f"mT * {self.device.length_units}**2")
 
     def polygon_flux(
         self,
@@ -400,43 +441,19 @@ class Solution:
             units: Flux units (default ``field_units * length_units**2``).
             with_units: Return a Quantity.
         """
-        from .solver.utils import convert_field
-
         device = self.device
-        ureg = device.ureg
-        polygons = {p.name: p for p in device.get_polygons(include_terminals=False)}
-        if name not in polygons:
+        candidates = {
+            p.name: p for p in device.get_polygons(include_terminals=False)
+        }
+        if name not in candidates:
             raise ValueError(f"Unknown polygon: {name!r}.")
-        new_units = units or f"{self.field_units} * {device.length_units}**2"
-        polygon = polygons[name]
-        if name in device.films:
-            mesh = device.meshes[name]
-            film_name = name
-        else:
-            for film in device.films.values():
-                if (
-                    film.layer == polygon.layer
-                    and film.contains_points(polygon.points).all()
-                ):
-                    break
-            mesh = device.meshes[film.name]
-            film_name = film.name
-        points = mesh.sites
-        total_field = self.film_solutions[film_name].total_field
-        ix = polygon.contains_points(points, index=True)
-        # Convert field to B = mu0 * H before integrating (flux units).
-        field_mT = convert_field(
-            total_field[ix],
-            "mT",
-            old_units=self.field_units,
-            ureg=ureg,
-            with_units=False,
+        polygon = candidates[name]
+        film = name if name in device.films else self._film_containing_polygon(polygon)
+        inside = polygon.contains_points(device.meshes[film].sites, index=True)
+        flux = self._integrate_field_over(film, inside).to(
+            units or f"{self.field_units} * {device.length_units}**2"
         )
-        flux_val = np.sum(field_mT * mesh.vertex_areas[ix])
-        flux = Quantity(flux_val, f"mT * {device.length_units}**2").to(new_units)
-        if with_units:
-            return flux
-        return flux.magnitude
+        return flux if with_units else flux.magnitude
 
     def polygon_fluxoid(
         self,
@@ -457,52 +474,53 @@ class Solution:
             units: Desired flux units (default ``Phi_0``).
             with_units: Return Quantities.
         """
-        from .solver.utils import convert_field
-
         device = self.device
-        ureg = device.ureg
         if units is None:
             units = f"{self.field_units} * {device.length_units} ** 2"
         if isinstance(polygon_coords, Polygon):
-            polygon = polygon_coords
+            contour = polygon_coords.points
         else:
-            polygon = Polygon(points=polygon_coords)
-        points = polygon.points
-        if not device.films[film].contains_points(points).all():
+            contour = Polygon(points=polygon_coords).points
+        if not device.films[film].contains_points(contour).all():
             raise ValueError(
                 f"The polygon is not contained within the film ({film!r})."
             )
-        mesh = device.meshes[film]
-        ix = polygon.contains_points(mesh.sites)
-        # Flux part: convert to B and integrate.
-        field_T = convert_field(
-            self.film_solutions[film].total_field[ix],
-            "mT",
-            old_units=self.field_units,
-            ureg=ureg,
-            with_units=False,
-        )
-        flux_val = np.sum(field_T * mesh.vertex_areas[ix])
-        flux_part = Quantity(flux_val, f"mT * {device.length_units}**2").to(units)
-        # Supercurrent part.
+
+        inside = Polygon(points=contour).contains_points(device.meshes[film].sites)
+        flux_part = self._integrate_field_over(film, inside).to(units)
+
+        supercurrent = self._supercurrent_integral(film, contour, interp_method)
         J_units = f"{self.current_units} / {device.length_units}"
-        J_poly = self.interp_current_density(
-            points, film=film, method=interp_method, units=J_units, with_units=False
+        line_integral = (
+            Quantity(supercurrent, J_units) * Quantity(1.0, device.length_units) ** 2
         )
-        Lambda = device.layers[device.films[film].layer].Lambda
-        if not callable(Lambda):
-            Lambda = Constant(Lambda)
-        Lambda_poly = np.atleast_1d(Lambda(points[:, 0], points[:, 1]))
-        if Lambda_poly.shape[0] != len(points):
-            Lambda_poly = np.full(len(points), Lambda_poly.item())
-        dl = np.diff(points, axis=0)
-        int_J = np.trapezoid(Lambda_poly[:-1] * np.sum(J_poly[:-1] * dl, axis=1))
-        int_J = Quantity(int_J, J_units) * Quantity(1.0, device.length_units) ** 2
-        supercurrent_part = (ureg("mu_0") * int_J).to(units)
+        supercurrent_part = (device.ureg("mu_0") * line_integral).to(units)
         if not with_units:
-            flux_part = flux_part.magnitude
-            supercurrent_part = supercurrent_part.magnitude
+            return Fluxoid(flux_part.magnitude, supercurrent_part.magnitude)
         return Fluxoid(flux_part, supercurrent_part)
+
+    def _supercurrent_integral(
+        self, film: str, contour: np.ndarray, interp_method: InterpolatorType
+    ) -> float:
+        """``oint Lambda J . dl`` around a closed contour, in solver units.
+
+        Quadrature matches the reference (``solution.py:541-559``: trapezoid
+        over the per-vertex products) so mutual inductances agree to
+        oracle precision.
+        """
+        J = self.interp_current_density(
+            contour, film=film, method=interp_method, with_units=False
+        )
+        Lambda = self.device.layers[self.device.films[film].layer].Lambda
+        if isinstance(Lambda, numbers.Real):
+            Lambda_on_contour = np.full(len(contour), float(Lambda))
+        else:
+            Lambda_on_contour = np.atleast_1d(Lambda(contour[:, 0], contour[:, 1]))
+            if Lambda_on_contour.shape[0] != len(contour):
+                Lambda_on_contour = np.full(len(contour), Lambda_on_contour.item())
+        dl = np.diff(contour, axis=0)
+        products = Lambda_on_contour[:-1] * np.sum(J[:-1] * dl, axis=1)
+        return float(np.trapezoid(products))
 
     def hole_fluxoid(
         self,
@@ -522,26 +540,30 @@ class Solution:
             units: Desired flux units.
             with_units: Return Quantities.
         """
+        device = self.device
         if points is None:
             from .fluxoid import make_fluxoid_polygons
 
-            points = make_fluxoid_polygons(self.device, holes=hole_name)[hole_name]
-        device = self.device
+            points = make_fluxoid_polygons(device, holes=hole_name)[hole_name]
         hole = device.holes[hole_name]
         if not in_polygon(points, hole.points).all():
             raise ValueError(
                 f"Hole {hole.name} is not completely enclosed by the given polygon."
             )
-        for film_name, holes in device.holes_by_film().items():
-            if hole.name in [h.name for h in holes]:
-                break
+        film = next(
+            name
+            for name, holes in device.holes_by_film().items()
+            if any(h.name == hole_name for h in holes)
+        )
         return self.polygon_fluxoid(
             points,
-            film=film_name,
+            film=film,
             interp_method=interp_method,
             units=units,
             with_units=with_units,
         )
+
+    # -- fields anywhere in space -------------------------------------------
 
     def screening_field_at_position(
         self,
@@ -557,6 +579,9 @@ class Solution:
         """Field from device screening currents at any point(s) in space
         (excluding the applied field).
 
+        In-plane points are interpolated on the film mesh; out-of-plane
+        points use the blocked Biot-Savart device kernel.
+
         Args:
             positions: ``(m, 2)`` or ``(m, 3)`` coordinates.
             zs: z-coordinates (scalar or ``(m,)``) if positions is (m, 2).
@@ -570,57 +595,51 @@ class Solution:
 
         device = self.device
         dtype = device.solve_dtype
-        ureg = device.ureg
-        layers = device.layers
-        meshes = device.meshes
-        units = units or self.field_units
-        positions, zs = _split_positions_zs(positions, zs, dtype)
-        fields = {}
+        xy, z = _normalize_coordinates(positions, zs, dtype)
+        out_shape = (len(xy), 3) if vector else (len(xy),)
+        contributions = {}
         for name, film in device.films.items():
-            layer = layers[film.layer]
-            if vector:
-                field_from_film = np.zeros((len(positions), 3), dtype=dtype)
-            else:
-                field_from_film = np.zeros(len(positions), dtype=dtype)
-            in_film = np.zeros(len(positions), dtype=bool)
-            if np.all(zs == layer.z0):
-                in_film[film.contains_points(positions)] = True
-                field_in_film = self.interp_field(
-                    positions[in_film],
-                    film=film.name,
+            layer = device.layers[film.layer]
+            result = np.zeros(out_shape, dtype=dtype)
+            coplanar = np.zeros(len(xy), dtype=bool)
+            if np.all(z == layer.z0):
+                coplanar = film.contains_points(xy)
+            if coplanar.any():
+                sampled = self.interp_field(
+                    xy[coplanar],
+                    film=name,
                     dataset="self_field",
                     method=interp_method,
                     units="tesla",
                     with_units=False,
                 )
                 if vector:
-                    zeros = np.zeros_like(field_in_film)
-                    field_in_film = np.array([zeros, zeros, field_in_film]).T
-                field_from_film[in_film] = field_in_film
-            not_in_film = ~in_film
-            if not_in_film.any():
-                field_from_film[not_in_film] = biot_savart_2d(
-                    positions[not_in_film, 0],
-                    positions[not_in_film, 1],
-                    zs[not_in_film],
-                    positions=meshes[name].sites,
-                    areas=meshes[name].vertex_areas,
+                    result[coplanar, 2] = sampled
+                else:
+                    result[coplanar] = sampled
+            off_plane = ~coplanar
+            if off_plane.any():
+                mesh = device.meshes[name]
+                result[off_plane] = biot_savart_2d(
+                    xy[off_plane, 0],
+                    xy[off_plane, 1],
+                    z[off_plane],
+                    positions=mesh.sites,
+                    areas=mesh.vertex_areas,
                     current_densities=self.film_solutions[name].current_density,
                     z0=layer.z0,
                     length_units=device.length_units,
                     current_units=self.current_units,
                     vector=vector,
                 )
-            fields[name] = convert_field(
-                field_from_film,
-                units,
+            contributions[name] = convert_field(
+                result,
+                units or self.field_units,
                 old_units="tesla",
-                ureg=ureg,
+                ureg=device.ureg,
                 with_units=with_units,
             )
-        if return_sum:
-            return sum(fields.values())
-        return fields
+        return sum(contributions.values()) if return_sum else contributions
 
     def field_at_position(
         self,
@@ -646,63 +665,59 @@ class Solution:
 
         device = self.device
         dtype = device.solve_dtype
-        units = units or self.field_units
-        positions, zs = _split_positions_zs(positions, zs, dtype)
+        xy, z = _normalize_coordinates(positions, zs, dtype)
         fields = self.screening_field_at_position(
-            positions,
-            zs=zs,
+            xy,
+            zs=z,
             vector=False,
             interp_method=interp_method,
             units=self.field_units,
             with_units=False,
             return_sum=False,
         )
-        films_by_layer = device.polygons_by_layer("film")
-        Hz_applied = np.zeros(len(positions), dtype=dtype)
-        in_film = np.zeros(len(positions), dtype=bool)
-        for name, layer in device.layers.items():
-            if np.all(zs == layer.z0):
-                for film in films_by_layer[name]:
-                    ix = film.contains_points(positions)
-                    in_film[ix] = True
-                    Hz_applied[ix] = self.interp_field(
-                        positions[ix],
-                        film=film.name,
-                        dataset="applied_field",
-                        method=interp_method,
-                        units=self.field_units,
-                        with_units=False,
-                    )
-                    Hz_applied[ix] += self.interp_field(
-                        positions[ix],
-                        film=film.name,
-                        dataset="field_from_other_films",
-                        method=interp_method,
-                        units=self.field_units,
-                        with_units=False,
-                    )
-                break
-        mask = ~in_film
-        if mask.any():
-            Hz_applied[mask] = np.atleast_1d(
-                np.squeeze(
-                    self.applied_field_func(
-                        positions[mask, 0], positions[mask, 1], zs[mask]
-                    )
+        # Applied (+ other-films) field: sampled on the film mesh for
+        # in-plane points inside a film, from the applied-field callable
+        # everywhere else.
+        applied = np.zeros(len(xy), dtype=dtype)
+        covered = np.zeros(len(xy), dtype=bool)
+        for name, film in device.films.items():
+            if not np.all(z == device.layers[film.layer].z0):
+                continue
+            inside = film.contains_points(xy)
+            covered |= inside
+            if inside.any():
+                applied[inside] = self.interp_field(
+                    xy[inside],
+                    film=name,
+                    dataset="applied_field",
+                    method=interp_method,
+                    units=self.field_units,
+                    with_units=False,
+                ) + self.interp_field(
+                    xy[inside],
+                    film=name,
+                    dataset="field_from_other_films",
+                    method=interp_method,
+                    units=self.field_units,
+                    with_units=False,
                 )
+        free = ~covered
+        if free.any():
+            applied[free] = np.atleast_1d(
+                np.squeeze(self.applied_field_func(xy[free, 0], xy[free, 1], z[free]))
             )
-        fields["applied_field"] = np.atleast_1d(Hz_applied).squeeze()
-        for key, field in fields.items():
-            fields[key] = convert_field(
-                field,
-                units,
+        fields["applied_field"] = np.atleast_1d(applied).squeeze()
+        converted = {
+            key: convert_field(
+                val,
+                units or self.field_units,
                 old_units=self.field_units,
                 ureg=device.ureg,
                 with_units=with_units,
             )
-        if return_sum:
-            return sum(fields.values())
-        return fields
+            for key, val in fields.items()
+        }
+        return sum(converted.values()) if return_sum else converted
 
     def vector_potential_at_position(
         self,
@@ -723,47 +738,39 @@ class Solution:
             with_units: Return Quantities.
             return_sum: Sum over films instead of returning a dict.
         """
-        device = self.device
-        layers = device.layers
-        meshes = device.meshes
-        dtype = device.solve_dtype
-        ureg = device.ureg
-        units = units or f"{self.field_units} * {device.length_units}"
-        positions, zs = _split_positions_zs(positions, zs, dtype)
-        zs2d = zs[:, np.newaxis] if zs.ndim == 1 else zs
         from .ops.kernels import vector_potential_2d
 
-        vector_potentials = {}
+        device = self.device
+        xy, z = _normalize_coordinates(positions, zs, device.solve_dtype)
+        units = units or f"{self.field_units} * {device.length_units}"
+        potentials = {}
         for name, film in device.films.items():
-            dz = zs2d - layers[film.layer].z0
-            if np.all(dz == 0) and film.contains_points(positions).all():
+            layer = device.layers[film.layer]
+            if np.all(z == layer.z0) and film.contains_points(xy).all():
                 raise ValueError(
                     f"Cannot evaluate vector potential inside the film ({name!r})."
                 )
-            mesh = meshes[name]
-            areas = mesh.vertex_areas
-            J = self.film_solutions[name].current_density
+            mesh = device.meshes[name]
             # Blocked device kernel (the reference materializes the dense
             # (m, n) distance matrix on the host).
             Axy = 4 * np.pi * np.asarray(
                 vector_potential_2d(
-                    positions,
-                    zs2d[:, 0] if zs2d.ndim == 2 else zs2d,
+                    xy,
+                    z,
                     mesh.sites,
-                    layers[film.layer].z0,
-                    areas,
-                    J,
+                    layer.z0,
+                    mesh.vertex_areas,
+                    self.film_solutions[name].current_density,
                 )
             )
-            A = np.concatenate([Axy, np.zeros_like(Axy[:, :1])], axis=1)
-            A = Quantity(A, self.current_units)
-            A = (ureg("mu_0") / (4 * np.pi) * A).to(units)
-            if not with_units:
-                A = A.magnitude
-            vector_potentials[name] = A
-        if return_sum:
-            return sum(vector_potentials.values())
-        return vector_potentials
+            A3 = np.concatenate([Axy, np.zeros_like(Axy[:, :1])], axis=1)
+            quantity = (
+                device.ureg("mu_0")
+                / (4 * np.pi)
+                * Quantity(A3, self.current_units)
+            ).to(units)
+            potentials[name] = quantity if with_units else quantity.magnitude
+        return sum(potentials.values()) if return_sum else potentials
 
     # -- serialization -------------------------------------------------------
 
@@ -781,71 +788,62 @@ class Solution:
                 instead of re-saving).
             compress: Save the mesh compressed.
         """
-        if isinstance(path_or_group, h5py.Group):
-            save_context = nullcontext(path_or_group)
-        else:
-            save_context = h5py.File(path_or_group, "x")
-        with save_context as h5group:
-            h5group.attrs["time_created"] = self.time_created.isoformat()
-            h5group.attrs["field_units"] = self.field_units
-            h5group.attrs["current_units"] = self.current_units
-            h5group.attrs["solver"] = self.solver
-            version_grp = h5group.create_group("version_info")
-            version_grp.attrs.update(self.version_info)
-            if device_path is None:
-                self.device.to_hdf5(
-                    h5group.create_group("device"), save_mesh=True, compress=compress
-                )
+        with _h5_context(path_or_group, "x") as root:
+            root.attrs.update(
+                time_created=self.time_created.isoformat(),
+                field_units=self.field_units,
+                current_units=self.current_units,
+                solver=self.solver,
+            )
+            root.create_group("version_info").attrs.update(self.version_info)
+            if device_path is not None:
+                root["device"] = h5py.SoftLink(device_path)
             else:
-                h5group["device"] = h5py.SoftLink(device_path)
-            grp = h5group.create_group("film_solutions")
+                self.device.to_hdf5(
+                    root.create_group("device"), save_mesh=True, compress=compress
+                )
+            films_grp = root.create_group("film_solutions")
             for name, film_solution in self.film_solutions.items():
-                film_solution.to_hdf5(grp.create_group(name))
-            vortices_grp = h5group.create_group("vortices")
+                film_solution.to_hdf5(films_grp.create_group(name))
+            vortex_grp = root.create_group("vortices")
             for i, vortex in enumerate(self.vortices):
-                vortex.to_hdf5(vortices_grp.create_group(str(i)))
-            serialize_obj(h5group, self.applied_field_func, "applied_field_func")
-            circ_grp = h5group.create_group("circulating_currents")
-            circ_grp.attrs.update(self.circulating_currents)
-            term_grp = h5group.create_group("terminal_currents")
-            for film_name, current_dict in self.terminal_currents.items():
-                grp = term_grp.create_group(film_name)
-                grp.attrs.update(current_dict)
+                vortex.to_hdf5(vortex_grp.create_group(str(i)))
+            serialize_obj(root, self.applied_field_func, "applied_field_func")
+            root.create_group("circulating_currents").attrs.update(
+                self.circulating_currents
+            )
+            terminals_grp = root.create_group("terminal_currents")
+            for film_name, currents in self.terminal_currents.items():
+                terminals_grp.create_group(film_name).attrs.update(currents)
 
     @staticmethod
     def from_hdf5(path_or_group: Union[os.PathLike, h5py.Group]) -> "Solution":
         """Loads a Solution from an HDF5 file or group."""
-        if isinstance(path_or_group, h5py.Group):
-            read_context = nullcontext(path_or_group)
-        else:
-            read_context = h5py.File(path_or_group, "r")
-        with read_context as h5group:
-            device = Device.from_hdf5(h5group["device"])
-            film_solutions = {}
-            for name, grp in h5group["film_solutions"].items():
-                film_solutions[name] = FilmSolution.from_hdf5(grp)
-            applied_field_func = deserialize_obj(h5group, "applied_field_func")
-            vortices = []
-            for i in sorted(h5group["vortices"], key=int):
-                vortices.append(Vortex.from_hdf5(h5group[f"vortices/{i}"]))
-            time_created = dt.datetime.fromisoformat(h5group.attrs["time_created"])
-            version_info = dict(h5group["version_info"].attrs)
-            terminal_currents = {}
-            for film_name, grp in h5group["terminal_currents"].items():
-                terminal_currents[film_name] = dict(grp.attrs)
+        with _h5_context(path_or_group, "r") as root:
             solution = Solution(
-                device=device,
-                film_solutions=film_solutions,
-                applied_field_func=applied_field_func,
-                vortices=vortices,
-                circulating_currents=dict(h5group["circulating_currents"].attrs),
-                terminal_currents=terminal_currents,
-                current_units=h5group.attrs["current_units"],
-                field_units=h5group.attrs["field_units"],
-                solver=h5group.attrs["solver"],
+                device=Device.from_hdf5(root["device"]),
+                film_solutions={
+                    name: FilmSolution.from_hdf5(grp)
+                    for name, grp in root["film_solutions"].items()
+                },
+                applied_field_func=deserialize_obj(root, "applied_field_func"),
+                vortices=[
+                    Vortex.from_hdf5(root["vortices"][i])
+                    for i in sorted(root["vortices"], key=int)
+                ],
+                circulating_currents=dict(root["circulating_currents"].attrs),
+                terminal_currents={
+                    name: dict(grp.attrs)
+                    for name, grp in root["terminal_currents"].items()
+                },
+                current_units=root.attrs["current_units"],
+                field_units=root.attrs["field_units"],
+                solver=root.attrs["solver"],
             )
-            solution._time_created = time_created
-            solution._version_info = version_info
+            solution._time_created = dt.datetime.fromisoformat(
+                root.attrs["time_created"]
+            )
+            solution._version_info = dict(root["version_info"].attrs)
         return solution
 
     @staticmethod
@@ -854,25 +852,18 @@ class Solution:
         path_or_group: Union[os.PathLike, h5py.Group],
         compress: bool = True,
     ) -> None:
-        """Saves a series of Solutions (sharing one Device) to HDF5."""
+        """Saves a series of Solutions (sharing one Device) to HDF5: the
+        Device is stored once and soft-linked from each entry."""
         if not solutions:
             return
-        device = solutions[0].device
-        if isinstance(path_or_group, h5py.Group):
-            save_context = nullcontext(path_or_group)
-        else:
-            save_context = h5py.File(path_or_group, "x")
-        with save_context as h5group:
-            device_grp = h5group.create_group("device")
-            device.to_hdf5(device_grp)
+        shared_device = solutions[0].device
+        with _h5_context(path_or_group, "x") as root:
+            device_grp = root.create_group("device")
+            shared_device.to_hdf5(device_grp)
             for i, solution in enumerate(solutions):
-                device_path = None
-                if solution.device == device:
-                    device_path = device_grp.name
+                link = device_grp.name if solution.device == shared_device else None
                 solution.to_hdf5(
-                    h5group.create_group(str(i)),
-                    device_path=device_path,
-                    compress=compress,
+                    root.create_group(str(i)), device_path=link, compress=compress
                 )
 
     @staticmethod
@@ -880,16 +871,9 @@ class Solution:
         path_or_group: Union[os.PathLike, h5py.Group],
     ) -> List["Solution"]:
         """Loads a series of Solutions from HDF5."""
-        if isinstance(path_or_group, h5py.Group):
-            read_context = nullcontext(path_or_group)
-        else:
-            read_context = h5py.File(path_or_group, "r")
-        solutions = []
-        with read_context as h5group:
-            groups = sorted((key for key in h5group if key.isdigit()), key=int)
-            for group in groups:
-                solutions.append(Solution.from_hdf5(h5group[group]))
-        return solutions
+        with _h5_context(path_or_group, "r") as root:
+            indices = sorted((key for key in root if key.isdigit()), key=int)
+            return [Solution.from_hdf5(root[i]) for i in indices]
 
     def equals(self, other: Any, require_same_timestamp: bool = False) -> bool:
         """Whether two solutions are equal (optionally including the
@@ -898,27 +882,26 @@ class Solution:
             return True
         if not isinstance(other, Solution):
             return False
-        if not (
-            (self.device == other.device)
-            and (self.field_units == other.field_units)
-            and (self.current_units == other.current_units)
-            and (self.circulating_currents == other.circulating_currents)
-            and (
-                getattr(self, "terminal_currents", None)
-                == getattr(other, "terminal_currents", None)
-            )
-            and (self.applied_field_func == other.applied_field_func)
-            and (self.vortices == other.vortices)
-        ):
+        same_setup = (
+            self.device == other.device
+            and self.field_units == other.field_units
+            and self.current_units == other.current_units
+            and self.circulating_currents == other.circulating_currents
+            and getattr(self, "terminal_currents", None)
+            == getattr(other, "terminal_currents", None)
+            and self.applied_field_func == other.applied_field_func
+            and self.vortices == other.vortices
+        )
+        if not same_setup:
             return False
-        if require_same_timestamp and (self.time_created != other.time_created):
+        if require_same_timestamp and self.time_created != other.time_created:
             return False
         return self.film_solutions == other.film_solutions
 
     def __eq__(self, other) -> bool:
         return self.equals(other, require_same_timestamp=True)
 
-    # -- plot aliases ----------------------------------------------------------
+    # -- plot aliases --------------------------------------------------------
 
     def plot_streams(self, **kwargs):
         """Alias for :func:`superscreen_tpu.visualization.plot_streams`."""
@@ -944,22 +927,3 @@ class Solution:
         from .visualization import plot_field_at_positions
 
         return plot_field_at_positions(self, points, **kwargs)
-
-
-def _split_positions_zs(positions, zs, dtype):
-    """Normalizes positions/zs into ``(m, 2)`` coordinates and ``(m,)`` z."""
-    positions = np.atleast_2d(positions)
-    if positions.shape[1] == 3:
-        if zs is not None:
-            raise ValueError(
-                "If positions has shape (m, 3) then zs cannot be specified."
-            )
-        zs = positions[:, 2]
-        positions = positions[:, :2]
-    else:
-        zs = np.squeeze(np.asarray(zs))
-        if zs.ndim == 0:
-            zs = zs.item() * np.ones(positions.shape[0], dtype=dtype)
-    if not isinstance(zs, np.ndarray):
-        raise ValueError(f"Expected zs to be an ndarray, but got {type(zs)}.")
-    return positions, zs
