@@ -1,16 +1,18 @@
 """Device: a stack of layers, films, holes, and terminals.
 
-API parity with the reference ``superscreen/device/device.py``, with meshing
-delegated to the in-package Delaunay generator
-(:mod:`superscreen_tpu.device.mesh_generation`) instead of meshpy/Triangle,
-and polygon buffering done by :mod:`superscreen_tpu.polygon_ops` instead of
-shapely.
+Public API matches the reference ``superscreen/device/device.py:29-1083``.
+The implementation is this package's own: meshing through the in-package
+boundary-conforming Delaunay generator (:mod:`.mesh_generation`), polygon
+offsets through :mod:`superscreen_tpu.polygon_ops`, and the
+mutual-inductance matrix as ONE batched device solve whose per-iteration
+history comes from a single packed transfer (the reference loops holes and
+re-solves per column, ``device/device.py:610-639``).
 """
 
 import logging
 import numbers
 import os
-from contextlib import contextmanager, nullcontext
+from contextlib import contextmanager
 from typing import Dict, List, Literal, Optional, Sequence, Tuple, Union
 
 import dill
@@ -19,6 +21,7 @@ import numpy as np
 
 from .. import polygon_ops as pops
 from ..geometry import ensure_unique
+from ..io import h5_context
 from ..units import ureg
 from . import mesh_generation as mgen
 from .layer import Layer
@@ -28,6 +31,51 @@ from .polygon import Polygon
 logger = logging.getLogger("device")
 
 __all__ = ["Device"]
+
+PolygonSpec = Union[Sequence[Polygon], Dict[str, Polygon]]
+
+
+def _by_name(items) -> dict:
+    """Normalize a sequence-or-dict of named objects into ``{name: obj}``."""
+    if items is None:
+        items = []
+    if isinstance(items, dict):
+        items = items.values()
+    return {item.name: item for item in items}
+
+
+def _require_xy_origin(origin) -> None:
+    ok = (
+        isinstance(origin, tuple)
+        and len(origin) == 2
+        and all(isinstance(v, numbers.Real) for v in origin)
+    )
+    if not ok:
+        raise TypeError("Origin must be a tuple of floats (x, y).")
+
+
+def _broadcast_per_film(value, film_names):
+    """Expand a scalar-or-dict meshing option into a per-film dict."""
+    if isinstance(value, dict):
+        return {name: value.get(name) for name in film_names}
+    return dict.fromkeys(film_names, value)
+
+
+def _unwrap_terminals(
+    cycle: np.ndarray, sites: np.ndarray, terminals: Sequence[Polygon]
+) -> np.ndarray:
+    """Roll a CCW boundary cycle so no terminal straddles its start/end.
+
+    See :meth:`Device.boundary_vertices` for the reasoning; covered by
+    ``tests/test_transport.py::test_boundary_roll_wrap``.
+    """
+    for terminal in terminals:
+        positions = terminal.contains_points(sites[cycle], index=True)
+        breaks = np.nonzero(np.diff(positions) != 1)[0]
+        if len(breaks):
+            leading_run = breaks[0] + 1
+            return np.roll(cycle, -leading_run)
+    return cycle
 
 
 class Device:
@@ -51,65 +99,48 @@ class Device:
         name: str,
         *,
         layers: Union[Sequence[Layer], Dict[str, Layer]],
-        films: Union[Sequence[Polygon], Dict[str, Polygon]],
-        holes: Optional[Union[Sequence[Polygon], Dict[str, Polygon]]] = None,
+        films: PolygonSpec,
+        holes: Optional[PolygonSpec] = None,
         terminals: Optional[Dict[str, List[Polygon]]] = None,
-        abstract_regions: Optional[
-            Union[Sequence[Polygon], Dict[str, Polygon]]
-        ] = None,
+        abstract_regions: Optional[PolygonSpec] = None,
         length_units: str = "um",
         solve_dtype: Union[str, np.dtype] = "float32",
     ):
         self.name = name
+        self.layers = _by_name(layers)
+        self.films = _by_name(films)
+        self.holes = _by_name(holes)
+        self.abstract_regions = _by_name(abstract_regions)
+        self.terminals = dict(terminals or {})
+        self._length_units = length_units
+        self.solve_dtype = solve_dtype
+        self.meshes: Union[Dict[str, Mesh], None] = None
+        self._validate()
 
-        if isinstance(layers, dict):
-            layers = list(layers.values())
-        self.layers = {layer.name: layer for layer in layers}
-
-        if isinstance(films, dict):
-            films = list(films.values())
-        self.films = {film.name: film for film in films}
-
-        if holes is None:
-            holes = []
-        if isinstance(holes, dict):
-            holes = list(holes.values())
-        self.holes = {hole.name: hole for hole in holes}
-
-        if terminals is None:
-            terminals = {}
-        self.terminals = terminals
-        if not set(self.terminals).issubset(self.films):
+    def _validate(self) -> None:
+        unknown_terminal_films = set(self.terminals) - set(self.films)
+        if unknown_terminal_films:
             raise ValueError(
                 "terminals.keys() must be a subset of films.keys() "
                 f"({list(self.films)!r})."
             )
-        for film, terms in self.terminals.items():
+        # Terminals live in their film's layer by construction.
+        for film_name, terms in self.terminals.items():
             for terminal in terms:
-                terminal.layer = self.films[film].layer
-
-        if abstract_regions is None:
-            abstract_regions = []
-        if isinstance(abstract_regions, dict):
-            abstract_regions = list(abstract_regions.values())
-        self.abstract_regions = {region.name: region for region in abstract_regions}
-
-        for polygons, label in [
-            (self.films.values(), "film"),
-            (self.holes.values(), "hole"),
-        ]:
-            for polygon in polygons:
+                terminal.layer = self.films[film_name].layer
+        for label, group in (("film", self.films), ("hole", self.holes)):
+            for polygon in group.values():
                 if not polygon.is_valid:
-                    raise ValueError(f"The following {label} is not valid: {polygon}.")
+                    raise ValueError(
+                        f"The following {label} is not valid: {polygon}."
+                    )
                 if polygon.layer not in self.layers:
                     raise ValueError(
                         f"The following {label} is assigned to a layer that "
                         f"does not exist in the device: {polygon}."
                     )
 
-        self._length_units = length_units
-        self.solve_dtype = solve_dtype
-        self.meshes: Union[Dict[str, Mesh], None] = None
+    # -- basic properties ----------------------------------------------------
 
     @property
     def length_units(self) -> str:
@@ -124,28 +155,26 @@ class Device:
     @solve_dtype.setter
     def solve_dtype(self, dtype) -> None:
         try:
-            _ = np.finfo(dtype)
+            np.finfo(dtype)
         except ValueError as e:
             raise ValueError(f"Invalid float dtype: {dtype}") from e
         self._solve_dtype = np.dtype(dtype)
 
     def get_polygons(self, include_terminals: bool = True) -> List[Polygon]:
         """All polygons in the device."""
-        polygons = []
-        for attr_name in ("films", "holes", "abstract_regions"):
-            polygons.extend(list(getattr(self, attr_name).values()))
+        groups = [self.films, self.holes, self.abstract_regions]
+        polygons = [p for group in groups for p in group.values()]
         if include_terminals:
-            for terms in self.terminals.values():
-                polygons.extend(terms)
+            polygons += [t for terms in self.terminals.values() for t in terms]
         return polygons
 
     @property
     def poly_points(self) -> np.ndarray:
         """All unique polygon vertices in the device."""
-        points = np.concatenate(
-            [poly.points for poly in self.get_polygons(include_terminals=False)]
+        stacked = np.concatenate(
+            [p.points for p in self.get_polygons(include_terminals=False)]
         )
-        return ensure_unique(points)
+        return ensure_unique(stacked)
 
     def polygons_by_layer(
         self,
@@ -154,68 +183,63 @@ class Device:
         ] = None,
     ) -> Dict[str, List[Polygon]]:
         """``{layer_name: [polygons of the given type in that layer]}``."""
-        valid_types = ("film", "hole", "abstract", "terminal", "all")
-        if polygon_type is None:
-            polygon_type = "all"
-        polygon_type = polygon_type.lower()
-        if polygon_type not in valid_types:
+        selectors = {
+            "film": lambda: list(self.films.values()),
+            "hole": lambda: list(self.holes.values()),
+            "abstract": lambda: list(self.abstract_regions.values()),
+            "terminal": lambda: [
+                t for terms in self.terminals.values() for t in terms
+            ],
+            "all": lambda: self.get_polygons(),
+        }
+        key = (polygon_type or "all").lower()
+        if key not in selectors:
             raise ValueError(
                 f"Invalid polygon type ({polygon_type}). "
-                f"Expected one of {valid_types!r}."
+                f"Expected one of {tuple(selectors)!r}."
             )
-        if polygon_type == "film":
-            all_polygons = list(self.films.values())
-        elif polygon_type == "hole":
-            all_polygons = list(self.holes.values())
-        elif polygon_type == "abstract":
-            all_polygons = list(self.abstract_regions.values())
-        elif polygon_type == "terminal":
-            all_polygons = []
-            for terms in self.terminals.values():
-                all_polygons.extend(terms)
-        else:
-            all_polygons = self.get_polygons()
-        polygons = {}
-        for layer in self.layers:
-            polygons[layer] = [p for p in all_polygons if p.layer == layer]
-        return polygons
+        chosen = selectors[key]()
+        return {
+            layer: [p for p in chosen if p.layer == layer]
+            for layer in self.layers
+        }
 
     def holes_by_film(self) -> Dict[str, List[Polygon]]:
         """``{film_name: [holes contained in that film]}``."""
-        holes_by_layer = self.polygons_by_layer("hole")
-        holes_by_film = {}
-        for film in self.films.values():
-            holes_by_film[film.name] = []
-            for hole in holes_by_layer[film.layer]:
-                if film.contains_points(hole.points).all():
-                    holes_by_film[film.name].append(hole)
-        return holes_by_film
+        holes_in_layer = self.polygons_by_layer("hole")
+        return {
+            film.name: [
+                hole
+                for hole in holes_in_layer[film.layer]
+                if film.contains_points(hole.points).all()
+            ]
+            for film in self.films.values()
+        }
+
+    # -- copying and transforms ----------------------------------------------
 
     def copy(self, with_mesh: bool = True, copy_mesh: bool = False) -> "Device":
         """Copies the device (optionally sharing or deep-copying the mesh)."""
-        layers = [layer.copy() for layer in self.layers.values()]
-        films = [film.copy() for film in self.films.values()]
-        holes = [hole.copy() for hole in self.holes.values()]
-        terminals = {
-            film: [term.copy() for term in film_terms]
-            for film, film_terms in self.terminals.items()
-        }
-        abstract_regions = [region.copy() for region in self.abstract_regions.values()]
-        device = Device(
+        clone = Device(
             self.name,
-            layers=layers,
-            films=films,
-            holes=holes,
-            terminals=terminals,
-            abstract_regions=abstract_regions,
+            layers=[layer.copy() for layer in self.layers.values()],
+            films=[film.copy() for film in self.films.values()],
+            holes=[hole.copy() for hole in self.holes.values()],
+            terminals={
+                film: [t.copy() for t in terms]
+                for film, terms in self.terminals.items()
+            },
+            abstract_regions=[
+                region.copy() for region in self.abstract_regions.values()
+            ],
             length_units=self.length_units,
         )
         if with_mesh and self.meshes is not None:
-            meshes = self.meshes
             if copy_mesh:
-                meshes = {name: mesh.copy() for name, mesh in meshes.items()}
-            device.meshes = meshes
-        return device
+                clone.meshes = {k: m.copy() for k, m in self.meshes.items()}
+            else:
+                clone.meshes = self.meshes
+        return clone
 
     def __copy__(self) -> "Device":
         return self.copy(with_mesh=True, copy_mesh=False)
@@ -223,53 +247,42 @@ class Device:
     def __deepcopy__(self, memo) -> "Device":
         return self.copy(with_mesh=True, copy_mesh=True)
 
-    def _warn_if_mesh_exist(self, method: str) -> None:
-        if not self.meshes:
-            return
-        logger.warning(
-            f"Calling device.{method} on a device whose mesh already exists "
-            f"returns a new device with no mesh. Call new_device.make_mesh() "
-            f"to generate the mesh for the new device."
-        )
+    def _meshless_copy_for(self, method: str) -> "Device":
+        """A mesh-free copy, warning if a mesh is being discarded."""
+        if self.meshes:
+            logger.warning(
+                f"Calling device.{method} on a device whose mesh already "
+                f"exists returns a new device with no mesh. Call "
+                f"new_device.make_mesh() to generate the mesh for the new "
+                f"device."
+            )
+        return self.copy(with_mesh=False)
 
     def scale(
         self, xfact: float = 1, yfact: float = 1, origin: Tuple[float, float] = (0, 0)
     ) -> "Device":
         """Returns a new device with polygons scaled horizontally and/or
         vertically (negative factors reflect about ``origin``)."""
-        if not (
-            isinstance(origin, tuple)
-            and len(origin) == 2
-            and all(isinstance(val, numbers.Real) for val in origin)
-        ):
-            raise TypeError("Origin must be a tuple of floats (x, y).")
-        self._warn_if_mesh_exist("scale()")
-        device = self.copy(with_mesh=False)
-        for polygon in device.get_polygons():
+        _require_xy_origin(origin)
+        scaled = self._meshless_copy_for("scale()")
+        for polygon in scaled.get_polygons():
             polygon.scale(xfact=xfact, yfact=yfact, origin=origin, inplace=True)
-        return device
+        return scaled
 
     def rotate(self, degrees: float, origin: Tuple[float, float] = (0, 0)) -> "Device":
         """Returns a new device rotated counterclockwise about ``origin``."""
-        if not (
-            isinstance(origin, tuple)
-            and len(origin) == 2
-            and all(isinstance(val, numbers.Real) for val in origin)
-        ):
-            raise TypeError("Origin must be a tuple of floats (x, y).")
-        self._warn_if_mesh_exist("rotate()")
-        device = self.copy(with_mesh=False)
-        for polygon in device.get_polygons():
+        _require_xy_origin(origin)
+        rotated = self._meshless_copy_for("rotate()")
+        for polygon in rotated.get_polygons():
             polygon.rotate(degrees, origin=origin, inplace=True)
-        return device
+        return rotated
 
     def mirror_layers(self, about_z: float = 0.0) -> "Device":
         """Returns a new device with layers mirrored about ``z = about_z``."""
-        self._warn_if_mesh_exist("mirror_layers()")
-        device = self.copy(with_mesh=False)
-        for layer in device.layers.values():
+        mirrored = self._meshless_copy_for("mirror_layers()")
+        for layer in mirrored.layers.values():
             layer.z0 = about_z - layer.z0
-        return device
+        return mirrored
 
     def translate(
         self,
@@ -279,28 +292,26 @@ class Device:
         inplace: bool = False,
     ) -> "Device":
         """Translates polygons (and meshes, and layer heights) in space."""
-        if inplace:
-            device = self
-        else:
-            device = self.copy(with_mesh=True, copy_mesh=True)
-        for polygon in device.get_polygons():
+        target = self if inplace else self.copy(with_mesh=True, copy_mesh=True)
+        for polygon in target.get_polygons():
             polygon.translate(dx, dy, inplace=True)
-        if device.meshes:
-            for mesh in device.meshes.values():
-                mesh.sites += np.array([[dx, dy]])
+        for mesh in (target.meshes or {}).values():
+            mesh.sites += np.array([[dx, dy]])
         if dz:
-            for layer in device.layers.values():
+            for layer in target.layers.values():
                 layer.z0 += dz
-        return device
+        return target
 
     @contextmanager
     def translation(self, dx: float, dy: float, dz: float = 0):
         """Context manager that temporarily translates the device in-place."""
+        self.translate(dx, dy, dz=dz, inplace=True)
         try:
-            self.translate(dx, dy, dz=dz, inplace=True)
             yield
         finally:
             self.translate(-dx, -dy, dz=-dz, inplace=True)
+
+    # -- meshing -------------------------------------------------------------
 
     def make_mesh(
         self,
@@ -329,87 +340,111 @@ class Device:
                 true for films with terminals).
             smooth: Laplacian smoothing iterations.
         """
-        films = self.films
-        meshes = {}
-        if not isinstance(buffer_factor, dict):
-            buffer_factor = {name: buffer_factor for name in films}
-        if not isinstance(buffer, dict):
-            buffer = {name: buffer for name in films}
-        if not isinstance(min_points, dict):
-            min_points = {name: min_points for name in films}
-        if not isinstance(max_edge_length, dict):
-            max_edge_length = {name: max_edge_length for name in films}
-        if not isinstance(smooth, dict):
-            smooth = {name: smooth for name in films}
-        holes_by_layer = self.polygons_by_layer("hole")
-        abs_regions_by_layer = self.polygons_by_layer("abstract")
-        for name, film in films.items():
-            film_terminals = self.terminals.get(name)
-            feature_rings = []
-            for poly in holes_by_layer[film.layer] + abs_regions_by_layer[film.layer]:
-                if film.contains_points(poly.points).all():
-                    feature_rings.append(poly.points)
-            if (
-                film_terminals is not None
-                or buffer[name] == 0
-                or (buffer_factor[name] is None and buffer[name] is None)
-            ):
-                boundary = None
-                region = film.points
-            else:
-                # Mesh a buffered bounding region so some vacuum margin
-                # around the film is meshed; the film outline becomes a
-                # feature ring the mesh conforms to.
-                if buffer[name] is None:
-                    buffer_size = buffer_factor[name] * max(film.extents)
-                else:
-                    buffer_size = buffer[name]
-                buffered = pops.buffer_polygon(
-                    film.points,
-                    buffer_size,
-                    join_style=join_style,
-                    mitre_limit=5.0,
-                )
-                boundary = pops.resample_polygon(buffered, len(film.points))
-                region = boundary
-                feature_rings.insert(0, film.points)
-            points, triangles = mgen.generate_mesh(
-                film.points if boundary is None else boundary,
-                feature_rings=feature_rings,
-                min_points=min_points[name],
-                max_edge_length=max_edge_length[name],
-                boundary=None,
-                convex_hull=False,
-                preserve_boundary=preserve_boundary or (film_terminals is not None),
+        names = list(self.films)
+        options = {
+            key: _broadcast_per_film(value, names)
+            for key, value in (
+                ("buffer_factor", buffer_factor),
+                ("buffer", buffer),
+                ("min_points", min_points),
+                ("max_edge_length", max_edge_length),
+                ("smooth", smooth),
+            )
+        }
+        self.meshes = {
+            name: self._mesh_film(
+                name,
+                buffer_factor=options["buffer_factor"][name],
+                buffer=options["buffer"][name],
+                join_style=join_style,
+                min_points=options["min_points"][name],
+                max_edge_length=options["max_edge_length"][name],
+                preserve_boundary=preserve_boundary,
+                smooth=options["smooth"][name],
                 **mesh_kwargs,
             )
-            if smooth[name]:
-                meshes[name] = Mesh.from_triangulation(
-                    points, triangles, build_operators=False
-                ).smooth(smooth[name])
-            else:
-                meshes[name] = Mesh.from_triangulation(points, triangles)
-        self.meshes = meshes
+            for name in names
+        }
+
+    def _mesh_film(
+        self,
+        name: str,
+        *,
+        buffer_factor,
+        buffer,
+        join_style,
+        min_points,
+        max_edge_length,
+        preserve_boundary,
+        smooth,
+        **mesh_kwargs,
+    ) -> Mesh:
+        """Mesh a single film: optional buffered vacuum margin, hole and
+        abstract-region outlines as conforming feature rings."""
+        film = self.films[name]
+        has_terminals = name in self.terminals
+        interior_features = [
+            poly.points
+            for group in ("hole", "abstract")
+            for poly in self.polygons_by_layer(group)[film.layer]
+            if film.contains_points(poly.points).all()
+        ]
+        skip_buffer = (
+            has_terminals
+            or buffer == 0
+            or (buffer_factor is None and buffer is None)
+        )
+        if skip_buffer:
+            outer = film.points
+        else:
+            # Mesh a buffered bounding region so some vacuum margin around
+            # the film is meshed; the film outline becomes a feature ring
+            # the mesh conforms to.
+            margin = (
+                buffer
+                if buffer is not None
+                else buffer_factor * max(film.extents)
+            )
+            buffered = pops.buffer_polygon(
+                film.points, margin, join_style=join_style, mitre_limit=5.0
+            )
+            outer = pops.resample_polygon(buffered, len(film.points))
+            interior_features.insert(0, film.points)
+        points, triangles = mgen.generate_mesh(
+            outer,
+            feature_rings=interior_features,
+            min_points=min_points,
+            max_edge_length=max_edge_length,
+            boundary=None,
+            convex_hull=False,
+            preserve_boundary=preserve_boundary or has_terminals,
+            **mesh_kwargs,
+        )
+        if smooth:
+            return Mesh.from_triangulation(
+                points, triangles, build_operators=False
+            ).smooth(smooth)
+        return Mesh.from_triangulation(points, triangles)
 
     def boundary_vertices(self, film: str) -> np.ndarray:
-        """Boundary vertex indices for a film's mesh, ordered CCW.  For films
-        with terminals, the ordering is rolled so it does not wrap around
-        inside a terminal (reference: ``device/device.py:473-500``)."""
+        """Boundary vertex indices for a film's mesh, ordered CCW.
+
+        For films with terminals, the CCW cycle is rolled so that no
+        terminal's vertices straddle the start/end of the array.  A
+        terminal spanning the cyclic wrap point shows up as a discontinuity
+        in its (sorted) boundary positions; rolling by the length of the
+        leading run moves that run to the end, making the terminal
+        contiguous.  The roll amount matches the reference
+        (``device/device.py:496`` rolls by ``i_discont + 1``): in the wrap
+        case the leading run is ``0, 1, ..., i_discont``, so both the run
+        length and ``positions[i_discont] + 1`` equal ``i_discont + 1``.
+        Covered by ``tests/test_transport.py::test_boundary_roll_wrap``.
+        """
         if self.meshes is None:
             return None
         mesh = self.meshes[film]
-        indices = mgen.boundary_vertices(mesh.sites, mesh.elements)
-        if film not in self.terminals:
-            return indices
-        for terminal in self.terminals[film]:
-            boundary_points = mesh.sites[indices]
-            terminal_indices = terminal.contains_points(boundary_points, index=True)
-            discont = np.diff(terminal_indices) != 1
-            if np.any(discont):
-                i_discont = np.where(discont)[0][0]
-                indices = np.roll(indices, -(terminal_indices[i_discont] + 1))
-                break
-        return indices
+        cycle = mgen.boundary_vertices(mesh.sites, mesh.elements)
+        return _unwrap_terminals(cycle, mesh.sites, self.terminals.get(film, []))
 
     def mesh_stats_dict(self) -> Optional[Dict[str, Dict[str, Union[int, float]]]]:
         """Mesh information for all meshes."""
@@ -422,28 +457,26 @@ class Device:
         all_stats = self.mesh_stats_dict()
         if all_stats is None:
             return None
-
-        def make_row(*cols):
-            return "<tr>" + "".join([f"<td>{c}</td>" for c in cols]) + "</tr>"
-
-        html = ["<table>", "<tr><h2>Mesh Statistics</h2></tr>"]
-        html.append(make_row("", "<b>length_units</b>", repr(self.length_units)))
+        rows = [("", "<b>length_units</b>", repr(self.length_units))]
         for name, stats in all_stats.items():
-            for i, (key, value) in enumerate(stats.items()):
-                if isinstance(value, float):
-                    value = f"{value:.{precision}e}"
-                if i == 0:
-                    html.append(make_row(f"<b>{name!r}</b>", f"<b>{key}</b>", value))
-                else:
-                    html.append(make_row("", f"<b>{key}</b>", value))
-        html.append("</table>")
-        html = "".join(html)
+            label = f"<b>{name!r}</b>"
+            for key, value in stats.items():
+                shown = f"{value:.{precision}e}" if isinstance(value, float) else value
+                rows.append((label, f"<b>{key}</b>", shown))
+                label = ""  # only print the mesh name on its first row
+        body = "".join(
+            "<tr>" + "".join(f"<td>{col}</td>" for col in row) + "</tr>"
+            for row in rows
+        )
+        html = f"<table><tr><h2>Mesh Statistics</h2></tr>{body}</table>"
         try:
             from IPython.display import HTML
 
             return HTML(html)
         except ImportError:
             return html
+
+    # -- mutual inductance ---------------------------------------------------
 
     def mutual_inductance_matrix(
         self,
@@ -457,10 +490,12 @@ class Device:
         ``M[i, j] = Phi_i / I_j`` where ``Phi_i`` is the fluxoid of the
         polygon enclosing hole ``i`` when unit current circulates hole ``j``.
 
-        The factorized model is built once and reused across columns
-        (``set_circulating_currents``), and fluxoids of all enclosing
-        polygons are evaluated per solve
-        (reference: ``device/device.py:538-648``).
+        All hole columns are solved as ONE batched device program reusing a
+        single factorization; with ``all_iterations`` the per-iteration
+        history also comes from that same single program (the reference
+        loops holes and solves per column,
+        ``device/device.py:538-648``).  Devices with transport terminals
+        fall back to a per-column loop over :func:`superscreen_tpu.solve`.
 
         Args:
             hole_polygon_mapping: ``{hole_name: polygon_coords}`` enclosing
@@ -474,109 +509,107 @@ class Device:
         """
         from ..fluxoid import make_fluxoid_polygons
         from ..ops.fem import in_polygon
-        from ..solver import factorize_model, solve
 
-        holes = self.holes
-        hole_names = list(self.holes)
         if hole_polygon_mapping is None:
             hole_polygon_mapping = make_fluxoid_polygons(self)
-
-        n_holes = len(hole_polygon_mapping)
         for hole_name, polygon in hole_polygon_mapping.items():
-            if hole_name not in holes:
-                raise ValueError(f"Hole '{hole_name}' does not exist in the device.")
-            if not in_polygon(polygon, holes[hole_name].points).all():
+            if hole_name not in self.holes:
+                raise ValueError(
+                    f"Hole '{hole_name}' does not exist in the device."
+                )
+            if not in_polygon(polygon, self.holes[hole_name].points).all():
                 raise ValueError(
                     f"Hole '{hole_name}' is not completely contained "
                     f"within the given polygon."
                 )
-        solve_kwargs = solve_kwargs.copy()
-        iterations = solve_kwargs.get("iterations", 1)
-        solve_kwargs["progress_bar"] = False
+
+        solve_kwargs = dict(solve_kwargs)
         solve_kwargs.pop("current_units", None)
+        solve_kwargs["progress_bar"] = False
+        iterations = solve_kwargs.get("iterations", 1)
         use_batched = solve_kwargs.pop("use_batched_solver", not self.terminals)
-        I_circ = self.ureg("1 mA")
-        if all_iterations:
-            n_iter = 1 if len(self.layers) == 1 else iterations + 1
-            solution_slice = slice(None)
-        else:
-            n_iter = 1
-            solution_slice = slice(-1, None)
-        mutual_inductance = np.zeros((n_iter, n_holes, n_holes))
-        films_by_hole = {}
-        for film, film_holes in self.holes_by_film().items():
-            for hole in film_holes:
-                films_by_hole[hole.name] = film
+        # Single-layer devices have no inter-film coupling: iteration 0 is
+        # already converged.
+        n_matrices = iterations + 1 if (all_iterations and len(self.layers) > 1) else 1
+
+        hole_names = list(self.holes)
+        film_of_hole = {
+            hole.name: film
+            for film, film_holes in self.holes_by_film().items()
+            for hole in film_holes
+        }
+        unit_current = self.ureg("1 mA")
+
+        def fluxoid_column(solution) -> np.ndarray:
+            """Fluxoids of every enclosing polygon for one solution, in
+            ``units`` per unit circulating current."""
+            column = np.zeros(len(hole_names))
+            for i, name in enumerate(hole_names):
+                fluxoid = solution.polygon_fluxoid(
+                    hole_polygon_mapping[name], film=film_of_hole[name]
+                )
+                column[i] = (sum(fluxoid) / unit_current).to(units).magnitude
+            return column
+
+        matrices = np.zeros((n_matrices, len(hole_names), len(hole_names)))
         if use_batched:
-            # TPU-native path: all hole columns as ONE batched solve that
-            # reuses a single factorization (the reference loops holes,
-            # device/device.py:610-639).
-            from ..sweep import solve_many
-
-            model = factorize_model(device=self, current_units="mA")
-            I_val = 1.0  # mA
-            result = solve_many(
-                model=model,
-                applied_fields=[
-                    __import__("superscreen_tpu").sources.ConstantField(0)
-                ]
-                * len(hole_names),
-                circulating_currents=[
-                    {name: I_val} for name in hole_names
-                ],
-                field_units=solve_kwargs.get("field_units", "mT"),
-                iterations=iterations if len(self.films) > 1 else 0,
+            matrices = self._batched_mutuals(
+                matrices, hole_names, fluxoid_column, iterations, solve_kwargs
             )
-            for j, source_hole in enumerate(hole_names):
-                solution = result.solution(j)
-                for i, name in enumerate(hole_names):
-                    fluxoid = solution.polygon_fluxoid(
-                        hole_polygon_mapping[name], film=films_by_hole[name]
-                    )
-                    mutual_inductance[-1, i, j] = (
-                        (sum(fluxoid) / I_circ).to(units).magnitude
-                    )
-            if all_iterations and n_iter > 1:
-                # Batched path stores only the final iteration; re-solve per
-                # iteration count for the convergence series.
-                for it in range(n_iter - 1):
-                    res_it = solve_many(
-                        model=model,
-                        applied_fields=[
-                            __import__("superscreen_tpu").sources.ConstantField(0)
-                        ]
-                        * len(hole_names),
-                        circulating_currents=[
-                            {name: I_val} for name in hole_names
-                        ],
-                        field_units=solve_kwargs.get("field_units", "mT"),
-                        iterations=it,
-                    )
-                    for j in range(len(hole_names)):
-                        solution = res_it.solution(j)
-                        for i, name in enumerate(hole_names):
-                            fluxoid = solution.polygon_fluxoid(
-                                hole_polygon_mapping[name],
-                                film=films_by_hole[name],
-                            )
-                            mutual_inductance[it, i, j] = (
-                                (sum(fluxoid) / I_circ).to(units).magnitude
-                            )
-            mutual_inductance = mutual_inductance * self.ureg(units)
-            result_list = [m for m in mutual_inductance]
-            if not all_iterations:
-                assert len(result_list) == 1
-                return result_list[0]
-            return result_list
+        else:
+            matrices = self._per_column_mutuals(
+                matrices, hole_names, fluxoid_column, progress_bar, solve_kwargs
+            )
+        results = [m * self.ureg(units) for m in matrices]
+        return results if all_iterations else results[-1]
 
-        model = None
+    def _batched_mutuals(
+        self, matrices, hole_names, fluxoid_column, iterations, solve_kwargs
+    ):
+        """All columns in one batched solve (one per iteration if the
+        history is requested)."""
+        from ..solver import factorize_model
+        from ..sources import ConstantField
+        from ..sweep import solve_many
+
+        model = factorize_model(device=self, current_units="mA")
+        want_history = len(matrices) > 1
+        sweep = solve_many(
+            model=model,
+            applied_fields=[ConstantField(0)] * len(hole_names),
+            circulating_currents=[{name: 1.0} for name in hole_names],
+            field_units=solve_kwargs.get("field_units", "mT"),
+            iterations=iterations if len(self.films) > 1 else 0,
+            keep_history=want_history,
+        )
+        per_iteration = list(sweep) if want_history else [sweep]
+        if len(per_iteration) < len(matrices):
+            # e.g. a multi-layer device with a single film: no coupling ran,
+            # so every iteration equals the converged state.
+            per_iteration += [per_iteration[-1]] * (
+                len(matrices) - len(per_iteration)
+            )
+        for it, result in enumerate(per_iteration[-len(matrices):]):
+            for j in range(len(hole_names)):
+                matrices[it, :, j] = fluxoid_column(result.solution(j))
+        return matrices
+
+    def _per_column_mutuals(
+        self, matrices, hole_names, fluxoid_column, progress_bar, solve_kwargs
+    ):
+        """Legacy column-by-column loop (used for terminal devices)."""
+        from ..solver import factorize_model, solve
+
         try:
             from tqdm import tqdm
         except ImportError:  # pragma: no cover
             def tqdm(x, **kw):
                 return x
+
+        model = None
+        keep = len(matrices)
         for j, hole_name in enumerate(
-            tqdm(hole_names, desc="Holes", disable=(not progress_bar))
+            tqdm(hole_names, desc="Holes", disable=not progress_bar)
         ):
             logger.info(
                 f"Evaluating {self.name!r} mutual inductance matrix "
@@ -586,28 +619,40 @@ class Device:
                 model = factorize_model(
                     device=self,
                     current_units="mA",
-                    circulating_currents={hole_name: str(I_circ)},
+                    circulating_currents={hole_name: "1 mA"},
                 )
-                I_circ_val = model.circulating_currents[hole_name]
+                I_val = model.circulating_currents[hole_name]
             else:
-                model.set_circulating_currents({hole_name: I_circ_val})
-            solutions = solve(model=model, **solve_kwargs)[solution_slice]
-            for n, solution in enumerate(solutions):
-                for i, name in enumerate(hole_names):
-                    fluxoid = solution.polygon_fluxoid(
-                        hole_polygon_mapping[name], film=films_by_hole[name]
-                    )
-                    mutual_inductance[n, i, j] = (
-                        (sum(fluxoid) / I_circ).to(units).magnitude
-                    )
-        mutual_inductance = mutual_inductance * self.ureg(units)
-        result = [m for m in mutual_inductance]
-        if not all_iterations:
-            assert len(result) == 1
-            result = result[0]
-        return result
+                model.set_circulating_currents({hole_name: I_val})
+            solutions = solve(model=model, **solve_kwargs)[-keep:]
+            for it, solution in enumerate(solutions):
+                matrices[it, :, j] = fluxoid_column(solution)
+        return matrices
 
     # -- plotting ------------------------------------------------------------
+
+    def _figure_axes(self, count, ax, subplots, figsize, max_cols=2):
+        """Shared fig/axes setup for the plotting helpers.  Returns
+        ``(fig, axes_array, subplots)`` where axes_array has one entry per
+        plotted item (repeated when everything shares one axis)."""
+        import matplotlib.pyplot as plt
+
+        if ax is not None:
+            return ax.get_figure(), np.array([ax] * count), False
+        if subplots:
+            from ..visualization import auto_grid
+
+            fig, axes = auto_grid(
+                count, max_cols=max_cols, figsize=figsize, constrained_layout=True
+            )
+            return fig, axes, True
+        fig, one = plt.subplots(figsize=figsize, constrained_layout=True)
+        return fig, np.array([one] * count), False
+
+    def _label_axis(self, ax) -> None:
+        ax.set_xlabel(f"$x$ [{self.length_units}]")
+        ax.set_ylabel(f"$y$ [{self.length_units}]")
+        ax.set_aspect("equal")
 
     def plot_polygons(
         self,
@@ -618,50 +663,26 @@ class Device:
         **kwargs,
     ):
         """Plots all the device's polygons."""
-        import matplotlib.pyplot as plt
-
         if len(self.films) > 1 and subplots and ax is not None:
             raise ValueError(
                 "Axes may not be provided if subplots is True and the device "
                 "has multiple films."
             )
-        if ax is None:
+        fig, axes, subplots = self._figure_axes(
+            len(self.films), ax, subplots, figsize
+        )
+        holes_in_film = self.holes_by_film()
+        for axis, (name, film) in zip(axes.flat, self.films.items()):
+            for polygon in (
+                [film] + holes_in_film[name] + self.terminals.get(name, [])
+            ):
+                polygon.plot(ax=axis, **kwargs)
             if subplots:
-                from ..visualization import auto_grid
-
-                fig, axes = auto_grid(
-                    len(self.films),
-                    max_cols=2,
-                    figsize=figsize,
-                    constrained_layout=True,
-                )
-            else:
-                fig, axes = plt.subplots(figsize=figsize, constrained_layout=True)
-                axes = np.array([axes for _ in self.films])
-        else:
-            subplots = False
-            fig = ax.get_figure()
-            axes = np.array([ax for _ in self.films])
-        holes_by_film = self.holes_by_film()
-        terminals = self.terminals
-        for ax, (name, film) in zip(axes.flat, self.films.items()):
-            film.plot(ax=ax, **kwargs)
-            for hole in holes_by_film[name]:
-                hole.plot(ax=ax, **kwargs)
-            if name in terminals:
-                for terminal in terminals[name]:
-                    terminal.plot(ax=ax, **kwargs)
-            if subplots:
-                ax.set_title(name)
+                axis.set_title(name)
             if legend:
-                ax.legend(bbox_to_anchor=(1, 1), loc="upper left")
-            units_str = self.length_units
-            ax.set_xlabel(f"$x$ [{units_str}]")
-            ax.set_ylabel(f"$y$ [{units_str}]")
-            ax.set_aspect("equal")
-        if not subplots:
-            axes = axes[0]
-        return fig, axes
+                axis.legend(bbox_to_anchor=(1, 1), loc="upper left")
+            self._label_axis(axis)
+        return fig, axes if subplots else axes[0]
 
     def plot_mesh(
         self,
@@ -677,92 +698,73 @@ class Device:
         marker: str = ".",
     ):
         """Plots all the device's meshes."""
-        import matplotlib.pyplot as plt
-
+        if self.meshes is None:
+            raise ValueError(
+                "Mesh doesn't exist. Run Device.make_mesh() to generate one."
+            )
         if len(self.films) > 1 and subplots and ax is not None:
             raise ValueError(
                 "Axes may not be provided if subplots is True and the device "
                 "has multiple films."
             )
-        if self.meshes is None:
-            raise ValueError(
-                "Mesh doesn't exist. Run Device.make_mesh() to generate one."
-            )
-        if ax is None:
-            if subplots:
-                from ..visualization import auto_grid
-
-                fig, axes = auto_grid(
-                    len(self.films),
-                    max_cols=2,
-                    figsize=figsize,
-                    constrained_layout=True,
-                )
-            else:
-                fig, axes = plt.subplots(figsize=figsize, constrained_layout=True)
-                axes = np.array([axes for _ in self.films])
-        else:
-            subplots = False
-            fig = ax.get_figure()
-            axes = np.array([ax for _ in self.films])
-        for i, (ax, (name, mesh)) in enumerate(zip(axes.flat, self.meshes.items())):
-            sc = f"C{i}" if site_color is None else site_color
-            ec = f"C{i}" if edge_color is None else edge_color
-            ax = mesh.plot(
-                ax=ax,
+        fig, axes, subplots = self._figure_axes(
+            len(self.films), ax, subplots, figsize
+        )
+        for i, (axis, (name, mesh)) in enumerate(zip(axes.flat, self.meshes.items())):
+            mesh.plot(
+                ax=axis,
                 show_sites=show_sites,
                 show_edges=show_edges,
-                site_color=sc,
-                edge_color=ec,
+                site_color=site_color if site_color is not None else f"C{i}",
+                edge_color=edge_color if edge_color is not None else f"C{i}",
                 linestyle=linestyle,
                 linewidth=linewidth,
                 marker=marker,
             )
             if subplots:
-                ax.set_title(name)
-            units_str = self.length_units
-            ax.set_xlabel(f"$x$ [{units_str}]")
-            ax.set_ylabel(f"$y$ [{units_str}]")
-            ax.set_aspect("equal")
-        if not subplots:
-            axes = axes[0]
-        return fig, axes
+                axis.set_title(name)
+            self._label_axis(axis)
+        return fig, axes if subplots else axes[0]
 
     def patches(self) -> Dict[str, Dict[str, "object"]]:
         """``{layer_name: {film_name: PathPatch}}`` for device visualization."""
-        from collections import defaultdict
-
         from matplotlib.patches import PathPatch
         from matplotlib.path import Path
 
-        abstract_regions = self.abstract_regions
-        polygons_by_layer = self.polygons_by_layer()
-        holes_by_layer = self.polygons_by_layer(polygon_type="hole")
-        hole_names_by_layer = {
-            layer: [h.name for h in holes]
-            for layer, holes in holes_by_layer.items()
-        }
-        patches = defaultdict(dict)
-        for layer, regions in polygons_by_layer.items():
+        def ring_path(points, reverse=False):
+            coords = points.tolist()
+            if reverse:
+                coords = coords[::-1]
+            codes = [Path.MOVETO] + [Path.LINETO] * (len(coords) - 2) + [
+                Path.CLOSEPOLY
+            ]
+            return coords, codes
+
+        holes_in_layer = self.polygons_by_layer("hole")
+        patches: Dict[str, Dict[str, object]] = {}
+        for layer, regions in self.polygons_by_layer().items():
+            hole_names = {h.name for h in holes_in_layer[layer]}
+            layer_patches = {}
             for region in regions:
-                if region.name in hole_names_by_layer[layer]:
+                if region.name in hole_names:
                     continue
-                coords = region.points.tolist()
-                codes = [Path.LINETO for _ in coords]
-                codes[0] = Path.MOVETO
-                codes[-1] = Path.CLOSEPOLY
-                for hole in holes_by_layer[layer]:
-                    if region.name not in abstract_regions and region.contains_points(
+                coords, codes = ring_path(region.points)
+                is_abstract = region.name in self.abstract_regions
+                for hole in holes_in_layer[layer]:
+                    if not is_abstract and region.contains_points(
                         hole.points
                     ).all():
-                        hole_coords = hole.points.tolist()[::-1]
-                        hole_codes = [Path.LINETO for _ in hole_coords]
-                        hole_codes[0] = Path.MOVETO
-                        hole_codes[-1] = Path.CLOSEPOLY
-                        coords.extend(hole_coords)
-                        codes.extend(hole_codes)
-                patches[layer][region.name] = PathPatch(Path(coords, codes))
-        return dict(patches)
+                        # Punch the hole by appending its ring with reversed
+                        # orientation.
+                        hole_coords, hole_codes = ring_path(
+                            hole.points, reverse=True
+                        )
+                        coords += hole_coords
+                        codes += hole_codes
+                layer_patches[region.name] = PathPatch(Path(coords, codes))
+            if layer_patches:
+                patches[layer] = layer_patches
+        return patches
 
     def draw(
         self,
@@ -776,94 +778,72 @@ class Device:
         layer_order: str = "increasing",
     ):
         """Draws all polygons in the device as matplotlib patches."""
-        import matplotlib.pyplot as plt
-
         if len(self.layers) > 1 and subplots and ax is not None:
             raise ValueError(
                 "Axes may not be provided if subplots is True and the device "
                 "has multiple layers."
             )
-        layer_order = layer_order.lower()
-        layer_orders = ("increasing", "decreasing")
-        if layer_order not in layer_orders:
+        if layer_order.lower() not in ("increasing", "decreasing"):
             raise ValueError(
                 f"Invalid layer_order: {layer_order}. "
-                f"Valid layer orders are {layer_orders}."
+                f"Valid layer orders are ('increasing', 'decreasing')."
             )
-        if ax is None:
-            if subplots:
-                from ..visualization import auto_grid
-
-                fig, axes = auto_grid(
-                    len(self.layers),
-                    max_cols=max_cols,
-                    figsize=figsize,
-                    constrained_layout=True,
-                )
-            else:
-                fig, ax = plt.subplots(figsize=figsize, constrained_layout=True)
-                axes = np.array([ax for _ in self.layers])
-        else:
-            subplots = False
-            fig = ax.get_figure()
-            axes = np.array([ax for _ in self.layers])
-        exclude = exclude or []
         if isinstance(exclude, str):
             exclude = [exclude]
-        layers = [
-            layer.name for layer in sorted(self.layers.values(), key=lambda x: x.z0)
-        ]
-        if layer_order == "decreasing":
-            layers = layers[::-1]
+        exclude = set(exclude or [])
+
+        layers_by_height = sorted(self.layers.values(), key=lambda la: la.z0)
+        layer_names = [la.name for la in layers_by_height]
+        if layer_order.lower() == "decreasing":
+            layer_names.reverse()
+
+        fig, axes, subplots = self._figure_axes(
+            len(self.layers), ax, subplots, figsize, max_cols=max_cols
+        )
+        # Common axis limits with a 10% margin around all polygon vertices.
+        x, y = self.poly_points.T
+        cx, cy = (x.min() + x.max()) / 2, (y.min() + y.max()) / 2
+        half_w, half_h = 0.55 * np.ptp(x), 0.55 * np.ptp(y)
+
         patches = self.patches()
         used_axes = set()
-        x, y = self.poly_points.T
-        margin = 0.1
-        dx = np.ptp(x)
-        dy = np.ptp(y)
-        x0 = x.min() + dx / 2
-        y0 = y.min() + dy / 2
-        dx *= 1 + margin
-        dy *= 1 + margin
-        labels = []
-        handles = []
-        for i, (layer, ax) in enumerate(zip(layers, axes.flat)):
-            ax.set_aspect("equal")
-            ax.grid(False)
-            ax.set_xlim(x0 - dx / 2, x0 + dx / 2)
-            ax.set_ylim(y0 - dy / 2, y0 + dy / 2)
-            ax.set_xlabel(f"$x$ [{self.length_units}]")
-            ax.set_ylabel(f"$y$ [{self.length_units}]")
+        labels: List[str] = []
+        handles: List[object] = []
+        for i, (layer, axis) in enumerate(zip(layer_names, axes.flat)):
+            axis.grid(False)
+            axis.set_xlim(cx - half_w, cx + half_w)
+            axis.set_ylim(cy - half_h, cy + half_h)
+            self._label_axis(axis)
             if subplots:
-                labels = []
-                handles = []
-            j = 0
+                labels, handles = [], []
+            first_in_layer = True
             for name, patch in patches.get(layer, {}).items():
                 if name in exclude or name in self.holes:
                     continue
                 patch.set_facecolor(f"C{i}")
                 patch.set_alpha(alpha)
-                ax.add_artist(patch)
-                used_axes.add(ax)
-                if j == 0:
+                axis.add_artist(patch)
+                used_axes.add(axis)
+                if first_in_layer:
                     labels.append(layer)
                     handles.append(patch)
-                j += 1
+                    first_in_layer = False
             if subplots:
-                ax.set_title(layer)
+                axis.set_title(layer)
                 if legend:
-                    ax.legend(handles, labels, bbox_to_anchor=(1, 1), loc="upper left")
+                    axis.legend(
+                        handles, labels, bbox_to_anchor=(1, 1), loc="upper left"
+                    )
         if subplots:
-            for ax in fig.axes:
-                if ax not in used_axes:
-                    fig.delaxes(ax)
-        else:
-            axes = axes[0]
-            if legend:
-                axes.legend(handles, labels, bbox_to_anchor=(1, 1), loc="upper left")
-        return fig, axes
+            for axis in fig.axes:
+                if axis not in used_axes:
+                    fig.delaxes(axis)
+            return fig, axes
+        if legend:
+            axes[0].legend(handles, labels, bbox_to_anchor=(1, 1), loc="upper left")
+        return fig, axes[0]
 
-    # -- serialization ---------------------------------------------------------
+    # -- serialization -------------------------------------------------------
 
     def to_hdf5(
         self,
@@ -872,119 +852,111 @@ class Device:
         compress: bool = True,
     ) -> None:
         """Serializes the device to an HDF5 file or group."""
-        if isinstance(path_or_group, h5py.Group):
-            save_context = nullcontext(path_or_group)
-        else:
-            save_context = h5py.File(path_or_group, "x")
-        with save_context as h5group:
-            h5group.attrs["name"] = self.name
-            h5group.attrs["length_units"] = self.length_units
-            h5group.attrs["solve_dtype"] = str(self.solve_dtype)
-            layer_grp = h5group.create_group("layers")
-            film_grp = h5group.create_group("films")
-            hole_grp = h5group.create_group("holes")
-            terminals_grp = h5group.create_group("terminals")
-            abs_grp = h5group.create_group("abstract_regions")
-            for name, layer in self.layers.items():
-                layer.to_hdf5(layer_grp.create_group(name))
-            for name, polygon in self.films.items():
-                polygon.to_hdf5(film_grp.create_group(name))
-            for name, polygon in self.holes.items():
-                polygon.to_hdf5(hole_grp.create_group(name))
-            for name, polygon in self.abstract_regions.items():
-                polygon.to_hdf5(abs_grp.create_group(name))
+        with h5_context(path_or_group, "x") as root:
+            root.attrs.update(
+                name=self.name,
+                length_units=self.length_units,
+                solve_dtype=str(self.solve_dtype),
+            )
+            groups = {
+                "layers": self.layers,
+                "films": self.films,
+                "holes": self.holes,
+                "abstract_regions": self.abstract_regions,
+            }
+            for group_name, members in groups.items():
+                grp = root.create_group(group_name)
+                for name, member in members.items():
+                    member.to_hdf5(grp.create_group(name))
+            terminals_grp = root.create_group("terminals")
             for film_name, terms in self.terminals.items():
-                grp = terminals_grp.create_group(film_name)
+                film_grp = terminals_grp.create_group(film_name)
                 for i, terminal in enumerate(terms):
-                    terminal.to_hdf5(grp.create_group(str(i)))
+                    terminal.to_hdf5(film_grp.create_group(str(i)))
             if save_mesh and self.meshes:
-                mesh_grp = h5group.create_group("mesh")
+                mesh_grp = root.create_group("mesh")
                 for name, mesh in self.meshes.items():
                     mesh.to_hdf5(mesh_grp.create_group(name), compress=compress)
 
     @staticmethod
     def from_hdf5(path_or_group: Union[os.PathLike, h5py.Group]) -> "Device":
         """Loads a device from an HDF5 file or group."""
-        if isinstance(path_or_group, h5py.Group):
-            read_context = nullcontext(path_or_group)
-        else:
-            read_context = h5py.File(path_or_group, "r")
-        with read_context as h5group:
-            terminals = {}
-            for film, grp in h5group["terminals"].items():
-                terminals[film] = []
-                for i in range(len(grp)):
-                    terminals[film].append(Polygon.from_hdf5(grp[str(i)]))
+        with h5_context(path_or_group, "r") as root:
+
+            def load_polygons(group_name):
+                return [Polygon.from_hdf5(g) for g in root[group_name].values()]
+
+            terminals = {
+                film: [
+                    Polygon.from_hdf5(grp[str(i)]) for i in range(len(grp))
+                ]
+                for film, grp in root["terminals"].items()
+            }
             device = Device(
-                name=h5group.attrs["name"],
-                layers=[Layer.from_hdf5(grp) for grp in h5group["layers"].values()],
-                films=[Polygon.from_hdf5(grp) for grp in h5group["films"].values()],
-                holes=[Polygon.from_hdf5(grp) for grp in h5group["holes"].values()],
+                name=root.attrs["name"],
+                layers=[Layer.from_hdf5(g) for g in root["layers"].values()],
+                films=load_polygons("films"),
+                holes=load_polygons("holes"),
                 terminals=terminals,
-                abstract_regions=[
-                    Polygon.from_hdf5(grp)
-                    for grp in h5group["abstract_regions"].values()
-                ],
-                length_units=h5group.attrs["length_units"],
-                solve_dtype=h5group.attrs["solve_dtype"],
+                abstract_regions=load_polygons("abstract_regions"),
+                length_units=root.attrs["length_units"],
+                solve_dtype=root.attrs["solve_dtype"],
             )
-            if "mesh" in h5group:
+            if "mesh" in root:
                 device.meshes = {
-                    name: Mesh.from_hdf5(grp) for name, grp in h5group["mesh"].items()
+                    name: Mesh.from_hdf5(grp)
+                    for name, grp in root["mesh"].items()
                 }
             return device
 
+    # -- dunder plumbing -----------------------------------------------------
+
     def __repr__(self) -> str:
-        indent = 4
-        t = " " * indent
-        nt = "\n" + t
+        pad = " " * 4
 
-        def format_list(L):
-            if not L:
-                return None
-            items = [f"{t}{value}" for value in L]
-            return "[" + nt + (", " + nt).join(items) + "," + nt + "]"
+        def block(values):
+            items = list(values)
+            if not items:
+                return "None"
+            inner = (",\n" + pad * 2).join(str(v) for v in items)
+            return "[\n" + pad * 2 + inner + ",\n" + pad + "]"
 
-        def format_dict(D):
-            if not D:
-                return None
-            items = [f"{t}{key!r}: {value}" for key, value in D.items()]
-            return "{" + nt + (", " + nt).join(items) + "," + nt + "}"
+        def mapping(d):
+            if not d:
+                return "None"
+            inner = (",\n" + pad * 2).join(f"{k!r}: {v}" for k, v in d.items())
+            return "{\n" + pad * 2 + inner + ",\n" + pad + "}"
 
-        args = [
+        parts = [
             f'"{self.name}"',
-            f"layers={format_list(self.layers.values())}",
-            f"films={format_list(self.films.values())}",
-            f"holes={format_list(self.holes.values())}",
-            f"terminals={format_dict(self.terminals)}",
-            f"abstract_regions={format_list(self.abstract_regions.values())}",
+            f"layers={block(self.layers.values())}",
+            f"films={block(self.films.values())}",
+            f"holes={block(self.holes.values())}",
+            f"terminals={mapping(self.terminals)}",
+            f"abstract_regions={block(self.abstract_regions.values())}",
             f'length_units="{self.length_units}"',
         ]
-        return f"{self.__class__.__name__}(" + nt + (", " + nt).join(args) + ",\n)"
+        joined = (",\n" + pad).join(parts)
+        return f"Device(\n{pad}{joined},\n)"
 
-    def __eq__(self, other) -> bool:
-        if other is self:
-            return True
-        if not isinstance(other, Device):
-            return False
-
-        def equals_sorted(first, second):
-            def key(x):
-                return x.name
-
-            return sorted(first, key=key) == sorted(second, key=key)
+    def _comparison_key(self):
+        def ordered(group):
+            return sorted(group.values(), key=lambda p: p.name)
 
         return (
-            self.name == other.name
-            and equals_sorted(self.layers.values(), other.layers.values())
-            and equals_sorted(self.films.values(), other.films.values())
-            and equals_sorted(self.holes.values(), other.holes.values())
-            and self.terminals == other.terminals
-            and equals_sorted(
-                self.abstract_regions.values(), other.abstract_regions.values()
-            )
-            and self.length_units == other.length_units
+            self.name,
+            ordered(self.layers),
+            ordered(self.films),
+            ordered(self.holes),
+            self.terminals,
+            ordered(self.abstract_regions),
+            self.length_units,
         )
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Device):
+            return False
+        return self is other or self._comparison_key() == other._comparison_key()
 
     def __getstate__(self):
         state = dict(self.__dict__)

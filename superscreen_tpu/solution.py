@@ -15,7 +15,6 @@ import datetime as dt
 import logging
 import numbers
 import os
-from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Literal, NamedTuple, Optional, Sequence, Union
 
@@ -25,7 +24,7 @@ import numpy as np
 from .about import version_dict
 from .device import Device, Polygon
 from .geometry import path_vectors
-from .io import deserialize_obj, serialize_obj
+from .io import deserialize_obj, h5_context as _h5_context, serialize_obj
 from .ops import interp as interp_ops
 from .ops.fem import in_polygon
 from .parameter import Constant
@@ -166,17 +165,6 @@ def _normalize_coordinates(positions, zs, dtype):
     if not isinstance(z, np.ndarray):
         raise ValueError(f"Expected zs to be an ndarray, but got {type(z)}.")
     return xy, z
-
-
-@contextmanager
-def _h5_context(path_or_group, mode):
-    """Yield an h5py Group from either an open group or a file path."""
-    if isinstance(path_or_group, h5py.Group):
-        with nullcontext(path_or_group) as grp:
-            yield grp
-    else:
-        with h5py.File(path_or_group, mode) as grp:
-            yield grp
 
 
 class Solution:

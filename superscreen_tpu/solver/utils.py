@@ -148,6 +148,7 @@ class FilmInfo:
     kernel: Optional[np.ndarray]
     laplacian: "np.ndarray | object"
     gradient: Optional[np.ndarray] = None
+    gradient_coo: Optional[Tuple] = None  # (gx, gy) COO pair in low-memory mode
     terminal_currents: Optional[Dict[str, float]] = None
     sites: Optional[np.ndarray] = None
 
@@ -188,6 +189,13 @@ class FilmInfo:
             h5group["sites"] = np.asarray(self.sites)
         if self.gradient is not None:
             h5group["gradient"] = np.asarray(self.gradient)
+        if self.gradient_coo is not None:
+            for axis, op in zip("xy", self.gradient_coo):
+                grp = h5group.create_group(f"gradient_coo_{axis}")
+                grp["rows"] = op.rows
+                grp["cols"] = op.cols
+                grp["vals"] = op.vals
+                grp.attrs["shape"] = op.shape
         if self.terminal_currents is not None:
             term_grp = h5group.create_group("terminal_currents")
             for name, current in self.terminal_currents.items():
@@ -205,9 +213,21 @@ class FilmInfo:
             hole: np.array(indices)
             for hole, indices in h5group["hole_indices"].items()
         }
-        gradient = terminal_currents = None
+        gradient = gradient_coo = terminal_currents = None
         if "gradient" in h5group:
             gradient = np.array(h5group["gradient"])
+        if "gradient_coo_x" in h5group:
+            from ..ops.fem import COO
+
+            gradient_coo = tuple(
+                COO(
+                    rows=np.array(h5group[f"gradient_coo_{axis}"]["rows"]),
+                    cols=np.array(h5group[f"gradient_coo_{axis}"]["cols"]),
+                    vals=np.array(h5group[f"gradient_coo_{axis}"]["vals"]),
+                    shape=tuple(h5group[f"gradient_coo_{axis}"].attrs["shape"]),
+                )
+                for axis in "xy"
+            )
         if "terminal_currents" in h5group:
             terminal_currents = dict(h5group["terminal_currents"].attrs)
         kernel = None
@@ -242,6 +262,7 @@ class FilmInfo:
             kernel=kernel,
             laplacian=laplacian,
             gradient=gradient,
+            gradient_coo=gradient_coo,
             terminal_currents=terminal_currents,
             sites=sites,
         )
@@ -365,13 +386,19 @@ def make_film_info(
         else:
             Q = None
             laplacian = mesh.operators.laplacian
-        grad = None
+        grad = grad_coo = None
         if lambda_info.inhomogeneous:
-            import jax.numpy as jnp
+            if dense_kernel:
+                import jax.numpy as jnp
 
-            grad_x = mesh.operators.gradient_x.to_dense(dtype=dtype, like="jax")
-            grad_y = mesh.operators.gradient_y.to_dense(dtype=dtype, like="jax")
-            grad = jnp.stack([grad_x, grad_y])
+                grad_x = mesh.operators.gradient_x.to_dense(dtype=dtype, like="jax")
+                grad_y = mesh.operators.gradient_y.to_dense(dtype=dtype, like="jax")
+                grad = jnp.stack([grad_x, grad_y])
+            else:
+                # Low-memory mode keeps the vertex-gradient operators sparse;
+                # the (grad Lambda . grad) term enters the system as extra
+                # scatter/segment-sum triplets.
+                grad_coo = (mesh.operators.gradient_x, mesh.operators.gradient_y)
         if name in device.terminals:
             boundary_indices = device.boundary_vertices(name)
         else:
@@ -396,6 +423,7 @@ def make_film_info(
             weights=weights,
             kernel=Q,
             gradient=grad,
+            gradient_coo=grad_coo,
             laplacian=laplacian,
             sites=mesh.sites.astype(dtype, copy=False),
         )

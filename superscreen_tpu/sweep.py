@@ -767,7 +767,8 @@ def solve_many(
     refine_steps: int = 1,
     sharding: Optional["jax.sharding.Sharding"] = None,
     coupling: str = "exact",
-) -> SweepResult:
+    keep_history: bool = False,
+) -> Union[SweepResult, List[SweepResult]]:
     """Solves a batch of models that share one factorization.
 
     Exactly one of ``applied_fields`` (a sequence of B field callables) or
@@ -798,9 +799,14 @@ def solve_many(
             the exact kernel is limited by FFT wraparound (~7e-3 per
             application at the default padding) and the mesh's own
             quadrature error.
+        keep_history: Record every self-consistent iteration and return a
+            list of ``iterations + 1`` :class:`SweepResult` objects (one
+            per iteration, each covering the whole batch) instead of just
+            the final state.  The whole history is still ONE device
+            program and one device-to-host transfer.
 
     Returns:
-        A :class:`SweepResult`.
+        A :class:`SweepResult`, or a list of them if ``keep_history``.
     """
     if model is None:
         if device is None:
@@ -815,6 +821,11 @@ def solve_many(
     dtype = device.solve_dtype
     films = list(device.films)
     film_data = _get_sweep_data(model)
+    if coupling == "fft" and (len(films) < 2 or iterations == 0):
+        # FFT coupling only matters for inter-film rounds; with one film or
+        # zero iterations no coupling ever runs, so fall back to the exact
+        # path instead of building (and later dereferencing) absent grids.
+        coupling = "exact"
     if coupling == "fft" and iterations > 0 and len(films) > 1:
         from dataclasses import replace as _replace
 
@@ -916,6 +927,36 @@ def solve_many(
             k: jax.device_put(v, sharding) for k, v in Hz_applied.items()
         }
         I_circ = {k: jax.device_put(v, sharding) for k, v in I_circ.items()}
+
+    if keep_history:
+        gs, Js_h, sfs, others_h = _run_sweep_history(
+            film_data, Hz_applied, I_circ, vortex_flux, iterations,
+            refine_steps, coupling,
+        )
+        # One packed transfer for the whole (I+1, B, ...) history.
+        gs, Js_h, sfs, others_h = jax.device_get((gs, Js_h, sfs, others_h))
+        inv = 1.0 / field_conversion
+        applied_host = {k: np.asarray(v) * inv for k, v in Hz_applied.items()}
+        multi = len(films) > 1 and iterations > 0
+        return [
+            SweepResult(
+                model=model,
+                streams={k: v[it] for k, v in gs.items()},
+                current_densities={k: v[it] for k, v in Js_h.items()},
+                self_fields={k: v[it] * inv for k, v in sfs.items()},
+                applied_fields=applied_host,
+                other_fields=(
+                    {k: v[it] * inv for k, v in others_h.items()}
+                    if multi
+                    else None
+                ),
+                field_units=field_units,
+                current_units=current_units,
+                applied_field_funcs=applied_field_funcs,
+                circulating_currents=circ_dicts,
+            )
+            for it in range(iterations + 1)
+        ]
 
     streams, Js, self_fields, others = _run_sweep(
         film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
