@@ -9,6 +9,7 @@ near machine-precision backward error (the residual matmul runs in the same
 dtype; 2 rounds typically gains ~2 digits).
 """
 
+import logging
 import os
 from functools import partial
 from typing import Tuple
@@ -16,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("solve")
 
 __all__ = [
     "lu_factor",
@@ -25,6 +28,8 @@ __all__ = [
     "brandt_matvec",
     "brandt_cg_solve",
     "brandt_cg_solve_host",
+    "brandt_bicgstab_solve",
+    "brandt_bicgstab_solve_host",
 ]
 
 #: XLA's TPU LuDecompositionBlock custom call allocates a double-buffered
@@ -342,6 +347,133 @@ def _cg_chunk(op, minv, state, iters: int):
     return jax.lax.fori_loop(0, iters, body, state)
 
 
+def _jacobi_minv(op):
+    """Jacobi preconditioner diag for ``P = A diag(1/w)``."""
+    w = op["w_sub"]
+    lam_diag = jax.ops.segment_sum(
+        jnp.where(op["lap_rows"] == op["lap_cols"], op["lap_vals"], 0.0),
+        op["lap_rows"],
+        num_segments=w.shape[0],
+    )
+    p_diag = op["diag"] - lam_diag / w
+    return jnp.where(jnp.abs(p_diag) > 0, 1.0 / p_diag, 1.0)[:, None]
+
+
+def _warn_if_unconverged(res: float, tol: float, method: str) -> None:
+    """Matrix-free solves return the final iterate either way; surface a
+    loud diagnostic when the iteration cap was hit before ``tol`` (mirrors
+    the dense path's check_inversion warning)."""
+    if not np.isfinite(res) or res > tol:
+        logger.warning(
+            f"Matrix-free {method} solve did NOT converge: final relative "
+            f"residual {res:.3e} > tol {tol:.0e}. The returned stream "
+            f"function may be inaccurate; consider raising "
+            f"SUPERSCREEN_TPU_MAX_MATERIALIZED_N to use a direct solve."
+        )
+
+
+def _bicgstab_state(op, minv, h):
+    """Initial state for the right-preconditioned BiCGStab iteration on
+    ``P z' = b`` with ``z = minv * z'`` implicit in the operator."""
+    b = -h
+    x0 = jnp.zeros_like(b)
+    ones = jnp.ones(b.shape[1], dtype=b.dtype)
+    return (x0, b, b, jnp.zeros_like(b), jnp.zeros_like(b), ones, ones, ones)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _bicgstab_chunk(op, minv, state, iters: int):
+    """``iters`` fixed iterations of preconditioned BiCGStab on
+    ``P y = b`` (P mildly non-symmetric, e.g. inhomogeneous Lambda).
+    State: ``(x, r, rhat, p, v, rho, alpha, omega)`` with x in the
+    preconditioned variable; converged/broken-down columns are held stable
+    by the zero-guarded scalars."""
+    w = op["w_sub"]
+
+    def K_matvec(u):
+        # Right preconditioning: apply P (minv u).
+        return brandt_matvec(op, (minv * u) / w[:, None])
+
+    def guarded_div(num, den):
+        return jnp.where(jnp.abs(den) > 0, num / den, 0.0)
+
+    def body(_, st):
+        x, r, rhat, p, v, rho, alpha, omega = st
+        rho_new = jnp.sum(rhat * r, axis=0)
+        beta = guarded_div(rho_new, rho) * guarded_div(alpha, omega)
+        p = r + beta[None, :] * (p - omega[None, :] * v)
+        v = K_matvec(p)
+        alpha = guarded_div(rho_new, jnp.sum(rhat * v, axis=0))
+        s = r - alpha[None, :] * v
+        t = K_matvec(s)
+        omega = guarded_div(jnp.sum(t * s, axis=0), jnp.sum(t * t, axis=0))
+        x = x + alpha[None, :] * p + omega[None, :] * s
+        r = s - omega[None, :] * t
+        return (x, r, rhat, p, v, rho_new, alpha, omega)
+
+    return jax.lax.fori_loop(0, iters, body, state)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def brandt_bicgstab_solve(op, h, tol: float = 1e-6, maxiter: int = 500):
+    """Solves ``(-A) x = h`` matrix-free by preconditioned BiCGStab.
+
+    Used instead of :func:`brandt_cg_solve` when the operator carries the
+    inhomogeneous-Lambda gradient term and is therefore non-symmetric.
+    """
+    h = jnp.asarray(h)
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+    w = op["w_sub"]
+    minv = _jacobi_minv(op)
+    bnorm = jnp.maximum(jnp.linalg.norm(h, axis=0), 1e-30)
+    state0 = _bicgstab_state(op, minv, h)
+
+    def cond(carry):
+        st, k = carry
+        res = jnp.max(jnp.linalg.norm(st[1], axis=0) / bnorm)
+        return (k < maxiter) & (res > tol)
+
+    def body(carry):
+        st, k = carry
+        return _bicgstab_chunk(op, minv, st, 1), k + 1
+
+    (xp, *_), _ = jax.lax.while_loop(cond, body, (state0, jnp.asarray(0)))
+    x = (minv * xp) / w[:, None]
+    if squeeze:
+        x = x[:, 0]
+    return x
+
+
+def brandt_bicgstab_solve_host(
+    op, h, tol: float = 1e-6, maxiter: int = 1000, chunk: int = 25
+):
+    """Host-chunked variant of :func:`brandt_bicgstab_solve` (bounded
+    device programs; see :func:`brandt_cg_solve_host`)."""
+    h = jnp.asarray(h)
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+    w = op["w_sub"]
+    minv = _jacobi_minv(op)
+    bnorm = jnp.maximum(jnp.linalg.norm(h, axis=0), 1e-30)
+    state = _bicgstab_state(op, minv, h)
+    res = np.inf
+    done = 0
+    while done < maxiter:
+        state = _bicgstab_chunk(op, minv, state, min(chunk, maxiter - done))
+        done += chunk
+        res = float(jnp.max(jnp.linalg.norm(state[1], axis=0) / bnorm))
+        if res < tol or not np.isfinite(res):
+            break
+    _warn_if_unconverged(res, tol, "BiCGStab")
+    x = (minv * state[0]) / w[:, None]
+    if squeeze:
+        x = x[:, 0]
+    return x
+
+
 def brandt_cg_solve_host(
     op, h, tol: float = 1e-6, maxiter: int = 1000, chunk: int = 25
 ):
@@ -370,16 +502,27 @@ def brandt_cg_solve_host(
     z0 = minv * b
     state = (x0, b, z0, z0, jnp.sum(b * z0, axis=0))
     done = 0
+    res = np.inf
     while done < maxiter:
         state = _cg_chunk(op, minv, state, min(chunk, maxiter - done))
         done += chunk
         res = float(jnp.max(jnp.linalg.norm(state[1], axis=0) / bnorm))
         if res < tol or not np.isfinite(res):
             break
+    _warn_if_unconverged(res, tol, "CG")
     x = state[0] / w[:, None]
     if squeeze:
         x = x[:, 0]
     return x
+
+
+def _matrix_free_solve_host(op, h):
+    """Dispatch a host-chunked matrix-free solve: CG for symmetric
+    operators, BiCGStab when the operator carries the non-symmetric
+    inhomogeneous-Lambda term (tagged via ``op['nonsym']``)."""
+    if int(np.asarray(op.get("nonsym", 0))):
+        return brandt_bicgstab_solve_host(op, h)
+    return brandt_cg_solve_host(op, h)
 
 
 def _pad_rhs(n_fac, h):
@@ -398,7 +541,7 @@ def lu_solve(lu_piv: Tuple, h):
     factorization is larger than ``h`` (identity-padded system), the RHS is
     zero-padded and the solution sliced back."""
     if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
-        return np.asarray(brandt_cg_solve_host(lu_piv[1], jnp.asarray(h)))
+        return np.asarray(_matrix_free_solve_host(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         h, n = _pad_rhs(L.shape[0], h)
@@ -420,8 +563,9 @@ def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
     """Solves ``(-A) x = h`` with ``refine_steps`` rounds of iterative
     refinement (``x += lu_solve(h + A @ x)``)."""
     if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
-        # CG controls accuracy via its own tolerance; no outer refinement.
-        return np.asarray(brandt_cg_solve_host(lu_piv[1], jnp.asarray(h)))
+        # CG/BiCGStab control accuracy via their own tolerance; no outer
+        # refinement.
+        return np.asarray(_matrix_free_solve_host(lu_piv[1], jnp.asarray(h)))
     if len(lu_piv) == 3 and lu_piv[0] == "chol":
         _, L, w_col = lu_piv
         return np.asarray(

@@ -297,6 +297,15 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None):
     lam_scaled_vals = (
         lap.vals[keep] * Lambda[lap.cols[keep], 0]
     ).astype(dtype)
+    if film_info.lambda_info.inhomogeneous:
+        # Inhomogeneous Lambda: the (grad Lambda . grad) term enters the
+        # same scatter (both terms are subtracted from A).
+        g_rows, g_cols, g_vals = _lowmem_grad_lambda_triplets(film_info, ix)
+        rows = np.concatenate([rows, g_rows])
+        cols = np.concatenate([cols, g_cols])
+        lam_scaled_vals = np.concatenate(
+            [lam_scaled_vals, g_vals.astype(dtype)]
+        )
     # Pad the scatter triplets to a shared count (zero-valued adds at (0,0)).
     if pad_to is not None:
         nnz_pad = -(-len(rows) // 65536) * 65536
@@ -315,6 +324,35 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None):
         jnp.asarray(cols),
         jnp.asarray(ni),
     )
+
+
+def _restricted_coo(op, pos, value_scale=None):
+    """Restrict a COO operator to the index set encoded by ``pos`` (global
+    index -> restricted position, -1 outside), optionally scaling each kept
+    value by ``value_scale[global_row]``.  Returns (rows, cols, vals)."""
+    keep = (pos[op.rows] >= 0) & (pos[op.cols] >= 0)
+    rows_g = op.rows[keep]
+    vals = op.vals[keep]
+    if value_scale is not None:
+        vals = vals * value_scale[rows_g]
+    return pos[rows_g], pos[op.cols[keep]], vals
+
+
+def _lowmem_grad_lambda_triplets(film_info, ix):
+    """COO triplets (in restricted numbering) of the inhomogeneous-Lambda
+    term ``(grad Lambda) . grad`` restricted to ``ix``:
+    ``GL[i, j] = (gx@Lambda)[i] gx[i, j] + (gy@Lambda)[i] gy[i, j]``
+    (the low-memory analog of the dense einsum at
+    reference ``solver/solve_film.py:183``)."""
+    gx, gy = film_info.gradient_coo
+    Lambda = np.asarray(film_info.lambda_info.Lambda)[:, 0]
+    pos = np.full(gx.shape[0], -1, dtype=np.int64)
+    pos[ix] = np.arange(len(ix))
+    parts = [
+        _restricted_coo(op, pos, value_scale=np.asarray(op.matvec(Lambda)))
+        for op in (gx, gy)
+    ]
+    return tuple(np.concatenate(axis) for axis in zip(*parts))
 
 
 def _lowmem_operator_pieces(film_info, ix):
@@ -342,6 +380,15 @@ def _lowmem_operator_pieces(film_info, ix):
     rows = pos[lap.rows[keep]]
     cols = pos[lap.cols[keep]]
     vals = (lap.vals[keep] * Lambda[lap.cols[keep], 0]).astype(dtype)
+    inhomogeneous = film_info.lambda_info.inhomogeneous
+    if inhomogeneous:
+        # Fold the (grad Lambda . grad) triplets into the same segment-sum;
+        # the resulting operator is mildly non-symmetric, so solves switch
+        # from CG to BiCGStab (see linalg.lu_solve).
+        g_rows, g_cols, g_vals = _lowmem_grad_lambda_triplets(film_info, ix)
+        rows = np.concatenate([rows, g_rows])
+        cols = np.concatenate([cols, g_cols])
+        vals = np.concatenate([vals, g_vals.astype(dtype)])
     return {
         "sub_sites": jnp.asarray(sub_sites),
         "w_sub": jnp.asarray(w_sub),
@@ -349,13 +396,14 @@ def _lowmem_operator_pieces(film_info, ix):
         "lap_rows": jnp.asarray(rows),
         "lap_cols": jnp.asarray(cols),
         "lap_vals": jnp.asarray(vals),
+        "nonsym": jnp.asarray(1 if inhomogeneous else 0),
     }
 
 
 def _hole_effective_field_vector_lowmem(film_info, ix):
     """Effective-field vector for unit circulating current in a hole:
-    ``(Q[:, ix] w[ix] - Lambda[ix] L[:, ix]) @ 1``, computed matrix-free as
-    ``Q @ (w mask) - L @ (Lambda mask)``."""
+    ``(Q[:, ix] w[ix] - Lambda[ix] L[:, ix] - GL[:, ix]) @ 1``, computed
+    matrix-free as ``Q @ (w mask) - L @ (Lambda mask) - GL @ mask``."""
     n = len(film_info.weights)
     mask = np.zeros(n, dtype=film_info.weights.dtype)
     mask[ix] = 1.0
@@ -364,7 +412,12 @@ def _hole_effective_field_vector_lowmem(film_info, ix):
     )
     Lambda = np.asarray(film_info.lambda_info.Lambda)[:, 0]
     Lv = film_info.laplacian.matvec(Lambda * mask)
-    return np.asarray(Qv) - np.asarray(Lv)
+    out = np.asarray(Qv) - np.asarray(Lv)
+    if film_info.lambda_info.inhomogeneous and film_info.gradient_coo is not None:
+        gx, gy = film_info.gradient_coo
+        out -= np.asarray(gx.matvec(Lambda)) * np.asarray(gx.matvec(mask))
+        out -= np.asarray(gy.matvec(Lambda)) * np.asarray(gy.matvec(mask))
+    return out
 
 
 def factorize_linear_systems(
@@ -410,12 +463,10 @@ def factorize_linear_systems(
         Lambda = Lambda_info.Lambda
         if not film_info.dense_kernel:
             # Low-memory path: never materialize the full (n, n) kernel.
-            if inhomogeneous:
-                raise NotImplementedError(
-                    "Inhomogeneous Lambda is not supported in low-memory "
-                    "mode; raise MAX_DENSE_KERNEL_SIZE to use dense "
-                    "factorization."
-                )
+            # Inhomogeneous Lambda is supported: the (grad Lambda . grad)
+            # term folds into the sparse scatter/segment-sum triplets, and
+            # matrix-free solves switch from CG to BiCGStab (the operator
+            # is then mildly non-symmetric).
             for hole_name, indices in hole_indices.items():
                 hole_systems[film_name][hole_name] = LinearSystem(
                     A=_hole_effective_field_vector_lowmem(film_info, indices),

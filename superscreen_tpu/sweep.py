@@ -157,9 +157,12 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
     gy = mesh.operators.gradient_y
     cg_op = None
     if isinstance(system.lu_piv[0], str) and system.lu_piv[0] == "cg":
-        fac_kind = "cg"
-        fac_a = fac_b = None
         cg_op = system.lu_piv[1]
+        # Non-symmetric operators (inhomogeneous Lambda) need BiCGStab.
+        fac_kind = (
+            "bicgstab" if int(np.asarray(cg_op.get("nonsym", 0))) else "cg"
+        )
+        fac_a = fac_b = None
     elif len(system.lu_piv) == 3 and system.lu_piv[0] in ("chol", "inv"):
         fac_kind = system.lu_piv[0]
         fac_a, fac_b = system.lu_piv[1], system.lu_piv[2]
@@ -339,6 +342,11 @@ def _solve_film_batch(
 
         def solve(rhs):
             return _linalg.brandt_cg_solve(data.cg_op, rhs)
+    elif data.fac_kind == "bicgstab":
+        from .ops import linalg as _linalg
+
+        def solve(rhs):
+            return _linalg.brandt_bicgstab_solve(data.cg_op, rhs)
     elif data.fac_kind == "inv":
         def solve(rhs):
             return kernels._dot(data.fac_a, rhs)
@@ -351,8 +359,9 @@ def _solve_film_batch(
             return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
 
     gf = solve(hT)  # (nip, B)
-    # CG controls its own accuracy; no outer refinement (and no dense A).
-    for _ in range(0 if data.fac_kind == "cg" else refine_steps):
+    # CG/BiCGStab control their own accuracy; no outer refinement (and no
+    # dense A to form the residual with).
+    for _ in range(0 if data.fac_kind in ("cg", "bicgstab") else refine_steps):
         r = hT + kernels._dot(data.A, gf)
         gf = gf + solve(r)
     if data.vortex_cols is not None:
