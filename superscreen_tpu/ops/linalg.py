@@ -214,6 +214,16 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
         if method == "chol":
             L = _jax_chol_factor(jnp.asarray(neg_A), jnp.asarray(weights_col))
             return ("chol", L, jnp.asarray(weights_col))
+        from ..parallel import sharding as _psh
+
+        factor_mesh = _psh.factorization_mesh()
+        if factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1:
+            # GSPMD-sharded Schulz inverse: rows of P and X split over the
+            # model axis, collectives over ICI (set_factorization_mesh).
+            M = _psh.sharded_spd_inverse(
+                factor_mesh, neg_A, jnp.asarray(weights_col)
+            )
+            return ("inv", M, jnp.asarray(weights_col))
         M = _jax_spd_inverse(jnp.asarray(neg_A), jnp.asarray(weights_col))
         return ("inv", M, jnp.asarray(weights_col))
     out = _jax_lu_factor(jnp.asarray(neg_A))

@@ -18,11 +18,14 @@ For single-chip execution both axes have size 1 and everything reduces to
 plain jit.
 """
 
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger("parallel")
 
 __all__ = [
     "make_mesh",
@@ -32,7 +35,29 @@ __all__ = [
     "shard_sweep_inputs",
     "sharded_biot_savart",
     "sharded_self_field",
+    "sharded_spd_inverse",
+    "set_factorization_mesh",
+    "factorization_mesh",
 ]
+
+#: When set (via :func:`set_factorization_mesh`), large dense
+#: factorizations in :mod:`superscreen_tpu.ops.linalg` run GSPMD-sharded
+#: over this mesh's ``model`` axis.
+_FACTOR_MESH: Optional[Mesh] = None
+
+
+def set_factorization_mesh(mesh: Optional[Mesh]) -> None:
+    """Route large dense factorizations (Schulz inverse / Cholesky) through
+    ``mesh``: the O(n^3) matmuls are sharded row-wise over the ``model``
+    axis so a film too large for one chip's HBM can use the whole slice.
+    Pass None to go back to single-device factorization."""
+    global _FACTOR_MESH
+    _FACTOR_MESH = mesh
+
+
+def factorization_mesh() -> Optional[Mesh]:
+    """The mesh installed by :func:`set_factorization_mesh`, if any."""
+    return _FACTOR_MESH
 
 
 def make_mesh(
@@ -102,10 +127,18 @@ def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
             if val is None:
                 kwargs[f] = None
                 continue
-            if f in ("Q",) and val.ndim == 2 and val.shape[0] % mesh.shape[
-                "model"
-            ] == 0:
-                kwargs[f] = jax.device_put(val, row_sharded)
+            if f in ("Q",) and val.ndim == 2:
+                if val.shape[0] % mesh.shape["model"] == 0:
+                    kwargs[f] = jax.device_put(val, row_sharded)
+                else:
+                    logger.warning(
+                        f"Film {name!r}: Q has {val.shape[0]} rows, not "
+                        f"divisible by the model axis "
+                        f"({mesh.shape['model']}); REPLICATING Q on every "
+                        f"device ({val.nbytes / 1e9:.2f} GB each). Pad the "
+                        f"mesh or change the model-axis size to shard it."
+                    )
+                    kwargs[f] = jax.device_put(val, replicated)
             else:
                 kwargs[f] = jax.device_put(val, replicated)
         out[name] = FilmSweepData(**kwargs)
@@ -156,10 +189,8 @@ def sharded_biot_savart(mesh, src_sites, src_areas, J, dst_sites, dz2):
     B = J.shape[0]
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
-    if B % n_data or _round_up_div(n_dst, n_model) != n_dst:
-        # Pad to shard-divisible shapes; padded rows/batch entries are
-        # discarded below.
-        pass
+    # Pad to shard-divisible shapes; padded rows/batch entries are
+    # discarded below.
     n_dst_p = _round_up_div(n_dst, n_model)
     B_p = _round_up_div(B, n_data)
     dst_p = jnp.pad(jnp.asarray(dst_sites), ((0, n_dst_p - n_dst), (0, 0)))
@@ -183,46 +214,79 @@ def sharded_biot_savart(mesh, src_sites, src_areas, J, dst_sites, dz2):
     return out[:B, :n_dst]
 
 
-def sharded_self_field(mesh, sites, weights, g):
-    """Self-field ``Q @ (w * g)`` with rows sharded over ``model`` and the
-    batch over ``data``.  The regularized Brandt diagonal (which needs the
-    FULL site set) is computed matrix-free and replicated (O(n) work); the
-    O(n^2) off-diagonal kernel matvec is computed per row shard.
-
-    Args:
-        mesh: ``(data, model)`` device mesh.
-        sites: ``(n, 2)`` mesh sites (replicated).
-        weights: ``(n,)`` vertex areas.
-        g: ``(B, n)`` stream functions.
-
-    Returns:
-        ``(B, n)`` self-field, sharded ``P("data", "model")``.
-    """
+def self_field_diagonal(mesh, sites, weights):
+    """The regularized Brandt diagonal ``(C + q @ w) / w`` with the O(n^2)
+    row-sum sharded over the ``model`` axis (the O(n) boundary vector ``C``
+    is computed replicated).  Returns a replicated ``(n,)`` array suitable
+    for reuse across :func:`sharded_self_field` calls."""
     import jax.numpy as jnp
 
     from ..ops import kernels
 
     sites = jnp.asarray(sites)
     weights = jnp.asarray(weights)
+    n = sites.shape[0]
+    n_p = _round_up_div(n, mesh.shape["model"])
+    sites_p = _pad_sites(sites, n_p - n)
+    w_p = jnp.pad(weights, (0, n_p - n))
+    f = jax.shard_map(
+        lambda s_shard, s_full, w_full: kernels.q_apply_rect(
+            s_shard, s_full, w_full[:, None], use_pallas=True
+        )[:, 0],
+        mesh=mesh,
+        in_specs=(P("model", None), P(), P()),
+        out_specs=P("model"),
+    )
+    q_row_w = f(sites_p, sites, weights)[:n]
+    C = kernels.C_vector(sites, dtype=sites.dtype)
+    return (C + q_row_w) / weights
+
+
+def _pad_sites(sites, pad):
+    """Append ``pad`` dummy sites far away from the geometry (distinct
+    coordinates, so kernel distances stay finite)."""
+    import jax.numpy as jnp
+
+    if pad == 0:
+        return sites
+    span = jnp.max(jnp.abs(sites)) + 1.0
+    coords = 1e6 * span * (1.0 + jnp.arange(pad, dtype=sites.dtype))
+    return jnp.concatenate([sites, jnp.stack([coords, coords], axis=1)])
+
+
+def sharded_self_field(mesh, sites, weights, g, diag=None):
+    """Self-field ``Q @ (w * g)`` with rows sharded over ``model`` and the
+    batch over ``data``: each device computes its row block of the O(n^2)
+    kernel matvec locally.
+
+    Args:
+        mesh: ``(data, model)`` device mesh.
+        sites: ``(n, 2)`` mesh sites (replicated).
+        weights: ``(n,)`` vertex areas.
+        g: ``(B, n)`` stream functions.
+        diag: Optional precomputed Brandt diagonal from
+            :func:`self_field_diagonal` -- pass it when calling repeatedly
+            for the same mesh to skip the O(n^2 / n_model) row sums.
+
+    Returns:
+        ``(B, n)`` self-field, sharded ``P("data", "model")``.
+    """
+    import jax.numpy as jnp
+
+    sites = jnp.asarray(sites)
+    weights = jnp.asarray(weights)
     g = jnp.asarray(g)
     n = sites.shape[0]
     B = g.shape[0]
-    n_model = mesh.shape["model"]
-    n_data = mesh.shape["data"]
-    n_p = _round_up_div(n, n_model)
-    B_p = _round_up_div(B, n_data)
-    # Replicated O(n) prep: the Brandt diagonal from the full site set.
-    C = kernels.C_vector(sites, dtype=sites.dtype)
-    q_row_w = kernels.q_apply(sites, weights)
-    diag = (C + q_row_w) / weights  # (n,)
-    span = jnp.max(jnp.abs(sites)) + 1.0
-    pad_coords = 1e6 * span * (1.0 + jnp.arange(n_p - n, dtype=sites.dtype))
-    sites_p = jnp.concatenate(
-        [sites, jnp.stack([pad_coords, pad_coords], axis=1)]
-    )
-    diag_p = jnp.pad(diag, (0, n_p - n))
+    n_p = _round_up_div(n, mesh.shape["model"])
+    B_p = _round_up_div(B, mesh.shape["data"])
+    if diag is None:
+        diag = self_field_diagonal(mesh, sites, weights)
+    sites_p = _pad_sites(sites, n_p - n)
     wg = weights[None, :] * g  # (B, n)
     wg_p = jnp.pad(wg, ((0, B_p - B), (0, 0)))
+
+    from ..ops import kernels
 
     # The O(n^2) off-diagonal block runs sharded; the O(n) diagonal term
     # is added on the replicated arrays afterwards.
@@ -234,6 +298,30 @@ def sharded_self_field(mesh, sites, weights, g):
         in_specs=(P("model", None), P(), P("data", None)),
         out_specs=P("data", "model"),
     )
-    off_diag = f(sites_p, sites_p[:n], wg_p)  # (B_p, n_p)
-    out = off_diag[:B, :n] + diag[None, :] * wg
-    return out
+    off_diag = f(sites_p, sites, wg_p)  # (B_p, n_p)
+    return off_diag[:B, :n] + diag[None, :] * wg
+
+
+def sharded_spd_inverse(mesh, neg_A, w_col):
+    """Schulz-Hotelling explicit inverse with the O(n^3) matmuls
+    GSPMD-sharded over the mesh's ``model`` axis (VERDICT r1 item 5 /
+    SURVEY 5.7: "sharded dense LU / iterative solves").
+
+    The iteration body is pure matmuls (``ops.linalg._jax_spd_inverse``),
+    so placing the input row-sharded lets XLA partition every matmul and
+    insert the ICI collectives; each device holds ``n / n_model`` rows of
+    ``P`` and ``X``, putting films beyond one chip's HBM in reach of dense
+    factorization.
+
+    Returns the solution operator ``M`` (``x = M @ h`` solves
+    ``(-A) x = h``), row-sharded over ``model``.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import linalg
+
+    row = NamedSharding(mesh, P("model", None))
+    replicated = NamedSharding(mesh, P())
+    neg_A = jax.device_put(jnp.asarray(neg_A), row)
+    w_col = jax.device_put(jnp.asarray(w_col), replicated)
+    return linalg._jax_spd_inverse(neg_A, w_col)

