@@ -73,8 +73,8 @@ def _q_tile_kernel(xr_ref, yr_ref, xc_ref, yc_ref, out_ref):
     out_ref[:] = jnp.where(d2 > 0, _ONE_OVER_4PI * (r * r * r), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
-def _pallas_q_padded(x, y, tm: int, tn: int):
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _pallas_q_padded(x, y, tm: int, tn: int, interpret: bool = False):
     n = x.shape[0]
     xr = x.reshape(n, 1)
     yr = y.reshape(n, 1)
@@ -94,10 +94,11 @@ def _pallas_q_padded(x, y, tm: int, tn: int):
         out_specs=pl.BlockSpec(
             (tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(xr, yr, xc, yc)
 
 
-def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512):
+def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512, interpret: bool = False):
     """The matrix ``q_ij = 1/(4 pi |r_i - r_j|^3)`` with zero diagonal,
     assembled tile-by-tile on TPU.
 
@@ -118,7 +119,7 @@ def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512):
     pad_coords = scale * (1.0 + jnp.arange(npad - n, dtype=points.dtype))
     x = jnp.concatenate([points[:, 0], pad_coords])
     y = jnp.concatenate([points[:, 1], pad_coords])
-    q = _pallas_q_padded(x, y, tm, tn)
+    q = _pallas_q_padded(x, y, tm, tn, interpret)
     return q[:n, :n]
 
 
@@ -161,8 +162,8 @@ def _bs_T_tile_kernel(
     out_ref[:] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
-def _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int):
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int, interpret: bool = False):
     n_src = xs.shape[0]
     n_eval = xe.shape[1]
     B = aJx.shape[0]
@@ -183,6 +184,7 @@ def _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int):
         out_specs=pl.BlockSpec(
             (B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(xs, ys, xe, ye, aJx, aJy, dz2)
 
 
@@ -194,6 +196,7 @@ def pallas_biot_savart_batch(
     dz2,
     tm: int = 1024,
     tn: int = 512,
+    interpret: bool = False,
 ):
     """Batched inter-film Biot-Savart with the sweep batch in MXU sublanes.
 
@@ -242,7 +245,7 @@ def pallas_biot_savart_batch(
     aJx = _pad_to(_pad_to(aJ[:, :, 0], n1p, axis=1), Bp, axis=0)
     aJy = _pad_to(_pad_to(aJ[:, :, 1], n1p, axis=1), Bp, axis=0)
     dz2 = jnp.asarray(dz2, dtype=jnp.float32).reshape(1, 1)
-    out = _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm, tn)
+    out = _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm, tn, interpret)
     out = _ONE_OVER_4PI * out[:B, :n2]
     if squeeze:
         out = out[0]
@@ -282,8 +285,8 @@ def _q_apply_tile_kernel(xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref):
     out_ref[:] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
-def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int):
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int, interpret: bool = False):
     n_src = xs.shape[0]
     n_eval = xe.shape[1]
     K = vT.shape[0]
@@ -302,10 +305,11 @@ def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int):
         out_specs=pl.BlockSpec(
             (K, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(xs, ys, xe, ye, vT)
 
 
-def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 512):
+def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 512, interpret: bool = False):
     """Matrix-free ``q(eval, src) @ vecs`` on TPU (float32), with the
     vector columns in MXU sublanes.
 
@@ -337,7 +341,7 @@ def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 5
     xe = _pad_to(eval_sites[:, 0], n_eval_p).reshape(1, n_eval_p)
     ye = _pad_to(eval_sites[:, 1], n_eval_p).reshape(1, n_eval_p)
     vT = _pad_to(_pad_to(V.T, n_src_p, axis=1), k_p, axis=0)
-    out = _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm, tn)
+    out = _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm, tn, interpret)
     out = _ONE_OVER_4PI * out[:k, :n_eval].T
     if squeeze:
         out = out[:, 0]
