@@ -1,3 +1,11 @@
+from . import huber, hypres, ibm
+from .layers import hypres_squid_layers, ibm_squid_layers
+from .mutuals import (
+    MAX_EDGE_LENGTHS,
+    SQUID_LAYOUTS,
+    compute_mutuals,
+    pickup_loop_mutual,
+)
 from .susceptometer import (
     SQUID_PRESETS,
     SusceptometerGeometry,

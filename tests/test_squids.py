@@ -53,3 +53,82 @@ def test_squid_mutual_inductance_consistency(meshed_squid_pair):
     assert np.isclose(
         abs(M_closed.magnitude), abs(M_open.magnitude), rtol=0.15
     )
+
+
+# ---------------------------------------------------------------------------
+# Real device-library layouts (VERDICT r1 item 7).
+# ---------------------------------------------------------------------------
+
+
+def test_ibm_layouts_build():
+    from superscreen_tpu.squids import ibm
+
+    for size, ns in [
+        ("small", ibm.small),
+        ("medium", ibm.medium),
+        ("large", ibm.large),
+        ("xlarge", ibm.xlarge),
+    ]:
+        closed = ns.make_squid(with_terminals=False)
+        assert set(closed.holes) == {"pl_center", "fc_center"}
+        assert set(closed.films) == {
+            "fc", "fc_shield", "pl", "pl_shield1", "pl_shield2"
+        }
+        assert [la.name for la in closed.layers.values()] == ["W2", "W1", "BE"]
+        opened = ns.make_squid(with_terminals=True)
+        assert set(opened.holes) == {"pl_center"}
+        assert [t.name for t in opened.terminals["fc"]] == ["source", "drain"]
+    with pytest.raises(ValueError):
+        ibm.make_squid("gigantic")
+
+
+def test_ibm_layer_stack_matches_reference():
+    """Layer z-positions mirror the reference ibm/layers.py:36-47."""
+    from superscreen_tpu.squids import ibm_squid_layers
+
+    for align, expected in [
+        ("middle", [0.10, 0.28, 0.51]),
+        ("bottom", [0.0, 0.33, 0.58]),
+        ("top", [0.20, 0.43, 0.74]),
+    ]:
+        zs = [round(la.z0, 6) for la in ibm_squid_layers(align=align)]
+        assert zs == pytest.approx(expected), align
+
+
+def test_huber_layout_builds():
+    from superscreen_tpu.squids import huber
+
+    closed = huber.make_squid(with_terminals=False)
+    assert set(closed.holes) == {"pl_center", "fc_center"}
+    opened = huber.make_squid(with_terminals=True)
+    assert set(opened.holes) == {"pl_center"}
+    assert "fc" in opened.terminals
+
+
+def test_hypres_missing_data_message():
+    from superscreen_tpu.squids import hypres
+
+    with pytest.raises(FileNotFoundError, match="hypres-400nm"):
+        hypres.make_squid()
+
+
+def test_ibm_small_mutual_workload():
+    """The mutuals validation workload (reference squids/mutuals.py) on a
+    coarsened ibm-small mesh: closed- and open-coil mutuals agree."""
+    from superscreen_tpu.squids import SQUID_LAYOUTS, pickup_loop_mutual
+
+    closed = SQUID_LAYOUTS["ibm-small"](with_terminals=False)
+    closed.solve_dtype = "float64"
+    closed.make_mesh(max_edge_length=0.35, smooth=20)
+    M_closed = pickup_loop_mutual(closed, iterations=3)
+
+    opened = SQUID_LAYOUTS["ibm-small"](with_terminals=True)
+    opened.solve_dtype = "float64"
+    opened.make_mesh(max_edge_length=0.35, smooth=20)
+    M_open = pickup_loop_mutual(opened, iterations=3)
+
+    assert M_closed.units == sc.ureg("Phi_0 / A").units
+    assert abs(M_closed.magnitude) > 10  # hundreds of Phi_0/A expected
+    assert np.isclose(
+        abs(M_closed.magnitude), abs(M_open.magnitude), rtol=0.25
+    )
