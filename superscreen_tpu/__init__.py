@@ -32,7 +32,11 @@ def _enable_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            # Only cache compiles that take >= 1s: caching every tiny
+            # program grows the on-disk cache without bound, and a user-set
+            # value is never overridden (we only get here when no cache dir
+            # was configured at all).
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -116,6 +116,93 @@ def _jax_spd_inverse(neg_A, w_col, iters: int = SCHULZ_ITERS):
     return -(X / w_col[:, None])
 
 
+def _blocked_tril_inverse(L, b: int):
+    """Inverse of a lower-triangular matrix by block forward substitution.
+
+    Everything is (b, b)-block matmuls plus nb small TriangularSolves, so
+    XLA maps it onto the MXU; the full-size TriangularSolve (which takes
+    minutes to compile on TPU) is never emitted.  ``L.shape[0]`` must be a
+    multiple of ``b``.
+    """
+    from . import kernels
+
+    n = L.shape[0]
+    nb = n // b
+    eye_b = jnp.eye(b, dtype=L.dtype)
+    diag_inv = [
+        jax.lax.linalg.triangular_solve(
+            L[i * b : (i + 1) * b, i * b : (i + 1) * b],
+            eye_b,
+            left_side=True,
+            lower=True,
+        )
+        for i in range(nb)
+    ]
+    zero_b = jnp.zeros((b, b), dtype=L.dtype)
+    columns = []
+    for j in range(nb):
+        col = [zero_b] * nb
+        col[j] = diag_inv[j]
+        for i in range(j + 1, nb):
+            row_band = L[i * b : (i + 1) * b, j * b : i * b]  # (b, (i-j)b)
+            stacked = jnp.concatenate(col[j:i], axis=0)  # ((i-j)b, b)
+            col[i] = -kernels._dot(diag_inv[i], kernels._dot(row_band, stacked))
+        columns.append(col)
+    return jnp.block([[columns[j][i] for j in range(nb)] for i in range(nb)])
+
+
+def _chol_inverse_body(P, w_col, block: int):
+    """Shared body: SPD ``P`` -> solution operator ``-P^{-1}/w`` via
+    Cholesky + blocked matmul-only triangular inverse
+    (``P^{-1} = L^{-T} L^{-1}``)."""
+    from . import kernels
+
+    P = 0.5 * (P + P.T)
+    n = P.shape[0]
+    b = min(block, n)
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        # Identity pad block: chol/inverse of blockdiag(P, I) is
+        # blockdiag(chol/inv(P), I).
+        padded = jnp.eye(n_pad, dtype=P.dtype)
+        P = padded.at[:n, :n].set(P)
+    L = jnp.linalg.cholesky(P)
+    L_inv = _blocked_tril_inverse(L, b)
+    P_inv = kernels._dot(L_inv.T, L_inv)[:n, :n]
+    return -(P_inv / w_col[:, None])
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _jax_chol_explicit_inverse(neg_A, w_col, block: int = 2048):
+    """Explicit solution operator ``M`` (``x = M @ h`` solves ``(-A) x = h``)
+    via Cholesky factorization plus a blocked matmul-only triangular
+    inverse.
+
+    ~2 n^3 flops total versus ~100 n^3 for the Schulz-Hotelling iteration
+    (:func:`_jax_spd_inverse`) -- the default large-film factorization on
+    TPU.  Accuracy is backed by the same exact-residual refinement at solve
+    time as every other factorization kind.
+    """
+    return _chol_inverse_body(-neg_A * (1.0 / w_col)[None, :], w_col, block)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _jax_chol_explicit_inverse_from_A(A, w_col, block: int = 2048):
+    """Like :func:`_jax_chol_explicit_inverse` but takes the system matrix
+    ``A`` directly (solving ``(-A) x = h``): the negation fuses into the
+    elementwise ``P`` construction, so no separate ``-A`` buffer is ever
+    materialized (each retained (n, n) buffer is ~1.4 GB at 100k-vertex
+    scale; HBM is the binding constraint during multi-film factorization).
+    """
+    return _chol_inverse_body(A * (1.0 / w_col)[None, :], w_col, block)
+
+
+_jax_chol_explicit_inverse_batch = jax.jit(
+    jax.vmap(_jax_chol_explicit_inverse_from_A.__wrapped__, in_axes=(0, 0)),
+    static_argnames=(),
+)
+
+
 @jax.jit
 def _jax_inv_solve(M, h):
     return M @ h
@@ -224,10 +311,68 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
                 factor_mesh, neg_A, jnp.asarray(weights_col)
             )
             return ("inv", M, jnp.asarray(weights_col))
-        M = _jax_spd_inverse(jnp.asarray(neg_A), jnp.asarray(weights_col))
+        if method == "schulz":
+            M = _jax_spd_inverse(jnp.asarray(neg_A), jnp.asarray(weights_col))
+        else:
+            # Default: Cholesky + blocked triangular inverse (~2 n^3 flops,
+            # ~50x fewer than the Schulz iteration).
+            M = _jax_chol_explicit_inverse(
+                jnp.asarray(neg_A), jnp.asarray(weights_col)
+            )
         return ("inv", M, jnp.asarray(weights_col))
     out = _jax_lu_factor(jnp.asarray(neg_A))
     return tuple(out)
+
+def factor_system(A, weights_col):
+    """Factorizes one film system given the system matrix ``A`` (solves
+    are against ``-A``; the negation stays fused on TPU so no extra (n, n)
+    buffer is allocated).  Honors SUPERSCREEN_TPU_LARGE_FACTOR like
+    :func:`lu_factor`."""
+    if _on_cpu():
+        import scipy.linalg as sla
+
+        return sla.lu_factor(-np.asarray(A))
+    n = A.shape[0]
+    if n <= LU_MAX_N_TPU:
+        return tuple(_jax_lu_factor(-jnp.asarray(A)))
+    w = jnp.asarray(weights_col)
+    method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+    if method == "schulz":
+        return ("inv", _jax_spd_inverse(-jnp.asarray(A), w), w)
+    if method == "chol":
+        return ("chol", _jax_chol_factor(-jnp.asarray(A), w), w)
+    from ..parallel import sharding as _psh
+
+    factor_mesh = _psh.factorization_mesh()
+    if factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1:
+        return (
+            "inv",
+            _psh.sharded_spd_inverse(factor_mesh, -jnp.asarray(A), w),
+            w,
+        )
+    return ("inv", _jax_chol_explicit_inverse_from_A(jnp.asarray(A), w), w)
+
+
+def lu_factor_batched(As, weights_cols):
+    """Factorizes F equally-shaped films in ONE device program: the
+    Cholesky + blocked-triangular-inverse pipeline vmapped over the film
+    axis (``As (F, n, n)`` system matrices, ``weights_cols (F, n)``).
+
+    Returns a list of F ``("inv", M, w)`` factorizations (device arrays --
+    views into the batched result, no extra copies).
+    """
+    if _on_cpu():
+        import scipy.linalg as sla
+
+        return [sla.lu_factor(-np.asarray(A)) for A in np.asarray(As)]
+    Ms = _jax_chol_explicit_inverse_batch(
+        jnp.asarray(As), jnp.asarray(weights_cols)
+    )
+    return [
+        ("inv", Ms[i], jnp.asarray(weights_cols[i]))
+        for i in range(Ms.shape[0])
+    ]
+
 
 def brandt_matvec(op, x):
     """Matrix-free ``A @ x`` for the Brandt system restricted to a film's
