@@ -32,10 +32,11 @@ __all__ = [
     "brandt_bicgstab_solve_host",
 ]
 
-#: XLA's TPU LuDecompositionBlock custom call allocates a double-buffered
-#: (n, 128) panel in scoped VMEM (16 MB limit), capping LU at n ~ 16.4k.
-#: Larger symmetric-positive-definite systems use Cholesky instead.
-LU_MAX_N_TPU = 16000
+#: XLA's TPU LuDecompositionBlock custom call allocates a multi-buffered
+#: (n, 128) panel in scoped VMEM (16 MB limit); measured on v5e it runs out
+#: at n = 14336 (20.97 MB requested), so the cap sits safely below that.
+#: Larger systems use the Cholesky-based explicit inverse instead.
+LU_MAX_N_TPU = 12288
 
 
 def _on_cpu() -> bool:

@@ -576,7 +576,9 @@ def factorize_linear_systems(
             film_without_boundary_system = LinearSystem(
                 A=A,
                 indices=interior_indices,
-                lu_piv=linalg.lu_factor(-A),
+                lu_piv=linalg.factor_system(
+                    A, np.asarray(film_info.weights)[interior_indices]
+                ),
                 grad_Lambda_term=grad_Lambda_term,
             )
             terminal_hole_systems = {}
@@ -595,7 +597,9 @@ def factorize_linear_systems(
                 film_without_boundary_or_holes_system = LinearSystem(
                     A=A,
                     indices=ix,
-                    lu_piv=linalg.lu_factor(-A),
+                    lu_piv=linalg.factor_system(
+                        A, np.asarray(film_info.weights)[ix]
+                    ),
                     grad_Lambda_term=grad_Lambda_term,
                 )
             terminal_systems[film_name] = TerminalSystems(
@@ -618,7 +622,9 @@ def factorize_linear_systems(
         film_systems[film_name] = LinearSystem(
             A=A,
             indices=interior_indices,
-            lu_piv=linalg.lu_factor(-A),
+            lu_piv=linalg.factor_system(
+                A, np.asarray(film_info.weights)[interior_indices]
+            ),
             grad_Lambda_term=grad_Lambda_term,
         )
     t_assembled = time.perf_counter()
