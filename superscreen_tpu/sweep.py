@@ -721,6 +721,33 @@ def _run_sweep_history(
     return gs, Js, self_fields, others
 
 
+def _resolve_auto_coupling(model, films, iterations) -> str:
+    """Concrete coupling mode for ``coupling="auto"``.
+
+    The exact pairwise kernel costs O(n_src * n_dst) per pair; the FFT
+    transfer costs O(G^2 log G + nnz) per film with the grid G set by the
+    mesh density.  Measured on a v5e (B=8, two films, docs/COUPLING.md),
+    the crossover sits at ~64k sites/film, so "auto" switches to FFT when
+    every film is at least that large (env-tunable) AND the films sit at
+    distinct heights (the analytic transfer suppresses nothing at dz=0).
+    """
+    import os
+
+    if len(films) < 2 or iterations == 0:
+        return "exact"
+    device = model.device
+    min_n = min(len(device.meshes[f].sites) for f in films)
+    threshold = int(
+        os.environ.get("SUPERSCREEN_TPU_FFT_COUPLING_MIN_N", "64000")
+    )
+    if min_n < threshold:
+        return "exact"
+    z0s = [device.layers[model.film_info[f].layer].z0 for f in films]
+    if len(set(np.round(z0s, 12))) != len(z0s):
+        return "exact"
+    return "fft"
+
+
 def _get_sweep_data(model) -> Dict[str, FilmSweepData]:
     """Per-film sweep arrays for a factorized model, cached on the model.
 
@@ -800,14 +827,16 @@ def solve_many(
         iterations: Self-consistent inter-film coupling rounds.
         refine_steps: Iterative-refinement rounds per solve.
         sharding: Optional sharding for the batch axis.
-        coupling: "exact" (O(n^2) pairwise Biot-Savart, the default) or
+        coupling: "exact" (O(n^2) pairwise Biot-Savart, the default),
             "fft" (analytic Fourier transfer on a shared grid,
             O(n + G^2 log G) per film pair; requires films on distinct
-            layer heights). "fft" pays off for ~100k+ sites per film;
-            below that the exact Pallas kernel is faster. Agreement with
-            the exact kernel is limited by FFT wraparound (~7e-3 per
-            application at the default padding) and the mesh's own
-            quadrature error.
+            layer heights), or "auto" (picks "fft" when every film has at
+            least SUPERSCREEN_TPU_FFT_COUPLING_MIN_N sites -- default
+            64000, the measured v5e crossover, see docs/COUPLING.md --
+            and the layer heights are distinct; "exact" otherwise).
+            Agreement between the two is limited by FFT wraparound
+            (~7e-3 per application at the default padding) and the
+            mesh's own quadrature error.
         keep_history: Record every self-consistent iteration and return a
             list of ``iterations + 1`` :class:`SweepResult` objects (one
             per iteration, each covering the whole batch) instead of just
@@ -830,6 +859,8 @@ def solve_many(
     dtype = device.solve_dtype
     films = list(device.films)
     film_data = _get_sweep_data(model)
+    if coupling == "auto":
+        coupling = _resolve_auto_coupling(model, films, iterations)
     if coupling == "fft" and (len(films) < 2 or iterations == 0):
         # FFT coupling only matters for inter-film rounds; with one film or
         # zero iterations no coupling ever runs, so fall back to the exact

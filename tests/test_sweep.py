@@ -352,3 +352,42 @@ def test_factorization_mesh_routes_lu_factor(monkeypatch):
     finally:
         parallel.set_factorization_mesh(None)
     assert parallel.factorization_mesh() is None
+
+
+def test_auto_coupling_dispatch(two_rings, model, monkeypatch):
+    """coupling='auto' picks fft only for big films at distinct heights
+    (threshold measured on hardware, docs/COUPLING.md)."""
+    from superscreen_tpu.sweep import _resolve_auto_coupling
+
+    films = list(model.device.films)
+    # Small films -> exact.
+    assert _resolve_auto_coupling(model, films, 2) == "exact"
+    # Zero iterations or one film -> exact regardless of size.
+    monkeypatch.setenv("SUPERSCREEN_TPU_FFT_COUPLING_MIN_N", "1")
+    assert _resolve_auto_coupling(model, films, 0) == "exact"
+    assert _resolve_auto_coupling(model, films[:1], 2) == "exact"
+    # Big films at distinct heights -> fft.
+    assert _resolve_auto_coupling(model, films, 2) == "fft"
+    # Same heights -> exact even when big.
+    z0s = {f: model.device.layers[model.film_info[f].layer].z0 for f in films}
+    try:
+        for f in films:
+            model.device.layers[model.film_info[f].layer].z0 = 0.0
+        assert _resolve_auto_coupling(model, films, 2) == "exact"
+    finally:
+        for f, z in z0s.items():
+            model.device.layers[model.film_info[f].layer].z0 = z
+
+
+def test_solve_many_auto_coupling_runs(model):
+    from superscreen_tpu.sweep import solve_many
+
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(v) for v in (0.1, 0.5)],
+        field_units="mT",
+        iterations=1,
+        coupling="auto",
+    )
+    assert result.num_solutions == 2
+    assert np.isfinite(result.streams[list(result.streams)[0]]).all()
