@@ -1,9 +1,11 @@
-"""EdgeMesh: the edges of a triangular mesh.
+"""EdgeMesh: per-edge geometry of a triangular mesh.
 
-API parity with the reference ``superscreen/device/edge_mesh.py``.
+Stores the unique edges of a triangulation along with the derived per-edge
+quantities the solver and post-processing use (centers, direction vectors,
+lengths, boundary flags).  API matches the reference
+``superscreen/device/edge_mesh.py:9-110``; internally everything is held in
+one field table so construction, HDF5 round-trip, and copying are uniform.
 """
-
-from typing import Sequence, Tuple
 
 import h5py
 import numpy as np
@@ -11,6 +13,15 @@ import numpy as np
 from .mesh_generation import get_edges
 
 __all__ = ["EdgeMesh"]
+
+# Field name -> dtype enforced on load (None = float).
+_FIELDS = {
+    "centers": None,
+    "edges": np.int64,
+    "boundary_edge_indices": np.int64,
+    "directions": None,
+    "edge_lengths": None,
+}
 
 
 class EdgeMesh:
@@ -24,66 +35,49 @@ class EdgeMesh:
         edge_lengths: Edge lengths.
     """
 
-    def __init__(
-        self,
-        centers: Sequence[Tuple[float, float]],
-        edges: Sequence[Tuple[int, int]],
-        boundary_edge_indices: Sequence[int],
-        directions: Sequence[Tuple[float, float]],
-        edge_lengths: Sequence[float],
-    ):
+    def __init__(self, centers, edges, boundary_edge_indices, directions, edge_lengths):
         self.centers = np.asarray(centers)
         self.edges = np.asarray(edges)
-        self.boundary_edge_indices = np.asarray(boundary_edge_indices, dtype=np.int64)
+        self.boundary_edge_indices = np.asarray(
+            boundary_edge_indices, dtype=np.int64
+        )
         self.directions = np.asarray(directions)
         self.edge_lengths = np.asarray(edge_lengths)
+
+    def _fields(self) -> dict:
+        return {name: getattr(self, name) for name in _FIELDS}
 
     @staticmethod
     def from_mesh(sites: np.ndarray, elements: np.ndarray) -> "EdgeMesh":
         """Builds the edge mesh for a triangulation."""
         edges, is_boundary = get_edges(elements)
-        boundary_edge_indices = np.where(is_boundary)[0]
-        edge_coords = sites[edges]
-        edge_centers = edge_coords.mean(axis=1)
-        directions = np.diff(edge_coords, axis=1).squeeze(axis=1)
-        edge_lengths = np.linalg.norm(directions, axis=1)
+        endpoints = sites[edges]  # (n_edges, 2, 2)
+        vectors = endpoints[:, 1] - endpoints[:, 0]
         return EdgeMesh(
-            edge_centers, edges, boundary_edge_indices, directions, edge_lengths
+            centers=endpoints.mean(axis=1),
+            edges=edges,
+            boundary_edge_indices=np.nonzero(is_boundary)[0],
+            directions=vectors,
+            edge_lengths=np.linalg.norm(vectors, axis=1),
         )
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
-        h5group["centers"] = self.centers
-        h5group["edges"] = self.edges
-        h5group["boundary_edge_indices"] = self.boundary_edge_indices
-        h5group["directions"] = self.directions
-        h5group["edge_lengths"] = self.edge_lengths
+        for name, value in self._fields().items():
+            h5group[name] = value
 
     @classmethod
     def from_hdf5(cls, h5group: h5py.Group) -> "EdgeMesh":
-        required = (
-            "centers",
-            "edges",
-            "boundary_edge_indices",
-            "directions",
-            "edge_lengths",
-        )
-        if not all(key in h5group for key in required):
-            raise IOError("Could not load edge mesh due to missing data.")
-        return EdgeMesh(
-            centers=np.array(h5group["centers"]),
-            edges=np.array(h5group["edges"], dtype=np.int64),
-            boundary_edge_indices=np.array(
-                h5group["boundary_edge_indices"], dtype=np.int64
-            ),
-            directions=np.array(h5group["directions"]),
-            edge_lengths=np.array(h5group["edge_lengths"]),
+        missing = [name for name in _FIELDS if name not in h5group]
+        if missing:
+            raise IOError(
+                f"Could not load edge mesh: missing dataset(s) {missing}."
+            )
+        return cls(
+            **{
+                name: np.array(h5group[name], dtype=dtype)
+                for name, dtype in _FIELDS.items()
+            }
         )
 
     def copy(self) -> "EdgeMesh":
-        return EdgeMesh(
-            centers=self.centers.copy(),
-            edges=self.edges.copy(),
-            boundary_edge_indices=self.boundary_edge_indices.copy(),
-            directions=self.directions.copy(),
-            edge_lengths=self.edge_lengths.copy(),
-        )
+        return EdgeMesh(**{k: v.copy() for k, v in self._fields().items()})

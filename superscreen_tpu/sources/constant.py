@@ -1,6 +1,8 @@
-"""Uniform applied field source (reference: ``superscreen/sources/constant.py``)."""
+"""Uniform applied-field source.
 
-from typing import Union
+Parity with the reference ``superscreen/sources/constant.py:8-32``: a
+:class:`Parameter` whose value is independent of position.
+"""
 
 import numpy as np
 
@@ -9,14 +11,9 @@ from ..parameter import Parameter
 __all__ = ["ConstantField"]
 
 
-def constant(
-    x: Union[int, float, np.ndarray],
-    y: Union[int, float, np.ndarray],
-    z: Union[int, float, np.ndarray],
-    value: Union[int, float] = 0,
-) -> Union[int, float, np.ndarray]:
-    """Constant field at all positions."""
-    return value * np.ones_like(np.asarray(x, dtype=float))
+def constant(x, y, z, value=0):
+    """The same ``value`` at every evaluation point (broadcast to x's shape)."""
+    return np.full(np.shape(np.asarray(x, dtype=float)), float(value))
 
 
 def ConstantField(value: float = 0) -> Parameter:
