@@ -391,3 +391,42 @@ def test_solve_many_auto_coupling_runs(model):
     )
     assert result.num_solutions == 2
     assert np.isfinite(result.streams[list(result.streams)[0]]).all()
+
+
+def test_keep_history_matches_sequential_solve(two_rings):
+    """solve_many(keep_history=True) returns one SweepResult per iteration
+    whose final entry matches the plain sweep, and whose per-iteration
+    streams match the legacy solve() history."""
+    from superscreen_tpu.sweep import solve_many
+
+    model = sc.factorize_model(device=two_rings, current_units="uA")
+    fields = [sc.sources.ConstantField(v) for v in (0.3, 0.8)]
+    history = solve_many(
+        model=model,
+        applied_fields=fields,
+        field_units="mT",
+        iterations=2,
+        keep_history=True,
+    )
+    assert isinstance(history, list) and len(history) == 3
+    final = solve_many(
+        model=model, applied_fields=fields, field_units="mT", iterations=2
+    )
+    for name in final.streams:
+        assert np.allclose(
+            history[-1].streams[name], final.streams[name], rtol=1e-6, atol=1e-9
+        )
+    # Legacy per-iteration solutions agree with the recorded history.
+    solutions = sc.solve(
+        model=model,
+        applied_field=fields[0],
+        field_units="mT",
+        iterations=2,
+        progress_bar=False,
+    )
+    for it, solution in enumerate(solutions):
+        for name in final.streams:
+            a = history[it].solution(0).film_solutions[name].stream
+            b = solution.film_solutions[name].stream
+            scale = max(np.abs(b).max(), 1e-12)
+            assert np.abs(a - b).max() < 1e-6 * scale, (it, name)
