@@ -352,11 +352,21 @@ def _solve_film_batch(
             return kernels._dot(data.fac_a, rhs)
     elif data.fac_kind == "chol":
         def solve(rhs):
-            y = jax.scipy.linalg.cho_solve((data.fac_a, True), rhs)
+            # _widen_rhs: TPU TriangularSolve compiles pathologically for
+            # RHS narrower than one sublane (ops/linalg._MIN_RHS_COLS).
+            from .ops.linalg import _widen_rhs
+
+            rhs, restore = _widen_rhs(rhs)
+            y = restore(jax.scipy.linalg.cho_solve((data.fac_a, True), rhs))
             return y / data.fac_b[:, None]
     else:
         def solve(rhs):
-            return jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
+            from .ops.linalg import _widen_rhs
+
+            rhs, restore = _widen_rhs(rhs)
+            return restore(
+                jax.scipy.linalg.lu_solve((data.fac_a, data.fac_b), rhs)
+            )
 
     gf = solve(hT)  # (nip, B)
     # CG/BiCGStab control their own accuracy; no outer refinement (and no
