@@ -9,6 +9,8 @@ for TPU:
   assembled **on device** with the blocked JAX kernel in
   :mod:`superscreen_tpu.ops.kernels` rather than a numba loop.
 * Sparse operators are applied inside jit as segment-sum matvecs.
+* All per-mesh arrays live in one field table (like :class:`EdgeMesh`), so
+  construction, HDF5 round-trip, and copying share one code path.
 """
 
 from copy import deepcopy
@@ -23,6 +25,25 @@ from . import mesh_generation as mgen
 from .edge_mesh import EdgeMesh
 
 __all__ = ["Mesh", "MeshOperators"]
+
+# Mesh array fields: name -> dtype forced on ingest (None = leave as float).
+_MESH_FIELDS = {
+    "sites": None,
+    "elements": np.int64,
+    "triangle_centroids": None,
+    "boundary_indices": np.int64,
+    "vertex_areas": None,
+    "triangle_areas": None,
+}
+
+# Operators held by MeshOperators, in from_mesh build order.
+_OPERATOR_NAMES = (
+    "gradient_x",
+    "gradient_y",
+    "gradient_tri_x",
+    "gradient_tri_y",
+    "laplacian",
+)
 
 
 class Mesh:
@@ -53,12 +74,16 @@ class Mesh:
         edge_mesh: EdgeMesh,
         build_operators: bool = True,
     ):
-        self.sites = np.asarray(sites).squeeze()
-        self.elements = np.asarray(elements, dtype=np.int64)
-        self.triangle_centroids = np.asarray(triangle_centroids)
-        self.boundary_indices = np.asarray(boundary_indices, dtype=np.int64)
-        self.vertex_areas = np.asarray(vertex_areas)
-        self.triangle_areas = np.asarray(triangle_areas)
+        given = dict(
+            sites=np.asarray(sites).squeeze(),
+            elements=elements,
+            triangle_centroids=triangle_centroids,
+            boundary_indices=boundary_indices,
+            vertex_areas=vertex_areas,
+            triangle_areas=triangle_areas,
+        )
+        for name, dtype in _MESH_FIELDS.items():
+            setattr(self, name, np.asarray(given[name], dtype=dtype))
         self.edge_mesh = edge_mesh
         self.operators: Optional[MeshOperators] = None
         self._triangulation = None
@@ -66,15 +91,56 @@ class Mesh:
         if build_operators:
             self.operators = MeshOperators.from_mesh(self)
 
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {name: getattr(self, name) for name in _MESH_FIELDS}
+
+    @staticmethod
+    def from_triangulation(
+        sites: Sequence[Tuple[float, float]],
+        elements: Sequence[Tuple[int, int, int]],
+        build_operators: bool = True,
+    ) -> "Mesh":
+        """Creates a :class:`Mesh` from a triangulation, deriving all
+        per-vertex/per-triangle geometry."""
+        sites = np.asarray(sites).squeeze()
+        elements = np.asarray(elements).squeeze()
+        for arr, cols, what in (
+            (sites, 2, "site coordinates"),
+            (elements, 3, "elements"),
+        ):
+            if arr.ndim != 2 or arr.shape[1] != cols:
+                raise ValueError(
+                    f"The {what} must have shape (n, {cols}), "
+                    f"got {arr.shape!r}."
+                )
+        tri_areas = mgen.triangle_areas(sites, elements)
+        return Mesh(
+            sites=sites,
+            elements=elements,
+            triangle_centroids=sites[elements].mean(axis=1),
+            boundary_indices=Mesh.find_boundary_indices(elements),
+            vertex_areas=mgen.vertex_areas(
+                sites, elements, tri_areas=tri_areas
+            ),
+            triangle_areas=tri_areas,
+            edge_mesh=EdgeMesh.from_mesh(sites, elements),
+            build_operators=build_operators,
+        )
+
+    @staticmethod
+    def find_boundary_indices(elements: np.ndarray) -> np.ndarray:
+        """Indices of vertices on any mesh boundary (unordered)."""
+        edges, is_boundary = mgen.get_edges(elements)
+        return np.unique(edges[is_boundary])
+
     @property
     def triangulation(self):
         """Matplotlib triangulation of the mesh (for interpolation/plots)."""
         if self._triangulation is None:
             from matplotlib.tri import Triangulation
 
-            self._triangulation = Triangulation(
-                self.sites[:, 0], self.sites[:, 1], self.elements
-            )
+            x, y = self.sites.T
+            self._triangulation = Triangulation(x, y, self.elements)
         return self._triangulation
 
     @property
@@ -95,68 +161,30 @@ class Mesh:
         ops = self.operators
         if ops is None:
             raise RuntimeError("Mesh was built without operators.")
-        return np.stack(
-            [ops.gradient_x.matvec(values), ops.gradient_y.matvec(values)], axis=-1
-        )
+        columns = (ops.gradient_x.matvec(values), ops.gradient_y.matvec(values))
+        return np.stack(columns, axis=-1)
 
     def stats(self) -> Dict[str, Union[int, float]]:
         """A dictionary of information about the mesh."""
-        edge_lengths = self.edge_mesh.edge_lengths
-        vertex_areas = self.vertex_areas
+
+        def span(arr):
+            return (None, None) if arr is None else (arr.min(), arr.max())
+
+        lo_edge, hi_edge = span(self.edge_mesh.edge_lengths)
+        lo_area, hi_area = span(self.vertex_areas)
         return dict(
             num_sites=len(self.sites),
             num_elements=len(self.elements),
-            min_edge_length=edge_lengths.min() if edge_lengths is not None else None,
-            max_edge_length=edge_lengths.max() if edge_lengths is not None else None,
-            min_vertex_area=vertex_areas.min() if vertex_areas is not None else None,
-            max_vertex_area=vertex_areas.max() if vertex_areas is not None else None,
+            min_edge_length=lo_edge,
+            max_edge_length=hi_edge,
+            min_vertex_area=lo_area,
+            max_vertex_area=hi_area,
         )
 
     def closest_site(self, xy: Tuple[float, float]) -> int:
         """Index of the mesh site closest to ``(x, y)``."""
-        return int(
-            np.argmin(np.linalg.norm(self.sites - np.atleast_2d(xy), axis=1))
-        )
-
-    @staticmethod
-    def from_triangulation(
-        sites: Sequence[Tuple[float, float]],
-        elements: Sequence[Tuple[int, int, int]],
-        build_operators: bool = True,
-    ) -> "Mesh":
-        """Creates a :class:`Mesh` from a triangulation."""
-        sites = np.asarray(sites).squeeze()
-        elements = np.asarray(elements).squeeze()
-        if sites.ndim != 2 or sites.shape[1] != 2:
-            raise ValueError(
-                f"The site coordinates must have shape (n, 2), got {sites.shape!r}"
-            )
-        if elements.ndim != 2 or elements.shape[1] != 3:
-            raise ValueError(
-                f"The elements must have shape (m, 3), got {elements.shape!r}."
-            )
-        boundary_indices = Mesh.find_boundary_indices(elements)
-        edge_mesh = EdgeMesh.from_mesh(sites, elements)
-        triangle_areas = mgen.triangle_areas(sites, elements)
-        centroids = sites[elements].mean(axis=1)
-        vertex_areas = mgen.vertex_areas(sites, elements, tri_areas=triangle_areas)
-        return Mesh(
-            sites=sites,
-            elements=elements,
-            triangle_centroids=centroids,
-            boundary_indices=boundary_indices,
-            edge_mesh=edge_mesh,
-            vertex_areas=vertex_areas,
-            triangle_areas=triangle_areas,
-            build_operators=build_operators,
-        )
-
-    @staticmethod
-    def find_boundary_indices(elements: np.ndarray) -> np.ndarray:
-        """Indices of vertices on any mesh boundary (unordered)."""
-        edges, is_boundary = mgen.get_edges(elements)
-        boundary_edges = edges[is_boundary]
-        return np.unique(boundary_edges.ravel())
+        offsets = self.sites - np.atleast_2d(xy)
+        return int(np.einsum("ij,ij->i", offsets, offsets).argmin())
 
     def smooth(self, iterations: int, build_operators: bool = True) -> "Mesh":
         """Laplacian smoothing of the interior vertices."""
@@ -191,71 +219,52 @@ class Mesh:
             ax.plot(x, y, marker=marker, ls="", color=site_color)
         return ax
 
+    # -- persistence -----------------------------------------------------
+
     def to_hdf5(self, h5group: h5py.Group, compress: bool = True) -> None:
-        """Saves the mesh to an :class:`h5py.Group` (compressed = sites and
-        elements only; everything else is rebuilt on load)."""
-        h5group["sites"] = self.sites
-        h5group["elements"] = self.elements
+        """Saves the mesh to an :class:`h5py.Group`.  With ``compress=True``
+        only sites and elements are stored; the rest is rebuilt on load."""
+        stored = self._arrays()
+        if compress:
+            stored = {k: stored[k] for k in ("sites", "elements")}
+        for name, value in stored.items():
+            h5group[name] = value
         if not compress:
-            h5group["triangle_centroids"] = self.triangle_centroids
-            h5group["boundary_indices"] = self.boundary_indices
-            h5group["vertex_areas"] = self.vertex_areas
-            h5group["triangle_areas"] = self.triangle_areas
             self.edge_mesh.to_hdf5(h5group.create_group("edge_mesh"))
+
+    @staticmethod
+    def is_restorable(h5group: h5py.Group) -> bool:
+        """True if the group has all data needed to restore without
+        recomputation."""
+        needed = tuple(_MESH_FIELDS) + ("edge_mesh",)
+        return all(key in h5group for key in needed)
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "Mesh":
         """Loads a mesh from an :class:`h5py.Group`."""
         if not ("sites" in h5group and "elements" in h5group):
             raise IOError("Could not load mesh due to missing data.")
-        if Mesh.is_restorable(h5group):
-            return Mesh(
-                sites=np.array(h5group["sites"]),
-                elements=np.array(h5group["elements"], dtype=np.int64),
-                triangle_centroids=np.array(h5group["triangle_centroids"]),
-                boundary_indices=np.array(
-                    h5group["boundary_indices"], dtype=np.int64
-                ),
-                vertex_areas=np.array(h5group["vertex_areas"]),
-                triangle_areas=np.array(h5group["triangle_areas"]),
-                edge_mesh=EdgeMesh.from_hdf5(h5group["edge_mesh"]),
+        if not Mesh.is_restorable(h5group):
+            # Compressed save: re-derive everything from the triangulation.
+            return Mesh.from_triangulation(
+                sites=np.array(h5group["sites"]).squeeze(),
+                elements=np.array(h5group["elements"]),
             )
-        return Mesh.from_triangulation(
-            sites=np.array(h5group["sites"]).squeeze(),
-            elements=np.array(h5group["elements"]),
-        )
-
-    @staticmethod
-    def is_restorable(h5group: h5py.Group) -> bool:
-        """True if the group has all data needed to restore without
-        recomputation."""
-        return all(
-            key in h5group
-            for key in (
-                "sites",
-                "elements",
-                "triangle_centroids",
-                "boundary_indices",
-                "vertex_areas",
-                "triangle_areas",
-                "edge_mesh",
-            )
-        )
+        arrays = {
+            name: np.array(h5group[name], dtype=dtype)
+            for name, dtype in _MESH_FIELDS.items()
+        }
+        return Mesh(edge_mesh=EdgeMesh.from_hdf5(h5group["edge_mesh"]), **arrays)
 
     def copy(self) -> "Mesh":
-        mesh = Mesh(
-            sites=self.sites.copy(),
-            elements=self.elements.copy(),
-            triangle_centroids=self.triangle_centroids.copy(),
-            boundary_indices=self.boundary_indices.copy(),
-            vertex_areas=self.vertex_areas.copy(),
-            triangle_areas=self.triangle_areas.copy(),
+        clone = Mesh(
             edge_mesh=self.edge_mesh.copy(),
             build_operators=False,
+            **{k: v.copy() for k, v in self._arrays().items()},
         )
         if self.operators is not None:
-            mesh.operators = self.operators.copy()
-        return mesh
+            clone.operators = self.operators.copy()
+        return clone
 
 
 class MeshOperators:
@@ -283,34 +292,34 @@ class MeshOperators:
     ):
         self.weights = weights
         self.sites = sites
-        self.gradient_x = gradient_x
-        self.gradient_y = gradient_y
-        self.gradient_tri_x = gradient_tri_x
-        self.gradient_tri_y = gradient_tri_y
-        self.laplacian = laplacian
+        operators = (
+            gradient_x,
+            gradient_y,
+            gradient_tri_x,
+            gradient_tri_y,
+            laplacian,
+        )
+        for name, op in zip(_OPERATOR_NAMES, operators):
+            setattr(self, name, op)
         self._Q_cache: Dict[str, np.ndarray] = {}
 
     @staticmethod
     def from_mesh(mesh: Mesh) -> "MeshOperators":
         """Builds all operators for a mesh."""
-        sites = mesh.sites
-        elements = mesh.elements
-        weights = mesh.vertex_areas
-        gradient_tri_x, gradient_tri_y = fem.gradient_triangles_coo(
-            sites, elements, areas=mesh.triangle_areas
-        )
-        gradient_x, gradient_y = fem.gradient_vertices_coo(
-            sites, elements, areas=mesh.triangle_areas
-        )
-        laplacian = fem.build_laplacian_coo(sites, elements, masses=weights)
+        sites, elements = mesh.sites, mesh.elements
+        tri_areas = mesh.triangle_areas
+        grad_v = fem.gradient_vertices_coo(sites, elements, areas=tri_areas)
+        grad_t = fem.gradient_triangles_coo(sites, elements, areas=tri_areas)
         return MeshOperators(
-            weights=weights,
+            weights=mesh.vertex_areas,
             sites=sites,
-            gradient_x=gradient_x,
-            gradient_y=gradient_y,
-            gradient_tri_x=gradient_tri_x,
-            gradient_tri_y=gradient_tri_y,
-            laplacian=laplacian,
+            gradient_x=grad_v[0],
+            gradient_y=grad_v[1],
+            gradient_tri_x=grad_t[0],
+            gradient_tri_y=grad_t[1],
+            laplacian=fem.build_laplacian_coo(
+                sites, elements, masses=mesh.vertex_areas
+            ),
         )
 
     @property

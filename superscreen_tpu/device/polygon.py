@@ -1,8 +1,9 @@
-"""Polygon: a simply-connected region bound to a layer.
+"""Planar polygon primitive.
 
-API parity with the reference ``superscreen/device/polygon.py``, with the
-GEOS/shapely dependency replaced by the pure-NumPy kernel in
-:mod:`superscreen_tpu.polygon_ops`.
+Mirrors the public surface of the reference ``superscreen/device/polygon.py``
+(shapely-backed) on top of this package's own boolean/offset kernel,
+:mod:`superscreen_tpu.polygon_ops`.  All geometry is eager NumPy on host --
+polygons exist to *define* meshes, they never appear on the TPU.
 """
 
 import logging
@@ -11,7 +12,7 @@ from typing import Iterable, Optional, Tuple, Union
 
 import h5py
 import numpy as np
-from matplotlib import path
+from matplotlib import path as mpl_path
 
 from .. import polygon_ops as ops
 from ..geometry import close_curve
@@ -23,27 +24,48 @@ __all__ = ["Polygon"]
 
 PolygonType = Union["Polygon", np.ndarray]
 
+#: Boolean operations understood by :meth:`Polygon._fold`.
+_BOOLEAN_OPS = frozenset(
+    {"union", "intersection", "difference", "symmetric_difference"}
+)
 
-def _resolve_origin(points: np.ndarray, origin) -> np.ndarray:
-    if isinstance(origin, str):
-        if origin == "center":
-            mins = points.min(axis=0)
-            maxs = points.max(axis=0)
-            return (mins + maxs) / 2
-        if origin == "centroid":
-            return ops.centroid(points)
-        raise ValueError(f"Invalid origin: {origin!r}.")
-    return np.asarray(origin, dtype=float)
+
+def _coerce_ring(points) -> np.ndarray:
+    """Normalize any accepted vertex input to a closed CCW ``(n, 2)`` ring,
+    raising ``ValueError`` for non-simple or degenerate boundaries."""
+    if isinstance(points, Polygon):
+        points = points.points
+    ring = np.asarray(points, dtype=float)
+    if ring.ndim != 2 or ring.shape[-1] != 2:
+        raise ValueError(f"Expected shape (n, 2), but got {ring.shape}.")
+    ring = ops.orient_ccw(ring)
+    if len(ring) < 3 or not ops.is_simple_polygon(ring):
+        raise ValueError(
+            "The given points do not define a valid simply-connected "
+            "polygon (the boundary may be self-intersecting or degenerate)."
+        )
+    return close_curve(ring)
+
+
+def _anchor_point(ring: np.ndarray, origin) -> np.ndarray:
+    """Resolve a transform origin: literal (x, y), bounding-box "center",
+    or mass "centroid"."""
+    if not isinstance(origin, str):
+        return np.asarray(origin, dtype=float)
+    if origin == "center":
+        return 0.5 * (ring.min(axis=0) + ring.max(axis=0))
+    if origin == "centroid":
+        return ops.centroid(ring)
+    raise ValueError(f"Invalid origin: {origin!r}.")
 
 
 class Polygon:
-    """A simply-connected polygon located in a Layer.
+    """A simply-connected region assigned to a :class:`Layer`.
 
     Args:
         name: Name of the polygon.
         layer: Name of the layer in which the polygon is located.
-        points: Shape ``(n, 2)`` array of polygon vertices (or another
-            :class:`Polygon`).
+        points: ``(n, 2)`` vertex array or another :class:`Polygon`.
     """
 
     __slots__ = ("name", "layer", "_points")
@@ -59,66 +81,64 @@ class Polygon:
         self.layer = layer
         self.points = points
 
+    # -- vertices --------------------------------------------------------
+
     @property
     def points(self) -> np.ndarray:
-        """Shape ``(n, 2)`` array of CCW-oriented polygon vertices (closed)."""
+        """Closed, CCW-oriented ``(n, 2)`` vertex array."""
         return self._points
 
     @points.setter
     def points(self, points) -> None:
-        if isinstance(points, Polygon):
-            points = points.points
-        points = np.asarray(points, dtype=float)
-        if points.ndim != 2 or points.shape[-1] != 2:
-            raise ValueError(f"Expected shape (n, 2), but got {points.shape}.")
-        ring = ops.orient_ccw(points)
-        if len(ring) < 3 or not ops.is_simple_polygon(ring):
-            raise ValueError(
-                "The given points do not define a valid simply-connected "
-                "polygon (the boundary may be self-intersecting or "
-                "degenerate)."
-            )
-        self._points = close_curve(ring)
+        self._points = _coerce_ring(points)
+
+    @property
+    def polygon(self) -> np.ndarray:
+        """Alias of :attr:`points` (the reference returns a shapely object
+        here; this package has no such type)."""
+        return self._points
+
+    @property
+    def path(self) -> mpl_path.Path:
+        """The boundary as a :class:`matplotlib.path.Path`."""
+        return mpl_path.Path(self._points, closed=True)
 
     @property
     def is_valid(self) -> bool:
-        """True if the polygon has a name, a layer, and valid geometry."""
-        return (
-            self.name is not None
-            and self.layer is not None
-            and ops.is_simple_polygon(self._points)
-        )
+        """Whether the polygon is fully specified (named, on a layer, and
+        geometrically simple)."""
+        if self.name is None or self.layer is None:
+            return False
+        return ops.is_simple_polygon(self._points)
 
     @property
     def area(self) -> float:
-        """The area of the polygon."""
+        """Enclosed area."""
         return ops.polygon_area(self._points)
 
     @property
     def extents(self) -> Tuple[float, float]:
-        """Total (x, y) extent of the polygon, ``(Delta_x, Delta_y)``."""
-        p = self._points
-        return float(np.ptp(p[:, 0])), float(np.ptp(p[:, 1]))
-
-    @property
-    def polygon(self) -> np.ndarray:
-        """The closed polygon vertices (alias kept for API parity)."""
-        return self._points
-
-    @property
-    def path(self) -> path.Path:
-        """A :class:`matplotlib.path.Path` for the polygon boundary."""
-        return path.Path(self._points, closed=True)
+        """Bounding-box side lengths ``(Delta_x, Delta_y)``."""
+        span = self._points.max(axis=0) - self._points.min(axis=0)
+        return float(span[0]), float(span[1])
 
     def set_name(self, name: Union[str, None]) -> "Polygon":
-        """Sets the polygon's name and returns ``self``."""
+        """Renames the polygon; returns ``self`` for chaining."""
         self.name = name
         return self
 
     def set_layer(self, layer: Union[str, None]) -> "Polygon":
-        """Sets the polygon's layer and returns ``self``."""
+        """Re-assigns the polygon's layer; returns ``self`` for chaining."""
         self.layer = layer
         return self
+
+    # -- point queries ---------------------------------------------------
+
+    def _hit_mask(self, points: np.ndarray, radius: float) -> np.ndarray:
+        # matplotlib's radius semantics (a signed margin on the path) are
+        # part of the reference API contract, so route through Path here
+        # rather than ops.points_in_polygon.
+        return self.path.contains_points(np.atleast_2d(points), radius=radius)
 
     def contains_points(
         self,
@@ -126,30 +146,25 @@ class Polygon:
         index: bool = False,
         radius: float = 0,
     ) -> Union[bool, np.ndarray]:
-        """Whether ``points`` lie within the polygon.
+        """Tests which of ``points`` fall inside the polygon.
 
         Args:
-            points: Shape ``(n, 2)`` coordinates.
-            index: Return indices of contained points instead of a mask.
-            radius: Margin added to the boundary (positive expands).
+            points: ``(n, 2)`` query coordinates.
+            index: Return the indices of the hits instead of a boolean mask.
+            radius: Signed margin added around the boundary.
         """
-        bool_array = self.path.contains_points(np.atleast_2d(points), radius=radius)
-        if index:
-            return np.where(bool_array)[0]
-        return bool_array
+        mask = self._hit_mask(points, radius)
+        return np.flatnonzero(mask) if index else mask
 
     def on_boundary(
         self, points: np.ndarray, radius: float = 1e-3, index: bool = False
     ):
-        """Whether ``points`` lie within ``radius`` of the boundary."""
-        points = np.atleast_2d(points)
-        p = self.path
-        in_outer = p.contains_points(points, radius=radius)
-        in_inner = p.contains_points(points, radius=-radius)
-        boundary = np.logical_and(in_outer, ~in_inner)
-        if index:
-            return np.where(boundary)[0]
-        return boundary
+        """Tests which of ``points`` lie within ``radius`` of the boundary
+        (inside the inflated outline but outside the deflated one)."""
+        mask = self._hit_mask(points, radius) & ~self._hit_mask(points, -radius)
+        return np.flatnonzero(mask) if index else mask
+
+    # -- meshing ---------------------------------------------------------
 
     def make_mesh(
         self,
@@ -160,31 +175,38 @@ class Polygon:
         build_operators: bool = False,
         **mesh_kwargs,
     ):
-        """Creates a :class:`superscreen_tpu.Mesh` for the polygon.
+        """Triangulates the polygon into a :class:`superscreen_tpu.Mesh`.
 
         Args:
             min_points: Minimum number of mesh vertices.
             max_edge_length: Maximum edge length in the mesh.
-            convex_hull: Mesh the entire convex hull of the polygon.
-            smooth: Number of Laplacian smoothing steps.
-            build_operators: Whether to build the
+            convex_hull: Mesh the full convex hull instead of the interior.
+            smooth: Number of Laplacian smoothing passes.
+            build_operators: Also build the
                 :class:`superscreen_tpu.device.MeshOperators`.
         """
         from .mesh import Mesh
         from .mesh_generation import generate_mesh
 
-        points, triangles = generate_mesh(
-            self.points,
+        sites, elements = generate_mesh(
+            self._points,
             min_points=min_points,
             max_edge_length=max_edge_length,
             convex_hull=convex_hull,
             **mesh_kwargs,
         )
-        return Mesh.from_triangulation(
-            points, triangles, build_operators=build_operators
-        ).smooth(smooth, build_operators=build_operators)
+        mesh = Mesh.from_triangulation(
+            sites, elements, build_operators=build_operators
+        )
+        return mesh.smooth(smooth, build_operators=build_operators)
 
-    # -- affine transforms ---------------------------------------------------
+    # -- affine transforms -----------------------------------------------
+
+    def _remapped(self, fn, inplace: bool) -> "Polygon":
+        """Applies ``fn(vertices) -> vertices`` to ``self`` or a copy."""
+        target = self if inplace else self.copy()
+        target.points = fn(self._points)
+        return target
 
     def rotate(
         self,
@@ -192,20 +214,19 @@ class Polygon:
         origin: Union[str, Tuple[float, float]] = (0.0, 0.0),
         inplace: bool = False,
     ) -> "Polygon":
-        """Rotates the polygon counterclockwise by ``degrees`` about
-        ``origin`` ((x, y), "center", or "centroid")."""
-        polygon = self if inplace else self.copy()
-        o = _resolve_origin(self._points, origin)
-        polygon.points = rotate_coords(self._points - o, degrees) + o
-        return polygon
+        """Rotates CCW by ``degrees`` about ``origin`` ((x, y), "center",
+        or "centroid")."""
+        pivot = _anchor_point(self._points, origin)
+        return self._remapped(
+            lambda p: rotate_coords(p - pivot, degrees) + pivot, inplace
+        )
 
     def translate(
         self, dx: float = 0.0, dy: float = 0.0, inplace: bool = False
     ) -> "Polygon":
-        """Translates the polygon by ``(dx, dy)``."""
-        polygon = self if inplace else self.copy()
-        polygon.points = self._points + np.array([[dx, dy]])
-        return polygon
+        """Shifts the polygon by ``(dx, dy)``."""
+        shift = np.array([dx, dy], dtype=float)
+        return self._remapped(lambda p: p + shift, inplace)
 
     def scale(
         self,
@@ -214,76 +235,62 @@ class Polygon:
         origin: Union[str, Tuple[float, float]] = (0, 0),
         inplace: bool = False,
     ) -> "Polygon":
-        """Scales the polygon by ``(xfact, yfact)`` about ``origin``.
-        Negative factors reflect about the origin."""
-        polygon = self if inplace else self.copy()
-        o = _resolve_origin(self._points, origin)
-        pts = (self._points - o) * np.array([[xfact, yfact]]) + o
-        polygon.points = pts
-        return polygon
+        """Scales by ``(xfact, yfact)`` about ``origin``; negative factors
+        mirror the polygon."""
+        pivot = _anchor_point(self._points, origin)
+        gain = np.array([xfact, yfact], dtype=float)
+        return self._remapped(lambda p: (p - pivot) * gain + pivot, inplace)
 
-    # -- boolean operations ----------------------------------------------------
+    # -- boolean algebra -------------------------------------------------
 
     def _join_via(self, other: PolygonType, operation: str) -> np.ndarray:
-        valid_operations = (
-            "union",
-            "intersection",
-            "difference",
-            "symmetric_difference",
-        )
-        if operation not in valid_operations:
+        """One boolean step against a single other polygon-like object."""
+        if operation not in _BOOLEAN_OPS:
             raise ValueError(
                 f"Unknown operation: {operation}. "
-                f"Valid operations are {valid_operations}."
+                f"Valid operations are {tuple(sorted(_BOOLEAN_OPS))}."
             )
         if isinstance(other, Polygon):
-            other_points = other.points
-            if (
-                self.layer is not None
-                and other.layer is not None
-                and self.layer != other.layer
-            ):
+            if None not in (self.layer, other.layer) and self.layer != other.layer:
                 logger.warning(
                     f"Taking the {operation} of {self} and {other} even "
                     f"though they are assigned to different layers."
                 )
+            clip = other.points
         else:
-            other_points = np.asarray(other, dtype=float)
-            if other_points.ndim != 2 or other_points.shape[-1] != 2:
+            clip = np.asarray(other, dtype=float)
+            if clip.ndim != 2 or clip.shape[-1] != 2:
                 raise TypeError(
                     f"Expected a Polygon or shape (n, 2) array, got {other!r}."
                 )
         try:
-            return ops.boolean_op(self.points, other_points, operation)
+            return ops.boolean_op(self._points, clip, operation)
         except ops.PolygonOpError as err:
             raise ValueError(
                 f"The {operation} of the two polygons is not a valid polygon "
                 f"for the following reason: {err}."
             ) from err
 
+    def _fold(self, operation: str, others, name: Optional[str]) -> "Polygon":
+        """Left-folds ``operation`` over ``others``, threading name/layer."""
+        acc = self.copy()
+        for other in others:
+            acc = Polygon(
+                name=name or self.name,
+                layer=self.layer,
+                points=acc._join_via(other, operation),
+            )
+        return acc
+
     def union(self, *others: PolygonType, name: Optional[str] = None) -> "Polygon":
-        """Returns the union of this polygon and zero or more others."""
-        if not others:
-            return self.copy()
-        first, *rest = others
-        return Polygon(
-            name=name or self.name,
-            layer=self.layer,
-            points=self._join_via(first, "union"),
-        ).union(*rest, name=name)
+        """The union of this polygon with zero or more others."""
+        return self._fold("union", others, name)
 
     def intersection(
         self, *others: PolygonType, name: Optional[str] = None
     ) -> "Polygon":
-        """Returns the intersection of this polygon and zero or more others."""
-        if not others:
-            return self.copy()
-        first, *rest = others
-        return Polygon(
-            name=name or self.name,
-            layer=self.layer,
-            points=self._join_via(first, "intersection"),
-        ).intersection(*rest, name=name)
+        """The intersection of this polygon with zero or more others."""
+        return self._fold("intersection", others, name)
 
     def difference(
         self,
@@ -291,63 +298,10 @@ class Polygon:
         symmetric: bool = False,
         name: Optional[str] = None,
     ) -> "Polygon":
-        """Returns the difference of this polygon and zero or more others."""
-        operation = "symmetric_difference" if symmetric else "difference"
-        if not others:
-            return self.copy()
-        first, *rest = others
-        return Polygon(
-            name=name or self.name,
-            layer=self.layer,
-            points=self._join_via(first, operation),
-        ).difference(*rest, symmetric=symmetric, name=name)
-
-    def buffer(
-        self,
-        distance: float,
-        join_style: Union[str, int] = "mitre",
-        mitre_limit: float = 5.0,
-        single_sided: bool = False,
-        as_polygon: bool = True,
-    ) -> Union[np.ndarray, "Polygon"]:
-        """Returns a polygon with vertices offset by ``distance``
-        (positive inflates, negative shrinks)."""
-        pts = ops.buffer_polygon(
-            self.points,
-            distance,
-            join_style=join_style,
-            mitre_limit=mitre_limit,
-        )
-        polygon = Polygon(name=f"{self.name}", layer=self.layer, points=pts)
-        npts = max(polygon.points.shape[0], self.points.shape[0])
-        polygon = polygon.resample(npts)
-        if as_polygon:
-            return polygon
-        return polygon.points
-
-    def resample(self, num_points: Optional[int] = None) -> "Polygon":
-        """Resamples the boundary to approximately uniformly distributed
-        vertices."""
-        if num_points is None:
-            num_points = len(self.points)
-        if not num_points:
-            return self.copy()
-        # self.points is stored closed (first == last); resample_polygon
-        # works on open rings, and the constructor re-closes the curve.
-        new_points = ops.resample_polygon(self.points, num_points - 1)
-        return Polygon(name=self.name, layer=self.layer, points=new_points)
-
-    def plot(self, ax=None, **kwargs):
-        """Plots the polygon's vertices."""
-        import matplotlib.pyplot as plt
-
-        if ax is None:
-            _, ax = plt.subplots()
-        kwargs = kwargs.copy()
-        kwargs["label"] = self.name
-        ax.plot(*self.points.T, **kwargs)
-        ax.set_aspect("equal")
-        return ax
+        """The (symmetric) difference of this polygon and zero or more
+        others."""
+        op = "symmetric_difference" if symmetric else "difference"
+        return self._fold(op, others, name)
 
     @classmethod
     def from_union(
@@ -357,10 +311,8 @@ class Polygon:
         name: Optional[str] = None,
         layer: Optional[str] = None,
     ) -> "Polygon":
-        """Creates a new polygon from the union of a sequence of polygons."""
-        first, *rest = items
-        polygon = cls(name=name, layer=layer, points=first)
-        return polygon.union(*rest)
+        """Builds one polygon as the union of ``items``."""
+        return cls._from_fold("union", items, name, layer)
 
     @classmethod
     def from_intersection(
@@ -370,11 +322,8 @@ class Polygon:
         name: Optional[str] = None,
         layer: Optional[str] = None,
     ) -> "Polygon":
-        """Creates a new polygon from the intersection of a sequence of
-        polygons."""
-        first, *rest = items
-        polygon = cls(name=name, layer=layer, points=first)
-        return polygon.intersection(*rest)
+        """Builds one polygon as the intersection of ``items``."""
+        return cls._from_fold("intersection", items, name, layer)
 
     @classmethod
     def from_difference(
@@ -385,18 +334,75 @@ class Polygon:
         layer: Optional[str] = None,
         symmetric: bool = False,
     ) -> "Polygon":
-        """Creates a new polygon from the difference of a sequence of
-        polygons."""
-        first, *rest = items
-        polygon = cls(name=name, layer=layer, points=first)
-        return polygon.difference(*rest, symmetric=symmetric)
+        """Builds one polygon as the (symmetric) difference of ``items``."""
+        op = "symmetric_difference" if symmetric else "difference"
+        return cls._from_fold(op, items, name, layer)
+
+    @classmethod
+    def _from_fold(cls, operation, items, name, layer) -> "Polygon":
+        head, *tail = items
+        seed = cls(name=name, layer=layer, points=head)
+        return seed._fold(operation, tail, name)
+
+    # -- offsetting / resampling -----------------------------------------
+
+    def buffer(
+        self,
+        distance: float,
+        join_style: Union[str, int] = "mitre",
+        mitre_limit: float = 5.0,
+        single_sided: bool = False,
+        as_polygon: bool = True,
+    ) -> Union[np.ndarray, "Polygon"]:
+        """Offsets the boundary outward by ``distance`` (inward if
+        negative), then resamples to at least the original vertex count."""
+        offset_ring = ops.buffer_polygon(
+            self._points,
+            distance,
+            join_style=join_style,
+            mitre_limit=mitre_limit,
+        )
+        out = Polygon(
+            name=f"{self.name}", layer=self.layer, points=offset_ring
+        ).resample(max(len(offset_ring), len(self._points)))
+        return out if as_polygon else out.points
+
+    def resample(self, num_points: Optional[int] = None) -> "Polygon":
+        """Redistributes vertices ~uniformly along the boundary.
+
+        ``num_points=None`` keeps the current count; a falsy count returns
+        an unmodified copy.
+        """
+        if num_points is None:
+            num_points = len(self._points)
+        if not num_points:
+            return self.copy()
+        # Stored rings are closed; the resampler wants an open ring and the
+        # constructor re-closes it, hence the off-by-one.
+        ring = ops.resample_polygon(self._points, num_points - 1)
+        return Polygon(name=self.name, layer=self.layer, points=ring)
+
+    # -- misc ------------------------------------------------------------
+
+    def plot(self, ax=None, **kwargs):
+        """Draws the boundary on a matplotlib Axes (created if needed)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(*self._points.T, **dict(kwargs, label=self.name))
+        ax.set_aspect("equal")
+        return ax
+
+    def copy(self) -> "Polygon":
+        return deepcopy(self)
 
     def __repr__(self) -> str:
-        name = f"{self.name!r}" if self.name is not None else None
-        layer = f"{self.layer!r}" if self.layer is not None else None
+        name = None if self.name is None else f"{self.name!r}"
+        layer = None if self.layer is None else f"{self.layer!r}"
         return (
-            f"{self.__class__.__name__}(name={name}, layer={layer}, "
-            f"points=<ndarray: shape={self.points.shape}>)"
+            f"{type(self).__name__}(name={name}, layer={layer}, "
+            f"points=<ndarray: shape={self._points.shape}>)"
         )
 
     def __eq__(self, other) -> bool:
@@ -404,22 +410,18 @@ class Polygon:
             return True
         if not isinstance(other, Polygon):
             return False
-        return (
-            self.name == other.name
-            and self.layer == other.layer
-            and self.points.shape == other.points.shape
-            and np.allclose(self.points, other.points)
+        if (self.name, self.layer) != (other.name, other.layer):
+            return False
+        return self._points.shape == other._points.shape and np.allclose(
+            self._points, other._points
         )
 
-    def copy(self) -> "Polygon":
-        return deepcopy(self)
-
     def to_hdf5(self, h5group: h5py.Group) -> None:
-        if self.name:
-            h5group.attrs["name"] = self.name
-        if self.layer:
-            h5group.attrs["layer"] = self.layer
-        h5group["points"] = self.points
+        for attr in ("name", "layer"):
+            value = getattr(self, attr)
+            if value:
+                h5group.attrs[attr] = value
+        h5group["points"] = self._points
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "Polygon":

@@ -1,8 +1,9 @@
 """Sheet-current Biot-Savart field source.
 
-Reference: ``superscreen/sources/current.py``.  The O(n_eval * n_mesh) sum is
-evaluated by the blocked JAX kernel
-:func:`superscreen_tpu.ops.kernels.biot_savart_2d_field`.
+Same physics as ``superscreen/sources/current.py``; the O(n_eval * n_mesh)
+sum runs through the blocked JAX kernel
+:func:`superscreen_tpu.ops.kernels.biot_savart_2d_field` instead of a
+numba loop.
 """
 
 from typing import Optional, Union
@@ -13,7 +14,13 @@ from ..ops.kernels import biot_savart_2d_field
 from ..parameter import Parameter
 from ..units import ureg
 
+
 __all__ = ["biot_savart_2d", "SheetCurrentField"]
+
+
+def _si_factor(units: str, target: str) -> float:
+    """Conversion factor from ``units`` to the SI ``target`` unit."""
+    return ureg(units).to(target).magnitude
 
 
 def biot_savart_2d(
@@ -46,32 +53,32 @@ def biot_savart_2d(
         vector: Return the full vector field ``(n, 3)`` instead of just the
             z-component ``(n,)``.
     """
-    to_meter = ureg(length_units).to("m").magnitude
-    to_amp_per_meter = (
-        ureg(f"{current_units} / {length_units}").to("A / m").magnitude
-    )
+    meters = _si_factor(length_units, "m")
     x, y, z = np.atleast_1d(x, y, z)
-    if z.shape[0] == 1:
-        z = z * np.ones_like(x)
-    eval_positions = np.stack([x, y, z], axis=1) * to_meter
-    positions, current_densities = np.atleast_2d(positions, current_densities)
-    current_densities = current_densities * to_amp_per_meter
-    positions = positions * to_meter
-    z0 = z0 * np.ones(len(positions)) * to_meter
+    z = np.broadcast_to(z, x.shape) if z.size == 1 else z
+    targets = np.column_stack([x, y, z]) * meters
+
+    sheet_xy, densities = np.atleast_2d(positions, current_densities)
+    sheet_xy = sheet_xy * meters
+    densities = densities * _si_factor(
+        f"{current_units} / {length_units}", "A / m"
+    )
     if areas is None:
         from scipy.spatial import Delaunay
 
         from ..ops.fem import vertex_areas
 
-        triangles = Delaunay(positions).simplices
-        areas = vertex_areas(positions, triangles)
+        # sheet_xy is in meters here, so the computed areas are in m**2.
+        areas = vertex_areas(sheet_xy, Delaunay(sheet_xy).simplices)
     else:
-        areas = np.asarray(areas) * to_meter**2
-    positions = np.concatenate([positions, z0[:, np.newaxis]], axis=1)
-    B = biot_savart_2d_field(
-        eval_positions, positions, current_densities, areas, vector=vector
+        areas = np.asarray(areas) * meters**2
+    sheet_xyz = np.column_stack(
+        [sheet_xy, np.full(len(sheet_xy), z0 * meters)]
     )
-    return np.asarray(B)
+    field = biot_savart_2d_field(
+        targets, sheet_xyz, densities, areas, vector=vector
+    )
+    return np.asarray(field)
 
 
 def SheetCurrentField(

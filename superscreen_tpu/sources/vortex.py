@@ -1,6 +1,8 @@
 """Monopole (vortex) and Pearl-vortex field sources.
 
-Reference: ``superscreen/sources/vortex.py``.
+Behavioral parity with ``superscreen/sources/vortex.py`` (checked by
+``tests/test_reference_parity.py``); the Pearl field is evaluated on an
+unshifted FFT frequency grid rather than a shifted linspace.
 """
 
 from typing import Tuple, Union
@@ -16,6 +18,8 @@ __all__ = [
     "pearl_vortex",
     "PearlVortexField",
 ]
+
+_TWO_PI = 2 * np.pi
 
 
 def monopole(
@@ -36,19 +40,12 @@ def monopole(
         nPhi0: Number of flux quanta in the monopole.
         vector: Return the vector field instead of the z-component.
     """
-    x0, y0, z0 = r0
-    xp = x - x0
-    yp = y - y0
-    zp = z - z0
-    prefactor = 1 / ((2 * np.pi) * (xp**2 + yp**2 + zp**2) ** (3 / 2))
-    Hz0 = zp * prefactor
-    if vector:
-        Hx0 = xp * prefactor
-        Hy0 = yp * prefactor
-        Hz = np.stack([Hx0, Hy0, Hz0], axis=1)
-    else:
-        Hz = Hz0
-    return nPhi0 * Hz
+    dx, dy, dz = (c - c0 for c, c0 in zip((x, y, z), r0))
+    inv_r3 = (dx * dx + dy * dy + dz * dz) ** -1.5
+    scale = nPhi0 / _TWO_PI
+    if not vector:
+        return scale * dz * inv_r3
+    return scale * np.stack([dx * inv_r3, dy * inv_r3, dz * inv_r3], axis=1)
 
 
 def MonopoleField(
@@ -80,6 +77,9 @@ def pearl_vortex(
     transform: ``F{mu_0 Hz}(k) = nPhi0 exp(-k z) / (1 + 2 Lambda k)``,
     in units of ``Phi_0 / length_units**2``.
 
+    The spectrum is sampled on the FFT grid implied by ``(xs, ys)``,
+    inverse-transformed, and linearly interpolated to the query points.
+
     Args:
         x, y, z: Evaluation coordinates (all ``z`` must be equal).
         xs, ys: Coordinate vectors defining the FFT domain (must contain all
@@ -90,41 +90,38 @@ def pearl_vortex(
     """
     from scipy.interpolate import LinearNDInterpolator
 
-    x0, y0, z0 = r0
     x, y, z = np.atleast_1d(x, y, z)
     if not np.allclose(z, z[0]):
         raise ValueError("All elements of the vector z must be equal.")
-    x = x - x0
-    y = y - y0
-    z = np.abs(z[0] - z0)
-    xs = np.sort(xs)
-    ys = np.sort(ys)
-    if (
-        x.min() < xs.min()
-        or x.max() > xs.max()
-        or y.min() < ys.min()
-        or y.max() > ys.max()
-    ):
+    # Work in vortex-centered coordinates.
+    x = x - r0[0]
+    y = y - r0[1]
+    height = abs(z[0] - r0[2])
+    xs, ys = np.sort(xs), np.sort(ys)
+    out_of_domain = (
+        (x.min() < xs[0])
+        or (x.max() > xs[-1])
+        or (y.min() < ys[0])
+        or (y.max() > ys[-1])
+    )
+    if out_of_domain:
         raise ValueError(
             "The rectangle defined by xs and ys must contain the convex hull "
             "of the region defined by (x - x0) and (y - y0)."
         )
-    dx = xs[1] - xs[0]
-    dy = ys[1] - ys[0]
-    kmaxx = np.pi / dx
-    kmaxy = np.pi / dy
-    kx = np.linspace(-kmaxx, kmaxx, xs.shape[0], endpoint=False)
-    ky = np.linspace(-kmaxy, kmaxy, ys.shape[0], endpoint=False)
-    X, Y = np.meshgrid(xs, ys)
-    KX, KY = np.meshgrid(kx, ky)
-    K = np.sqrt(KX**2 + KY**2)
-    Lambda_pearl = 2 * Lambda
-    hzk = nPhi0 * np.exp(-K * z) / (1 + K * Lambda_pearl)
-    hzk = np.fft.fftshift(hzk)
-    hz = np.abs(np.fft.fftshift(np.fft.ifft2(hzk))) / (dx * dy)
-    XY = np.array([X.ravel(), Y.ravel()]).T
-    interp = LinearNDInterpolator(XY, hz.ravel())
-    return interp(np.array([x, y]).T).squeeze()
+    step_x = xs[1] - xs[0]
+    step_y = ys[1] - ys[0]
+    # Unshifted FFT frequency grid (sparse meshgrid broadcasts to 2-D).
+    kx = _TWO_PI * np.fft.fftfreq(len(xs), d=step_x)
+    ky = _TWO_PI * np.fft.fftfreq(len(ys), d=step_y)
+    k = np.hypot(kx[None, :], ky[:, None])
+    spectrum = nPhi0 * np.exp(-k * height) / (1.0 + 2.0 * Lambda * k)
+    # ifft2 puts the vortex at the grid corner; roll it to the center so the
+    # field lines up with the (xs, ys) sample points.
+    field = np.abs(np.fft.fftshift(np.fft.ifft2(spectrum))) / (step_x * step_y)
+    grid_xy = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+    interp = LinearNDInterpolator(grid_xy, field.ravel())
+    return interp(np.column_stack([x, y])).squeeze()
 
 
 def PearlVortexField(
