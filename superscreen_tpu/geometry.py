@@ -24,10 +24,15 @@ __all__ = [
 ]
 
 
+def _as_xy(coords: np.ndarray) -> np.ndarray:
+    coords = np.asarray(coords)
+    assert coords.ndim == 2 and coords.shape[1] == 2
+    return coords
+
+
 def unit_vector(vector: np.ndarray) -> np.ndarray:
     """Normalizes ``vector`` along its last axis."""
-    norm = np.linalg.norm(vector, axis=-1, keepdims=True)
-    return vector / norm
+    return vector / np.linalg.norm(vector, axis=-1, keepdims=True)
 
 
 def path_vectors(path: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -44,34 +49,28 @@ def path_vectors(path: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         A tuple ``(edge_lengths, unit_normals)`` with shapes ``(n - 1,)``
         and ``(n - 1, 2)``.
     """
-    dr = np.diff(path, axis=0)
-    # (dx, dy, 0) x (0, 0, 1) = (dy, -dx, 0)
-    normals = np.stack([dr[:, 1], -dr[:, 0]], axis=1)
-    edge_lengths = np.linalg.norm(dr, axis=1)
-    unit_normals = normals / edge_lengths[:, np.newaxis]
+    edges = np.diff(path, axis=0)
+    edge_lengths = np.linalg.norm(edges, axis=1)
+    # (dx, dy, 0) x (0, 0, 1) = (dy, -dx, 0): rotate each edge -90 degrees.
+    unit_normals = edges[:, ::-1] * np.array([1.0, -1.0])
+    unit_normals /= edge_lengths[:, np.newaxis]
     return edge_lengths, unit_normals
 
 
 def rotation_matrix(angle_radians: float) -> np.ndarray:
     """Returns a 2D counterclockwise rotation matrix."""
-    c = np.cos(angle_radians)
-    s = np.sin(angle_radians)
+    c, s = np.cos(angle_radians), np.sin(angle_radians)
     return np.array([[c, -s], [s, c]])
 
 
 def rotate(coords: np.ndarray, angle_degrees: float) -> np.ndarray:
     """Rotates ``(n, 2)`` coordinates counterclockwise about the origin."""
-    coords = np.asarray(coords)
-    assert coords.ndim == 2 and coords.shape[1] == 2
-    R = rotation_matrix(np.radians(angle_degrees))
-    return coords @ R.T
+    return _as_xy(coords) @ rotation_matrix(np.radians(angle_degrees)).T
 
 
 def translate(coords: np.ndarray, dx: float, dy: float) -> np.ndarray:
     """Translates ``(n, 2)`` coordinates by ``(dx, dy)``."""
-    coords = np.asarray(coords)
-    assert coords.ndim == 2 and coords.shape[1] == 2
-    return coords + np.array([[dx, dy]])
+    return _as_xy(coords) + np.array([[dx, dy]])
 
 
 def ellipse(
@@ -81,16 +80,16 @@ def ellipse(
     center: Tuple[float, float] = (0, 0),
     angle: float = 0,
 ) -> np.ndarray:
-    """Counterclockwise coordinates of an ellipse with semi-axes ``a, b``,
-    rotated by ``angle`` (degrees) about the origin **before** translating
-    to ``center``."""
-    x0, y0 = center
+    """Counterclockwise coordinates of an ellipse with semi-axes ``a, b``.
+
+    Matches the reference's operation order exactly (translate to ``center``,
+    then rotate about the origin when ``angle`` is nonzero), so digitized
+    layouts built against the reference mesh identically.
+    """
     theta = np.linspace(0, 2 * np.pi, points, endpoint=False)
-    coords = np.stack([a * np.cos(theta), b * np.sin(theta)], axis=1)
-    coords = coords + np.array([[x0, y0]])
-    if angle:
-        coords = rotate(coords, angle)
-    return coords
+    coords = np.column_stack([a * np.cos(theta), b * np.sin(theta)])
+    coords += np.asarray(center)[np.newaxis]
+    return rotate(coords, angle) if angle else coords
 
 
 def circle(
@@ -108,47 +107,39 @@ def box(
     angle: float = 0,
 ) -> np.ndarray:
     """Counterclockwise coordinates of a rectangle with the given width and
-    height (reference: ``superscreen/geometry.py:128-179``)."""
+    height (reference: ``superscreen/geometry.py:128-179``).
+
+    The walk starts at the bottom-right corner and distributes ``points``
+    over the perimeter proportionally to edge length; shared corners are
+    emitted twice (deduplicated downstream by :func:`ensure_unique`).
+    """
     width = abs(width)
-    if height is None:
-        height = width
-    height = abs(height)
-    x0, y0 = center
-    perimeter = 2 * (width + height)
-    x_points = round(points * width / perimeter)
-    y_points = round(points * height / perimeter)
-    xs = np.concatenate(
+    height = width if height is None else abs(height)
+    x_points = round(points * width / (2 * (width + height)))
+    y_points = round(points * height / (2 * (width + height)))
+    w, h = width / 2, height / 2
+    corners = np.array([[w, -h], [w, h], [-w, h], [-w, -h], [w, -h]])
+    per_edge = (y_points, x_points, y_points, x_points)
+    coords = np.concatenate(
         [
-            width / 2 * np.ones(y_points),
-            np.linspace(width / 2, -width / 2, x_points),
-            -width / 2 * np.ones(y_points),
-            np.linspace(-width / 2, width / 2, x_points),
+            np.linspace(start, stop, n)
+            for start, stop, n in zip(corners[:-1], corners[1:], per_edge)
         ]
     )
-    ys = np.concatenate(
-        [
-            np.linspace(-height / 2, height / 2, y_points),
-            height / 2 * np.ones(x_points),
-            np.linspace(height / 2, -height / 2, y_points),
-            -height / 2 * np.ones(x_points),
-        ]
-    )
-    coords = np.stack([xs, ys], axis=1) + np.array([[x0, y0]])
-    if angle:
-        coords = rotate(coords, angle)
-    return coords
+    coords += np.asarray(center)[np.newaxis]
+    return rotate(coords, angle) if angle else coords
 
 
 def close_curve(points: np.ndarray) -> np.ndarray:
     """Appends the first point to the end of the curve if it is not closed."""
     points = np.asarray(points)
-    if not np.allclose(points[0], points[-1]):
-        points = np.concatenate([points, points[:1]], axis=0)
-    return points
+    if np.allclose(points[0], points[-1]):
+        return points
+    return np.concatenate([points, points[:1]], axis=0)
 
 
 def ensure_unique(coords: np.ndarray) -> np.ndarray:
     """Removes duplicate coordinates, preserving order of first appearance."""
     coords = np.asarray(coords)
-    _, ix = np.unique(coords, return_index=True, axis=0)
-    return coords[np.sort(ix)]
+    _, first_seen = np.unique(coords, return_index=True, axis=0)
+    return coords[np.sort(first_seen)]

@@ -9,7 +9,6 @@ Biot-Savart coupling (the blocked JAX kernel
 """
 
 import copy
-import itertools
 import logging
 import os
 from dataclasses import dataclass
@@ -38,6 +37,19 @@ from .utils import (
 logger = logging.getLogger("solve")
 
 __all__ = ["FactorizedModel", "factorize_model", "solve"]
+
+
+def _save_mapping(parent: h5py.Group, name: str, mapping: Dict) -> h5py.Group:
+    """Writes a ``{key: obj}`` dict of ``to_hdf5``-able objects as one
+    subgroup per key under ``parent[name]``."""
+    grp = parent.create_group(name)
+    for key, obj in mapping.items():
+        obj.to_hdf5(grp.create_group(key))
+    return grp
+
+
+def _load_mapping(grp: h5py.Group, loader) -> Dict:
+    return {key: loader(sub) for key, sub in grp.items()}
 
 
 @dataclass
@@ -70,79 +82,51 @@ class FactorizedModel:
         """Saves the model (including LU factors) to HDF5."""
         h5group.attrs["current_units"] = self.current_units
         self.device.to_hdf5(h5group.create_group("device"))
-        film_info_grp = h5group.create_group("film_info")
-        for film, info in self.film_info.items():
-            info.to_hdf5(film_info_grp.create_group(film))
-        film_systems_grp = h5group.create_group("film_systems")
-        for film, system in self.film_systems.items():
-            system.to_hdf5(film_systems_grp.create_group(film))
-        hole_systems_grp = h5group.create_group("hole_systems")
-        for film, holes in self.hole_systems.items():
-            film_grp = hole_systems_grp.create_group(film)
-            for hole, system in holes.items():
-                system.to_hdf5(film_grp.create_group(hole))
-        terminal_systems_grp = h5group.create_group("terminal_systems")
-        for film, systems in self.terminal_systems.items():
-            systems.to_hdf5(terminal_systems_grp.create_group(film))
-        term_grp = h5group.create_group("terminal_currents")
-        for film, terminals in self.terminal_currents.items():
-            film_grp = term_grp.create_group(film)
-            film_grp.attrs.update(terminals)
-        circ_grp = h5group.create_group("circulating_currents")
-        circ_grp.attrs.update(self.circulating_currents)
-        vortex_grp = h5group.create_group("vortices")
-        i = 0
-        for film_vortices in self.vortices.values():
-            for vortex in film_vortices:
-                vortex.to_hdf5(vortex_grp.create_group(str(i)))
-                i += 1
+        _save_mapping(h5group, "film_info", self.film_info)
+        _save_mapping(h5group, "film_systems", self.film_systems)
+        holes = h5group.create_group("hole_systems")
+        for film, systems in self.hole_systems.items():
+            _save_mapping(holes, film, systems)
+        _save_mapping(h5group, "terminal_systems", self.terminal_systems)
+        terms = h5group.create_group("terminal_currents")
+        for film, currents in self.terminal_currents.items():
+            terms.create_group(film).attrs.update(currents)
+        circ = h5group.create_group("circulating_currents")
+        circ.attrs.update(self.circulating_currents)
+        flat_vortices = [v for vs in self.vortices.values() for v in vs]
+        _save_mapping(
+            h5group, "vortices", {str(i): v for i, v in enumerate(flat_vortices)}
+        )
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "FactorizedModel":
         """Loads a model from HDF5."""
-        current_units = h5group.attrs["current_units"]
-        device = Device.from_hdf5(h5group["device"])
-        film_info = {
-            film: FilmInfo.from_hdf5(grp)
-            for film, grp in h5group["film_info"].items()
-        }
-        film_systems = {
-            film: LinearSystem.from_hdf5(grp)
-            for film, grp in h5group["film_systems"].items()
-        }
-        hole_systems = {}
-        for film, grp in h5group["hole_systems"].items():
-            hole_systems[film] = {
-                hole: LinearSystem.from_hdf5(subgrp)
-                for hole, subgrp in grp.items()
-            }
-        terminal_systems = {
-            film: TerminalSystems.from_hdf5(grp)
-            for film, grp in h5group["terminal_systems"].items()
-        }
-        terminal_currents = {
-            film: dict(grp.attrs)
-            for film, grp in h5group["terminal_currents"].items()
-        }
-        circulating_currents = dict(h5group["circulating_currents"].attrs)
+        film_info = _load_mapping(h5group["film_info"], FilmInfo.from_hdf5)
         vortex_grp = h5group["vortices"]
-        all_vortices = [
-            Vortex.from_hdf5(vortex_grp[i]) for i in sorted(vortex_grp, key=int)
-        ]
         vortices = {film: [] for film in film_info}
-        for vortex in all_vortices:
+        for i in sorted(vortex_grp, key=int):
+            vortex = Vortex.from_hdf5(vortex_grp[i])
             vortices[vortex.film].append(vortex)
-        vortices = {film: tuple(v) for film, v in vortices.items()}
         return FactorizedModel(
-            device=device,
+            device=Device.from_hdf5(h5group["device"]),
             film_info=film_info,
-            film_systems=film_systems,
-            hole_systems=hole_systems,
-            terminal_systems=terminal_systems,
-            terminal_currents=terminal_currents,
-            circulating_currents=circulating_currents,
-            vortices=vortices,
-            current_units=current_units,
+            film_systems=_load_mapping(
+                h5group["film_systems"], LinearSystem.from_hdf5
+            ),
+            hole_systems={
+                film: _load_mapping(grp, LinearSystem.from_hdf5)
+                for film, grp in h5group["hole_systems"].items()
+            },
+            terminal_systems=_load_mapping(
+                h5group["terminal_systems"], TerminalSystems.from_hdf5
+            ),
+            terminal_currents={
+                film: dict(grp.attrs)
+                for film, grp in h5group["terminal_currents"].items()
+            },
+            circulating_currents=dict(h5group["circulating_currents"].attrs),
+            vortices={film: tuple(vs) for film, vs in vortices.items()},
+            current_units=h5group.attrs["current_units"],
         )
 
     def set_circulating_currents(
@@ -154,30 +138,32 @@ class FactorizedModel:
             circulating_currents: ``{hole_name: current}`` in
                 ``self.current_units``.
         """
-        diff = set(circulating_currents) - set(self.device.holes)
-        if diff:
+        unknown = set(circulating_currents) - set(self.device.holes)
+        if unknown:
             raise KeyError(
                 "circulating_currents contains keys not in "
-                f"self.device.holes: {list(diff)!r}"
+                f"self.device.holes: {list(unknown)!r}"
             )
-        self.circulating_currents = circulating_currents.copy()
+        self.circulating_currents = dict(circulating_currents)
         holes_by_film = self.device.holes_by_film()
-        for film_name, film_info in self.film_info.items():
-            holes = [hole.name for hole in holes_by_film[film_name]]
-            film_info.circulating_currents = {}
-            for hole, current in self.circulating_currents.items():
-                if hole in holes:
-                    film_info.circulating_currents[hole] = current
+        for film_name, info in self.film_info.items():
+            film_holes = {hole.name for hole in holes_by_film[film_name]}
+            info.circulating_currents = {
+                hole: current
+                for hole, current in self.circulating_currents.items()
+                if hole in film_holes
+            }
 
     def set_vortices(self, vortices: Sequence[Vortex]) -> None:
         """Sets the vortices without re-factorizing."""
-        by_film = {name: [] for name in self.film_info}
+        per_film = {name: [] for name in self.film_info}
         for vortex in vortices:
-            by_film[vortex.film].append(vortex)
-        self.vortices = {}
-        for name, film in self.film_info.items():
-            film.vortices = tuple(by_film[name])
-            self.vortices[name] = film.vortices
+            per_film[vortex.film].append(vortex)
+        for name, info in self.film_info.items():
+            info.vortices = tuple(per_film[name])
+        self.vortices = {
+            name: info.vortices for name, info in self.film_info.items()
+        }
 
     def copy(self) -> "FactorizedModel":
         return copy.copy(self)
@@ -204,43 +190,107 @@ def factorize_model(
         vortices: Vortices in the device.
     """
     ureg = device.ureg
-    circulating_currents = circulating_currents or {}
     circulating_currents = currents_to_floats(
-        circulating_currents, ureg, current_units
+        circulating_currents or {}, ureg, current_units
     )
-    terminal_currents = terminal_currents or {}
     terminal_currents = {
         film_name: currents_to_floats(currents, ureg, current_units)
-        for film_name, currents in terminal_currents.items()
+        for film_name, currents in (terminal_currents or {}).items()
     }
     for film_name, currents in terminal_currents.items():
         if sum(currents.values()):
             raise ValueError(
                 f"Terminal currents in film {film_name!r} are not conserved."
             )
-    vortices = vortices or []
-
     film_info = make_film_info(
         device=device,
-        vortices=vortices,
+        vortices=list(vortices or []),
         circulating_currents=circulating_currents,
         terminal_currents=terminal_currents,
     )
     film_systems, hole_systems, terminal_systems = factorize_linear_systems(
         device, film_info
     )
-    vortices_by_film = {name: info.vortices for name, info in film_info.items()}
     return FactorizedModel(
-        device,
-        film_info,
-        film_systems,
-        hole_systems,
-        terminal_systems,
-        terminal_currents,
-        circulating_currents,
-        vortices_by_film,
-        current_units,
+        device=device,
+        film_info=film_info,
+        film_systems=film_systems,
+        hole_systems=hole_systems,
+        terminal_systems=terminal_systems,
+        terminal_currents=terminal_currents,
+        circulating_currents=circulating_currents,
+        vortices={name: info.vortices for name, info in film_info.items()},
+        current_units=current_units,
     )
+
+
+class _SolutionSink:
+    """Sinks the stream of Solutions a solve produces.
+
+    Owns the two side effects shared by every solve path: incremental HDF5
+    saving (group ``str(i)`` per solution, device saved once at
+    ``/device``) and accumulation of the returned list.  Use as a context
+    manager so the file handle closes even if a solve step raises.
+    """
+
+    def __init__(self, device: Device, save_path, keep: bool):
+        self._keep = keep
+        self._solutions: List[Solution] = []
+        self._h5file = None
+        self._count = 0
+        if save_path is not None:
+            self._h5file = h5py.File(save_path, "x")
+            device.to_hdf5(self._h5file.create_group("device"))
+
+    def __enter__(self) -> "_SolutionSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._h5file is not None:
+            self._h5file.close()
+
+    def append(self, solution: Solution) -> None:
+        if self._h5file is not None:
+            solution.to_hdf5(
+                self._h5file.create_group(str(self._count)),
+                device_path="/device",
+            )
+        self._count += 1
+        if self._keep:
+            self._solutions.append(solution)
+
+    def result(self) -> Optional[List[Solution]]:
+        return self._solutions if self._keep else None
+
+
+def _sample_applied_fields(
+    device: Device,
+    film_info: Dict[str, FilmInfo],
+    applied_field: Callable,
+    field_conversion: float,
+) -> Dict[str, np.ndarray]:
+    """Evaluates the applied field at every film's mesh sites (at the film's
+    layer height), scaled into solver units ``current_units/length_units``."""
+    dtype = device.solve_dtype
+    out = {}
+    for film, mesh in device.meshes.items():
+        sites = mesh.sites
+        z0 = device.layers[film_info[film].layer].z0
+        values = applied_field(sites[:, 0], sites[:, 1], np.full(len(sites), z0))
+        Hz = np.atleast_1d(
+            np.squeeze(np.asarray(values) * field_conversion).astype(
+                dtype, copy=False
+            )
+        )
+        if Hz.shape[0] == 1:
+            Hz = np.full(len(sites), Hz.item(), dtype=dtype)
+        if Hz.ndim != 1:
+            raise ValueError(
+                "Expected applied_field to return a 1D vector, "
+                f"got a {Hz.ndim}D array."
+            )
+        out[film] = Hz
+    return out
 
 
 def _solve_device_resident(
@@ -301,11 +351,9 @@ def _solve_device_resident(
     # quantity into a single flat device buffer (each tunnel round-trip
     # costs ~0.1-1 s).  np.array copies below keep the final arrays
     # writable (downstream matplotlib tri interpolators write in place).
-    import jax.numpy as _jnp
-
-    packed = _jnp.concatenate(
+    packed = jnp.concatenate(
         [
-            _jnp.ravel(arr)
+            jnp.ravel(arr)
             for name in films
             for arr in (gs[name], Js[name], selfs[name], others[name])
         ]
@@ -331,12 +379,7 @@ def _solve_device_resident(
 
     inv = 1.0 / field_conversion
     n_solutions = 1 if (len(films) < 2 or iterations < 1) else iterations + 1
-    solutions: List[Solution] = []
-    h5file = None
-    try:
-        if save_path is not None:
-            h5file = h5py.File(save_path, "x")
-            model.device.to_hdf5(h5file.create_group("device"))
+    with _SolutionSink(device, save_path, return_solutions) as sink:
         for i in range(n_solutions):
             film_solutions = {}
             for name in films:
@@ -350,21 +393,113 @@ def _solve_device_resident(
                     self_field=selfs[name][i, 0] * inv,
                     field_from_other_films=other,
                 )
-            solution = Solution(
-                device=device, film_solutions=film_solutions, **solution_kwargs
-            )
-            if h5file is not None:
-                solution.to_hdf5(
-                    h5file.create_group(str(i)), device_path="/device"
+            sink.append(
+                Solution(
+                    device=device,
+                    film_solutions=film_solutions,
+                    **solution_kwargs,
                 )
-            if return_solutions:
-                solutions.append(solution)
-    finally:
-        if h5file is not None:
-            h5file.close()
-    if return_solutions:
-        return solutions
-    return None
+            )
+        return sink.result()
+
+
+def _solve_all_films(
+    model: FactorizedModel,
+    applied_fields: Dict[str, np.ndarray],
+    other_fields: Optional[Dict[str, np.ndarray]],
+    field_conversion: float,
+    vortex_flux: float,
+    check_inversion: bool,
+) -> Dict[str, FilmSolution]:
+    """One stage of the legacy path: solves every film independently given
+    the applied field plus (optionally) the screening field of the others."""
+    film_solutions = {}
+    for name in model.device.films:
+        film_solutions[name] = solve_film(
+            device=model.device,
+            applied_field=applied_fields[name],
+            field_from_other_films=(
+                None if other_fields is None else other_fields[name]
+            ),
+            film_system=model.film_systems[name],
+            hole_systems=model.hole_systems[name],
+            film_info=model.film_info[name],
+            field_conversion=field_conversion,
+            vortex_flux=vortex_flux,
+            terminal_systems=model.terminal_systems.get(name, None),
+            check_inversion=check_inversion,
+        )
+    return film_solutions
+
+
+def _coupling_fields(
+    model: FactorizedModel,
+    film_solutions: Dict[str, FilmSolution],
+) -> Dict[str, np.ndarray]:
+    """Screening field each film feels from every *other* film's current
+    density (Biot-Savart, evaluated at the target film's layer height)."""
+    device = model.device
+    dtype = device.solve_dtype
+    z0_of = {
+        name: device.layers[info.layer].z0
+        for name, info in model.film_info.items()
+    }
+    fields = {
+        name: np.zeros(len(mesh.sites), dtype=dtype)
+        for name, mesh in device.meshes.items()
+    }
+    for source in device.films:
+        for target in device.films:
+            if target == source:
+                continue
+            fields[target] += np.asarray(
+                kernels.biot_savart_film_to_film(
+                    device.meshes[source].sites,
+                    z0_of[source],
+                    model.film_info[source].weights,
+                    film_solutions[source].current_density,
+                    device.meshes[target].sites,
+                    z0_of[target],
+                ),
+                dtype=dtype,
+            )
+    return fields
+
+
+def _resolve_model(
+    device: Optional[Device],
+    model: Optional[FactorizedModel],
+    current_units: str,
+    terminal_currents,
+    circulating_currents,
+    vortices,
+) -> FactorizedModel:
+    """Returns the model to solve, factorizing the device if needed and
+    rejecting ambiguous argument combinations."""
+    if model is None:
+        if device is None:
+            raise ValueError("Either a model or a device must be provided.")
+        logger.info("Factorizing model.")
+        return factorize_model(
+            device=device,
+            current_units=current_units,
+            terminal_currents=terminal_currents,
+            circulating_currents=circulating_currents,
+            vortices=vortices,
+        )
+    if any(
+        arg is not None
+        for arg in (device, terminal_currents, circulating_currents, vortices)
+    ):
+        raise ValueError(
+            "If model argument is provided, device, terminal_currents, "
+            "circulating_currents, and vortices must be None."
+        )
+    if not isinstance(model, FactorizedModel):
+        raise TypeError(
+            f"model must be an instance of FactorizedModel (got {type(model)})."
+        )
+    return model
 
 
 def solve(
@@ -416,51 +551,24 @@ def solve(
     if log_level is not None:
         logging.basicConfig(level=log_level)
 
-    if model is None:
-        if device is None:
-            raise ValueError("Either a model or a device must be provided.")
-        logger.info("Factorizing model.")
-        model = factorize_model(
-            device=device,
-            current_units=current_units,
-            terminal_currents=terminal_currents,
-            circulating_currents=circulating_currents,
-            vortices=vortices,
-        )
-    elif (
-        device is not None
-        or terminal_currents is not None
-        or circulating_currents is not None
-        or vortices is not None
-    ):
-        raise ValueError(
-            "If model argument is provided, device, terminal_currents, "
-            "circulating_currents, and vortices must be None."
-        )
-
-    if not isinstance(model, FactorizedModel):
-        raise TypeError(
-            f"model must be an instance of FactorizedModel (got {type(model)})."
-        )
-
+    model = _resolve_model(
+        device,
+        model,
+        current_units,
+        terminal_currents,
+        circulating_currents,
+        vortices,
+    )
     device = model.device
-    film_info = model.film_info
-    film_systems = model.film_systems
-    hole_systems = model.hole_systems
-    terminal_systems = model.terminal_systems
     current_units = model.current_units
-
     if not device.meshes:
         raise ValueError(
             "The device does not have a mesh. Call device.make_mesh() to "
             "generate it."
         )
 
-    dtype = device.solve_dtype
     ureg = device.ureg
     length_units = device.length_units
-    meshes = device.meshes
-    applied_field = applied_field or ConstantField(0)
     field_conversion = field_conversion_factor(
         field_units, current_units, length_units=length_units, ureg=ureg
     )
@@ -468,27 +576,10 @@ def solve(
         f"Conversion factor from {field_units} to "
         f"{current_units} / {length_units}: {field_conversion}."
     )
-
-    applied_fields = {}
-    for film, mesh in meshes.items():
-        layer = device.layers[film_info[film].layer]
-        z0 = layer.z0 * np.ones(len(mesh.sites))
-        Hz_applied = np.squeeze(
-            np.asarray(
-                applied_field(mesh.sites[:, 0], mesh.sites[:, 1], z0)
-            )
-            * field_conversion.magnitude
-        ).astype(dtype, copy=False)
-        Hz_applied = np.atleast_1d(Hz_applied)
-        if Hz_applied.shape[0] == 1:
-            Hz_applied = np.full(len(mesh.sites), Hz_applied.item(), dtype=dtype)
-        if Hz_applied.ndim != 1:
-            raise ValueError(
-                "Expected applied_field to return a 1D vector, "
-                f"got a {Hz_applied.ndim}D array."
-            )
-        applied_fields[film] = Hz_applied
-
+    applied_field = applied_field or ConstantField(0)
+    applied_fields = _sample_applied_fields(
+        device, model.film_info, applied_field, field_conversion.magnitude
+    )
     # Vortex flux in magnetization-like units: Phi_0 / mu_0 has dimensions
     # of [current] * [length].
     vortex_flux = (
@@ -512,7 +603,7 @@ def solve(
         s.lu_piv is not None
         and isinstance(s.lu_piv[0], str)
         and s.lu_piv[0] == "cg"
-        for s in film_systems.values()
+        for s in model.film_systems.values()
     )
     if (
         not check_inversion
@@ -538,100 +629,48 @@ def solve(
             return_solutions=return_solutions,
         )
 
-    solutions: List[Solution] = []
-    film_solutions: Dict[str, FilmSolution] = {}
-
-    for film_name in device.films:
-        logger.info(f"Calculating {film_name!r} response to applied field.")
-        film_solutions[film_name] = solve_film(
-            device=device,
-            applied_field=applied_fields[film_name],
-            field_from_other_films=None,
-            film_system=film_systems[film_name],
-            hole_systems=hole_systems[film_name],
-            film_info=film_info[film_name],
-            field_conversion=field_conversion.magnitude,
-            vortex_flux=vortex_flux,
-            terminal_systems=terminal_systems.get(film_name, None),
-            check_inversion=check_inversion,
-        )
-
-    solution = Solution(
-        device=device, film_solutions=film_solutions, **solution_kwargs
-    )
-    if save_path is not None:
-        with h5py.File(save_path, "x") as h5file:
-            device.to_hdf5(h5file.create_group("device"))
-            solution.to_hdf5(h5file.create_group(str(0)), device_path="/device")
-    if return_solutions:
-        solutions.append(solution)
-    else:
-        del solution
-
-    if len(device.films) < 2 or iterations < 1:
-        if return_solutions:
-            return solutions
-        return
-
+    # Legacy per-stage path: one solve_film call per film per stage, with
+    # explicit Biot-Savart coupling rounds in between.
     try:
         from tqdm import tqdm
     except ImportError:  # pragma: no cover
         def tqdm(x, **kw):
             return x
 
-    for i in tqdm(
-        range(iterations), desc="Solver iterations", disable=(not progress_bar)
-    ):
-        other_screening_fields = {
-            name: np.zeros(len(mesh.sites), dtype=dtype)
-            for name, mesh in meshes.items()
-        }
-        for source_film, film in itertools.product(device.films, repeat=2):
-            if film == source_film:
-                continue
-            layer = device.layers[film_info[film].layer]
-            other_layer = device.layers[film_info[source_film].layer]
-            logger.debug(
-                f"Calculating screening field at {film!r} "
-                f"from {source_film!r} ({i + 1}/{iterations})."
-            )
-            other_screening_fields[film] += np.asarray(
-                kernels.biot_savart_film_to_film(
-                    meshes[source_film].sites,
-                    other_layer.z0,
-                    film_info[source_film].weights,
-                    film_solutions[source_film].current_density,
-                    meshes[film].sites,
-                    layer.z0,
-                ),
-                dtype=dtype,
-            )
-
-        film_solutions = {}
-        for film_name in device.films:
-            film_solutions[film_name] = solve_film(
-                device=device,
-                applied_field=applied_fields[film_name],
-                field_from_other_films=other_screening_fields[film_name],
-                film_system=film_systems[film_name],
-                hole_systems=hole_systems[film_name],
-                film_info=film_info[film_name],
-                field_conversion=field_conversion.magnitude,
-                vortex_flux=vortex_flux,
-                terminal_systems=terminal_systems.get(film_name, None),
-                check_inversion=check_inversion,
-            )
-        solution = Solution(
-            device=device, film_solutions=film_solutions, **solution_kwargs
+    coupled = len(device.films) >= 2 and iterations >= 1
+    with _SolutionSink(device, save_path, return_solutions) as sink:
+        logger.info("Calculating each film's response to the applied field.")
+        film_solutions = _solve_all_films(
+            model,
+            applied_fields,
+            None,
+            field_conversion.magnitude,
+            vortex_flux,
+            check_inversion,
         )
-        if save_path is not None:
-            with h5py.File(save_path, "r+") as h5file:
-                solution.to_hdf5(
-                    h5file.create_group(str(i + 1)), device_path="/device"
+        sink.append(
+            Solution(device=device, film_solutions=film_solutions, **solution_kwargs)
+        )
+        if coupled:
+            for i in tqdm(
+                range(iterations),
+                desc="Solver iterations",
+                disable=(not progress_bar),
+            ):
+                logger.debug(f"Coupling round {i + 1}/{iterations}.")
+                film_solutions = _solve_all_films(
+                    model,
+                    applied_fields,
+                    _coupling_fields(model, film_solutions),
+                    field_conversion.magnitude,
+                    vortex_flux,
+                    check_inversion,
                 )
-        if return_solutions:
-            solutions.append(solution)
-        else:
-            del solution
-    if return_solutions:
-        return solutions
+                sink.append(
+                    Solution(
+                        device=device,
+                        film_solutions=film_solutions,
+                        **solution_kwargs,
+                    )
+                )
+        return sink.result()

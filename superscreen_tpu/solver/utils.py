@@ -44,6 +44,22 @@ __all__ = [
 ]
 
 
+def _coo_to_group(h5group: h5py.Group, op) -> None:
+    """Stores a :class:`superscreen_tpu.ops.fem.COO` operator as three
+    triplet datasets plus a shape attribute."""
+    for part in ("rows", "cols", "vals"):
+        h5group[part] = getattr(op, part)
+    h5group.attrs["shape"] = op.shape
+
+
+def _coo_from_group(h5group: h5py.Group):
+    from ..ops.fem import COO
+
+    rows, cols, vals = (np.array(h5group[p]) for p in ("rows", "cols", "vals"))
+    return COO(rows=rows, cols=cols, vals=vals, shape=tuple(h5group.attrs["shape"]))
+
+
+@dataclass(kw_only=True, eq=False)
 class LambdaInfo:
     """The effective penetration depth for a film, evaluated at mesh sites.
 
@@ -54,26 +70,21 @@ class LambdaInfo:
         thickness: The film thickness (optional).
     """
 
+    film: str
+    Lambda: np.ndarray
+    london_lambda: Optional[np.ndarray] = None
+    thickness: Optional[float] = None
+    inhomogeneous: bool = field(init=False)
+
     lambda_str = "λ"
     Lambda_str = "Λ"
 
-    def __init__(
-        self,
-        *,
-        film: str,
-        Lambda: np.ndarray,
-        london_lambda: Optional[np.ndarray] = None,
-        thickness: Optional[float] = None,
-    ):
-        self.film = film
-        self.Lambda = Lambda
-        self.london_lambda = london_lambda
-        self.thickness = thickness
-        self.inhomogeneous = (
-            np.ptp(self.Lambda)
-            / max(np.min(np.abs(self.Lambda)), np.finfo(float).eps)
-            > 1e-6
-        )
+    def __post_init__(self):
+        lam = np.asarray(self.Lambda)
+        if (lam < 0).any():
+            raise ValueError(f"Negative Lambda in film {self.film!r}.")
+        floor = max(float(np.min(np.abs(lam))), float(np.finfo(float).eps))
+        self.inhomogeneous = bool(float(np.ptp(lam)) > 1e-6 * floor)
         if self.inhomogeneous:
             logger.info(
                 f"Inhomogeneous {LambdaInfo.Lambda_str} in film {self.film!r}, "
@@ -82,29 +93,35 @@ class LambdaInfo:
             )
         if self.london_lambda is not None:
             assert self.thickness is not None
-            assert np.allclose(self.Lambda, self.london_lambda**2 / self.thickness)
-        if np.any(self.Lambda < 0):
-            raise ValueError(f"Negative Lambda in film {film!r}.")
+            assert np.allclose(lam, self.london_lambda**2 / self.thickness)
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
         h5group.attrs["film"] = self.film
-        if self.london_lambda is not None:
-            h5group["london_lambda"] = self.london_lambda
+        h5group["Lambda"] = self.Lambda
         if self.thickness is not None:
             h5group.attrs["thickness"] = self.thickness
-        h5group["Lambda"] = self.Lambda
+        if self.london_lambda is not None:
+            h5group["london_lambda"] = self.london_lambda
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "LambdaInfo":
-        london_lambda = None
-        if "london_lambda" in h5group:
-            london_lambda = np.array(h5group["london_lambda"])
         return LambdaInfo(
             film=h5group.attrs["film"],
             Lambda=np.array(h5group["Lambda"]),
-            london_lambda=london_lambda,
+            london_lambda=(
+                np.array(h5group["london_lambda"])
+                if "london_lambda" in h5group
+                else None
+            ),
             thickness=h5group.attrs.get("thickness", None),
         )
+
+
+#: FilmInfo arrays always written as plain datasets.
+_INFO_REQUIRED_ARRAYS = ("interior_indices", "boundary_indices", "in_hole", "weights")
+#: FilmInfo arrays written only when present (dense-mode operator blocks and
+#: the site coordinates used by the matrix-free kernel).
+_INFO_OPTIONAL_ARRAYS = ("kernel", "gradient", "sites")
 
 
 @dataclass
@@ -157,114 +174,63 @@ class FilmInfo:
         return self.kernel is not None
 
     def to_hdf5(self, h5group: h5py.Group) -> None:
-        h5group.attrs["name"] = self.name
-        h5group.attrs["layer"] = self.layer
-        self.lambda_info.to_hdf5(h5group.create_group("lambda_info"))
-        vortices_grp = h5group.create_group("vortices")
-        for i, vortex in enumerate(self.vortices):
-            vortex.to_hdf5(vortices_grp.create_group(str(i)))
-        h5group["interior_indices"] = self.interior_indices
-        h5group["boundary_indices"] = self.boundary_indices
-        hole_indices_grp = h5group.create_group("hole_indices")
-        for hole, indices in self.hole_indices.items():
-            hole_indices_grp[hole] = indices
-        h5group["in_hole"] = self.in_hole
-        circ_grp = h5group.create_group("circulating_currents")
-        for hole, current in self.circulating_currents.items():
-            circ_grp.attrs[hole] = current
-        h5group["weights"] = np.asarray(self.weights)
-        if self.kernel is not None:
-            h5group["kernel"] = np.asarray(self.kernel)
         from ..ops.fem import COO
 
+        h5group.attrs.update(name=self.name, layer=self.layer)
+        self.lambda_info.to_hdf5(h5group.create_group("lambda_info"))
+        vortex_grp = h5group.create_group("vortices")
+        for i, vortex in enumerate(self.vortices):
+            vortex.to_hdf5(vortex_grp.create_group(str(i)))
+        for key in _INFO_REQUIRED_ARRAYS:
+            h5group[key] = np.asarray(getattr(self, key))
+        for key in _INFO_OPTIONAL_ARRAYS:
+            value = getattr(self, key)
+            if value is not None:
+                h5group[key] = np.asarray(value)
+        holes = h5group.create_group("hole_indices")
+        for hole, indices in self.hole_indices.items():
+            holes[hole] = indices
+        circ = h5group.create_group("circulating_currents")
+        circ.attrs.update(self.circulating_currents)
+        if self.terminal_currents is not None:
+            term = h5group.create_group("terminal_currents")
+            term.attrs.update(self.terminal_currents)
         if isinstance(self.laplacian, COO):
-            lap = h5group.create_group("laplacian_coo")
-            lap["rows"] = self.laplacian.rows
-            lap["cols"] = self.laplacian.cols
-            lap["vals"] = self.laplacian.vals
-            lap.attrs["shape"] = self.laplacian.shape
+            _coo_to_group(h5group.create_group("laplacian_coo"), self.laplacian)
         else:
             h5group["laplacian"] = np.asarray(self.laplacian)
-        if self.sites is not None:
-            h5group["sites"] = np.asarray(self.sites)
-        if self.gradient is not None:
-            h5group["gradient"] = np.asarray(self.gradient)
         if self.gradient_coo is not None:
             for axis, op in zip("xy", self.gradient_coo):
-                grp = h5group.create_group(f"gradient_coo_{axis}")
-                grp["rows"] = op.rows
-                grp["cols"] = op.cols
-                grp["vals"] = op.vals
-                grp.attrs["shape"] = op.shape
-        if self.terminal_currents is not None:
-            term_grp = h5group.create_group("terminal_currents")
-            for name, current in self.terminal_currents.items():
-                term_grp.attrs[name] = current
+                _coo_to_group(h5group.create_group(f"gradient_coo_{axis}"), op)
 
     @staticmethod
     def from_hdf5(h5group: h5py.Group) -> "FilmInfo":
-        name = h5group.attrs["name"]
-        layer = h5group.attrs["layer"]
-        lambda_info = LambdaInfo.from_hdf5(h5group["lambda_info"])
-        vortices = []
-        for i in sorted(h5group["vortices"], key=int):
-            vortices.append(Vortex.from_hdf5(h5group[f"vortices/{i}"]))
-        hole_indices = {
-            hole: np.array(indices)
-            for hole, indices in h5group["hole_indices"].items()
-        }
-        gradient = gradient_coo = terminal_currents = None
-        if "gradient" in h5group:
-            gradient = np.array(h5group["gradient"])
+        fields = {key: np.array(h5group[key]) for key in _INFO_REQUIRED_ARRAYS}
+        for key in _INFO_OPTIONAL_ARRAYS:
+            fields[key] = np.array(h5group[key]) if key in h5group else None
+        if "laplacian_coo" in h5group:
+            fields["laplacian"] = _coo_from_group(h5group["laplacian_coo"])
+        else:
+            fields["laplacian"] = np.array(h5group["laplacian"])
         if "gradient_coo_x" in h5group:
-            from ..ops.fem import COO
-
-            gradient_coo = tuple(
-                COO(
-                    rows=np.array(h5group[f"gradient_coo_{axis}"]["rows"]),
-                    cols=np.array(h5group[f"gradient_coo_{axis}"]["cols"]),
-                    vals=np.array(h5group[f"gradient_coo_{axis}"]["vals"]),
-                    shape=tuple(h5group[f"gradient_coo_{axis}"].attrs["shape"]),
-                )
-                for axis in "xy"
+            fields["gradient_coo"] = tuple(
+                _coo_from_group(h5group[f"gradient_coo_{axis}"]) for axis in "xy"
             )
         if "terminal_currents" in h5group:
-            terminal_currents = dict(h5group["terminal_currents"].attrs)
-        kernel = None
-        if "kernel" in h5group:
-            kernel = np.array(h5group["kernel"])
-        if "laplacian_coo" in h5group:
-            from ..ops.fem import COO
-
-            lap = h5group["laplacian_coo"]
-            laplacian = COO(
-                rows=np.array(lap["rows"]),
-                cols=np.array(lap["cols"]),
-                vals=np.array(lap["vals"]),
-                shape=tuple(lap.attrs["shape"]),
-            )
-        else:
-            laplacian = np.array(h5group["laplacian"])
-        sites = None
-        if "sites" in h5group:
-            sites = np.array(h5group["sites"])
+            fields["terminal_currents"] = dict(h5group["terminal_currents"].attrs)
+        vortex_grp = h5group["vortices"]
         return FilmInfo(
-            name=name,
-            layer=layer,
-            lambda_info=lambda_info,
-            vortices=tuple(vortices),
-            interior_indices=np.array(h5group["interior_indices"]),
-            boundary_indices=np.array(h5group["boundary_indices"]),
-            hole_indices=hole_indices,
-            in_hole=np.array(h5group["in_hole"]),
+            name=h5group.attrs["name"],
+            layer=h5group.attrs["layer"],
+            lambda_info=LambdaInfo.from_hdf5(h5group["lambda_info"]),
+            vortices=tuple(
+                Vortex.from_hdf5(vortex_grp[i]) for i in sorted(vortex_grp, key=int)
+            ),
+            hole_indices={
+                hole: np.array(ix) for hole, ix in h5group["hole_indices"].items()
+            },
             circulating_currents=dict(h5group["circulating_currents"].attrs),
-            weights=np.array(h5group["weights"]),
-            kernel=kernel,
-            laplacian=laplacian,
-            gradient=gradient,
-            gradient_coo=gradient_coo,
-            terminal_currents=terminal_currents,
-            sites=sites,
+            **fields,
         )
 
 
@@ -272,22 +238,106 @@ def get_holes_and_vortices_by_film(
     device: Device, vortices: List[Vortex]
 ) -> Tuple[Dict[str, List[Polygon]], Dict[str, List[Vortex]]]:
     """Assigns holes and vortices to films, validating vortex placement."""
-    vortices_by_film = {film_name: [] for film_name in device.films}
     holes_by_film = device.holes_by_film()
+    vortices_by_film = {film_name: [] for film_name in device.films}
     for vortex in vortices:
         if not isinstance(vortex, Vortex):
             raise TypeError(f"Expected a Vortex, but got {type(vortex)}.")
-        if not device.films[vortex.film].contains_points((vortex.x, vortex.y)).all():
+        where = (vortex.x, vortex.y)
+        if not device.films[vortex.film].contains_points(where).all():
             raise ValueError(
                 f"Vortex {vortex!r} is not located in film {vortex.film!r}."
             )
         for hole in holes_by_film[vortex.film]:
-            if hole.contains_points((vortex.x, vortex.y)).all():
+            if hole.contains_points(where).all():
                 raise ValueError(
                     f"Vortex {vortex} is located in hole {hole.name!r}."
                 )
         vortices_by_film[vortex.film].append(vortex)
     return holes_by_film, vortices_by_film
+
+
+def _sample_depth(value, sites: np.ndarray, dtype) -> np.ndarray:
+    """Evaluates a penetration-depth spec (number or Parameter) at the mesh
+    sites, returning a column vector of shape ``(n, 1)``."""
+    if isinstance(value, numbers.Real):
+        value = Constant(value)
+    profile = np.atleast_1d(
+        np.asarray(value(sites[:, 0], sites[:, 1]), dtype=dtype)
+    )
+    if profile.shape[0] != len(sites):
+        profile = np.full(len(sites), profile.item(), dtype=dtype)
+    return profile[:, np.newaxis]
+
+
+def _depth_info(layer, film_name: str, sites: np.ndarray, dtype, device) -> LambdaInfo:
+    """Builds the :class:`LambdaInfo` for one film, logging if the thin-film
+    assumption (d << london_lambda) is violated."""
+    london_lambda = layer.london_lambda
+    if isinstance(london_lambda, numbers.Real) and london_lambda <= layer.thickness:
+        logger.info(
+            f"Layer {film_name!r}: The film thickness d = {layer.thickness:.4f} "
+            f"{device.length_units} is greater than or equal to the "
+            f"London penetration depth; the thin-film assumption that "
+            f"the current density is constant over the thickness may "
+            f"not be valid."
+        )
+    if london_lambda is not None:
+        london_lambda = _sample_depth(london_lambda, sites, dtype)
+    return LambdaInfo(
+        film=film_name,
+        Lambda=_sample_depth(layer.Lambda, sites, dtype),
+        london_lambda=london_lambda,
+        thickness=layer.thickness,
+    )
+
+
+def _hole_index_sets(
+    mesh_sites: np.ndarray, holes: List[Polygon]
+) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Per-hole mesh-index sets plus the combined in-any-hole mask."""
+    hole_indices = {
+        hole.name: hole.contains_points(mesh_sites, index=True) for hole in holes
+    }
+    in_hole = np.zeros(len(mesh_sites), dtype=bool)
+    for indices in hole_indices.values():
+        in_hole[indices] = True
+    return hole_indices, in_hole
+
+
+def _operator_blocks(mesh, dtype, dense_kernel: bool, inhomogeneous: bool):
+    """Materializes the per-film operator blocks in the solve dtype.
+
+    Dense mode keeps the Brandt kernel Q and Laplacian device-resident
+    end-to-end (assembly -> system build -> factorization); on the CPU
+    backend plain numpy assembly beats eager jnp dispatch, so dense blocks
+    come back as numpy there.  Low-memory mode returns ``Q=None`` and the
+    sparse COO operators for matrix-free application.
+    """
+    ops = mesh.operators
+    if not dense_kernel:
+        gradient_coo = (
+            (ops.gradient_x, ops.gradient_y) if inhomogeneous else None
+        )
+        return None, ops.laplacian, None, gradient_coo
+    import jax
+
+    like = "jax" if jax.default_backend() != "cpu" else "numpy"
+    Q = ops.Q_dense(dtype)
+    if like == "numpy":
+        Q = np.asarray(Q)
+    laplacian = ops.laplacian.to_dense(dtype=dtype, like=like)
+    gradient = None
+    if inhomogeneous:
+        import jax.numpy as jnp
+
+        gradient = jnp.stack(
+            [
+                ops.gradient_x.to_dense(dtype=dtype, like="jax"),
+                ops.gradient_y.to_dense(dtype=dtype, like="jax"),
+            ]
+        )
+    return Q, laplacian, gradient, None
 
 
 def make_film_info(
@@ -312,118 +362,40 @@ def make_film_info(
     for name, film in device.films.items():
         mesh = device.meshes[name]
         layer = device.layers[film.layer]
-        london_lambda = layer.london_lambda
-        d = layer.thickness
-        Lambda = layer.Lambda
-        if isinstance(london_lambda, numbers.Real) and london_lambda <= d:
-            logger.info(
-                f"Layer {name!r}: The film thickness d = {d:.4f} "
-                f"{device.length_units} is greater than or equal to the "
-                f"London penetration depth; the thin-film assumption that "
-                f"the current density is constant over the thickness may "
-                f"not be valid."
-            )
-        if isinstance(Lambda, numbers.Real):
-            Lambda = Constant(Lambda)
-        Lambda = np.asarray(
-            Lambda(mesh.sites[:, 0], mesh.sites[:, 1]), dtype=dtype
+        lambda_info = _depth_info(layer, name, mesh.sites, dtype, device)
+        hole_indices, in_hole = _hole_index_sets(mesh.sites, holes_by_film[name])
+        is_terminal = name in device.terminals
+        # Terminal films keep a dense kernel regardless of size (the
+        # boundary correction needs explicit kernel columns).
+        dense_kernel = is_terminal or len(mesh.sites) <= MAX_DENSE_KERNEL_SIZE
+        Q, laplacian, gradient, gradient_coo = _operator_blocks(
+            mesh, dtype, dense_kernel, lambda_info.inhomogeneous
         )
-        Lambda = np.atleast_1d(Lambda)
-        if Lambda.shape[0] != len(mesh.sites):
-            Lambda = np.full(len(mesh.sites), Lambda.item(), dtype=dtype)
-        Lambda = Lambda[:, np.newaxis]
-        if london_lambda is not None:
-            if isinstance(london_lambda, numbers.Real):
-                london_lambda = Constant(london_lambda)
-            london_lambda = np.asarray(
-                london_lambda(mesh.sites[:, 0], mesh.sites[:, 1]), dtype=dtype
-            )
-            london_lambda = np.atleast_1d(london_lambda)
-            if london_lambda.shape[0] != len(mesh.sites):
-                london_lambda = np.full(
-                    len(mesh.sites), london_lambda.item(), dtype=dtype
-                )
-            london_lambda = london_lambda[:, np.newaxis]
-
-        hole_indices = {
-            hole.name: hole.contains_points(mesh.sites, index=True)
-            for hole in holes_by_film[name]
-        }
-        in_hole = np.zeros((len(mesh.sites)), dtype=bool)
-        if hole_indices:
-            in_hole[np.concatenate(list(hole_indices.values()))] = True
-        circ_currents = {
-            hole_name: current
-            for hole_name, current in circulating_currents.items()
-            if hole_name in hole_indices
-        }
-        lambda_info = LambdaInfo(
-            film=name,
-            Lambda=Lambda,
-            london_lambda=london_lambda,
-            thickness=layer.thickness,
-        )
-        weights = mesh.operators.weights.astype(dtype, copy=False)
-        dense_kernel = (
-            len(mesh.sites) <= MAX_DENSE_KERNEL_SIZE
-            or name in device.terminals
-        )
-        # Device-resident dense operators: the Brandt kernel and Laplacian
-        # stay on device end-to-end (assembly -> system build -> LU).  Above
-        # MAX_DENSE_KERNEL_SIZE the kernel is matrix-free instead.
-        if dense_kernel:
-            import jax
-
-            # On the CPU backend, plain numpy assembly is faster than
-            # eager jnp dispatch; on TPU, stay device-resident.
-            like = "jax" if jax.default_backend() != "cpu" else "numpy"
-            Q = mesh.operators.Q_dense(dtype)
-            if like == "numpy":
-                Q = np.asarray(Q)
-            laplacian = mesh.operators.laplacian.to_dense(
-                dtype=dtype, like=like
-            )
-        else:
-            Q = None
-            laplacian = mesh.operators.laplacian
-        grad = grad_coo = None
-        if lambda_info.inhomogeneous:
-            if dense_kernel:
-                import jax.numpy as jnp
-
-                grad_x = mesh.operators.gradient_x.to_dense(dtype=dtype, like="jax")
-                grad_y = mesh.operators.gradient_y.to_dense(dtype=dtype, like="jax")
-                grad = jnp.stack([grad_x, grad_y])
-            else:
-                # Low-memory mode keeps the vertex-gradient operators sparse;
-                # the (grad Lambda . grad) term enters the system as extra
-                # scatter/segment-sum triplets.
-                grad_coo = (mesh.operators.gradient_x, mesh.operators.gradient_y)
-        if name in device.terminals:
+        if is_terminal:
             boundary_indices = device.boundary_vertices(name)
         else:
             boundary_indices = mesh.boundary_indices
-        interior_indices = np.setdiff1d(
-            film.contains_points(mesh.sites, index=True), boundary_indices
-        )
-        term_currents = None
-        if name in terminal_currents:
-            term_currents = terminal_currents[name]
         film_info[name] = FilmInfo(
             name=name,
             layer=layer.name,
             lambda_info=lambda_info,
             vortices=tuple(vortices_by_film[name]),
-            interior_indices=interior_indices,
+            interior_indices=np.setdiff1d(
+                film.contains_points(mesh.sites, index=True), boundary_indices
+            ),
             boundary_indices=boundary_indices,
             hole_indices=hole_indices,
             in_hole=in_hole,
-            circulating_currents=circ_currents,
-            terminal_currents=term_currents,
-            weights=weights,
+            circulating_currents={
+                hole: current
+                for hole, current in circulating_currents.items()
+                if hole in hole_indices
+            },
+            terminal_currents=terminal_currents.get(name, None),
+            weights=mesh.operators.weights.astype(dtype, copy=False),
             kernel=Q,
-            gradient=grad,
-            gradient_coo=grad_coo,
+            gradient=gradient,
+            gradient_coo=gradient_coo,
             laplacian=laplacian,
             sites=mesh.sites.astype(dtype, copy=False),
         )
@@ -466,34 +438,31 @@ def convert_field(
         ureg: The unit registry to use.
         with_units: Return a Quantity instead of a bare magnitude.
     """
-    if ureg is None:
-        ureg = default_ureg
+    ureg = ureg or default_ureg
     if isinstance(value, str):
         value = ureg(value)
     if isinstance(value, Quantity):
         old_units = value.units
-    if old_units is None:
+    elif old_units is None:
         raise ValueError(
             "Old units must be specified if value is not a string or Quantity."
         )
-    if isinstance(old_units, str):
-        old_units = ureg(old_units).units
+    else:
+        if isinstance(old_units, str):
+            old_units = ureg(old_units).units
+        value = Quantity(value, old_units)
     if isinstance(new_units, str):
         new_units = ureg(new_units).units
-    if not isinstance(value, Quantity):
-        value = Quantity(value, old_units)
     try:
-        value = value.to(new_units)
+        out = value.to(new_units)
     except DimensionalityError:
+        # Bridge H <-> B with one factor of mu0.  H carries a [length] in
+        # its dimensionality ([current]/[length]); B does not.
         if "[length]" in dict(old_units.dimensionality):
-            # H [current/length] -> B = mu0 * H
-            value = (value * ureg("mu_0")).to(new_units)
+            out = (value * ureg("mu_0")).to(new_units)
         else:
-            # B -> H = B / mu0
-            value = (value / ureg("mu_0")).to(new_units)
-    if not with_units:
-        value = value.magnitude
-    return value
+            out = (value / ureg("mu_0")).to(new_units)
+    return out if with_units else out.magnitude
 
 
 def field_conversion_factor(
@@ -505,16 +474,15 @@ def field_conversion_factor(
     """Conversion factor from ``field_units`` to
     ``current_units / length_units`` (reference:
     ``superscreen/solver/utils.py:407-437``)."""
-    if ureg is None:
-        ureg = default_ureg
-    field = ureg(field_units)
-    target_units = f"{current_units} / {length_units}"
+    ureg = ureg or default_ureg
+    one_field_unit = ureg(field_units)
+    solver_units = f"{current_units} / {length_units}"
     try:
-        field = field.to(target_units)
+        factor = one_field_unit.to(solver_units)
     except DimensionalityError:
         # field_units is a flux density B = mu0 * H.
-        field = (field / ureg("mu_0")).to(target_units)
-    return field / ureg(field_units)
+        factor = (one_field_unit / ureg("mu_0")).to(solver_units)
+    return factor / one_field_unit
 
 
 def stream_from_current_density(points: np.ndarray, J: np.ndarray) -> np.ndarray:
@@ -525,14 +493,13 @@ def stream_from_current_density(points: np.ndarray, J: np.ndarray) -> np.ndarray
     ``J`` is sampled per path edge (shape ``(n - 1, 2)`` for ``n`` points);
     the returned stream has one value per edge, starting at zero.
     """
-    from scipy.integrate import cumulative_trapezoid
-
-    # (0, 0, 1) x (Jx, Jy, 0) == (-Jy, Jx, 0)
-    zhat_cross_J = np.array(J[:, [1, 0]])
-    zhat_cross_J[:, 0] *= -1
-    dl = np.diff(points, axis=0)
-    integrand = np.sum(zhat_cross_J * dl, axis=1)
-    return cumulative_trapezoid(integrand, initial=0)
+    tangents = np.diff(np.asarray(points), axis=0)
+    # (z x J) . dl == Jx dy - Jy dx
+    rate = J[:, 0] * tangents[:, 1] - J[:, 1] * tangents[:, 0]
+    # Cumulative trapezoid with g[0] = 0.
+    g = np.zeros(rate.shape[0], dtype=rate.dtype)
+    np.cumsum(0.5 * (rate[1:] + rate[:-1]), out=g[1:])
+    return g
 
 
 def stream_from_terminal_current(points: np.ndarray, current: float) -> np.ndarray:

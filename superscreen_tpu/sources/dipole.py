@@ -1,7 +1,8 @@
 """Dipole field sources (reference: ``superscreen/sources/dipole.py``).
 
 The dipole-distribution sum is vectorized over dipoles (the reference loops
-over them in Python, ``sources/dipole.py:400-403``).
+over them in Python, ``sources/dipole.py:400-403``): one broadcasted
+``(n_eval, m, 3)`` evaluation instead of ``m`` Python-level passes.
 """
 
 from typing import Optional, Tuple, Union
@@ -13,7 +14,20 @@ from ..units import ureg
 
 __all__ = ["dipole_field", "dipole_distribution", "DipoleField"]
 
-_MU_0 = 1.25663706212e-06
+_MU0_OVER_4PI = 1.25663706212e-06 / (4 * np.pi)
+
+
+def _dipole_sum(separation: np.ndarray, moments: np.ndarray) -> np.ndarray:
+    """Dipole B-field (tesla) for per-dipole separation vectors.
+
+    ``separation`` holds vectors from each dipole to the evaluation point
+    (any leading shape, trailing axis 3, SI meters); ``moments`` broadcasts
+    against it (SI A m^2).  Implements ``mu0/4pi * (3 r (m.r) - m r^2)/r^5``.
+    """
+    r2 = np.sum(separation * separation, axis=-1, keepdims=True)
+    r = np.sqrt(r2)
+    m_dot_r = np.sum(moments * separation, axis=-1, keepdims=True)
+    return _MU0_OVER_4PI * (3.0 * separation * m_dot_r - moments * r2) / (r2 * r2 * r)
 
 
 def dipole_field(
@@ -24,12 +38,8 @@ def dipole_field(
     """3D field (tesla) of a single dipole with ``moment`` [A m^2] at ``r0``
     [m], evaluated at ``eval_coords`` [m]."""
     moment, r0 = np.atleast_1d(moment, r0)
-    r = np.atleast_2d(eval_coords).reshape((-1, 3))
-    r = r - r0
-    norm_r = np.sqrt(np.einsum("ij, ij -> i", r, r))[:, np.newaxis]
-    m_dot_r = np.einsum("j, ij -> i", moment, r)[:, np.newaxis]
-    B = 3 * r * m_dot_r / norm_r**5 - moment / norm_r**3
-    return _MU_0 / (4 * np.pi) * B.squeeze()
+    separation = np.atleast_2d(eval_coords).reshape((-1, 3)) - r0
+    return _dipole_sum(separation, moment).squeeze()
 
 
 def dipole_distribution(
@@ -55,37 +65,27 @@ def dipole_distribution(
         length_units: Units of all coordinates.
         moment_units: Units of the moments (e.g. "mu_B").
     """
-    index = Ellipsis if component is None else list("xyz").index(component)
-    to_meter = ureg(length_units).to("m").magnitude
-    dipole_moments = (
-        np.asarray(dipole_moments) * ureg(moment_units).to("A * m ** 2").magnitude
-    )
-    dipole_positions = np.asarray(dipole_positions) * to_meter
+    pick = Ellipsis if component is None else "xyz".index(component)
+    meters = ureg(length_units).to("m").magnitude
     x, y, z = np.atleast_1d(x, y, z)
-    x = x * to_meter
-    y = y * to_meter
-    z = z * to_meter
-    if len(z) == 1:
-        z = z * np.ones_like(x)
-    eval_coords = np.stack([x, y, z], axis=1)
-    dipole_positions, dipole_moments = np.atleast_2d(
-        dipole_positions, dipole_moments
-    )
-    m = dipole_positions.shape[0]
-    if dipole_moments.shape[0] == 1:
-        dipole_moments = np.broadcast_to(dipole_moments, (m, 3))
-    elif dipole_moments.shape[0] != m:
+    if z.shape[0] == 1:
+        z = np.broadcast_to(z, x.shape)
+    eval_coords = np.column_stack([x, y, z]) * meters
+    positions, moments = np.atleast_2d(dipole_positions, dipole_moments)
+    positions = positions * meters
+    moments = moments * ureg(moment_units).to("A * m ** 2").magnitude
+    if moments.shape[0] == 1:
+        moments = np.broadcast_to(moments, positions.shape)
+    elif moments.shape[0] != positions.shape[0]:
         raise ValueError(
-            f"The number of dipole moments ({dipole_moments.shape[0]}) must be "
-            f"either 1 or equal to the number of dipole positions ({m})."
+            f"The number of dipole moments ({moments.shape[0]}) must be "
+            f"either 1 or equal to the number of dipole positions "
+            f"({positions.shape[0]})."
         )
-    # Vectorized over dipoles: r has shape (n_eval, m, 3).
-    r = eval_coords[:, None, :] - dipole_positions[None, :, :]
-    norm_r = np.sqrt(np.sum(r * r, axis=-1))[..., None]
-    m_dot_r = np.sum(dipole_moments[None, :, :] * r, axis=-1)[..., None]
-    B = 3 * r * m_dot_r / norm_r**5 - dipole_moments[None, :, :] / norm_r**3
-    B = _MU_0 / (4 * np.pi) * np.sum(B, axis=1)
-    return np.atleast_2d(B.squeeze())[:, index]
+    # One broadcasted evaluation over all (eval point, dipole) pairs.
+    separation = eval_coords[:, np.newaxis, :] - positions[np.newaxis]
+    B = _dipole_sum(separation, moments[np.newaxis]).sum(axis=1)
+    return np.atleast_2d(B.squeeze())[:, pick]
 
 
 def DipoleField(
