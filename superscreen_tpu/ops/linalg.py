@@ -232,6 +232,73 @@ _jax_chol_explicit_inverse_batch = jax.jit(
 )
 
 
+def _leaf_spd_inverse(P):
+    """Direct inverse of a small SPD block: Cholesky, then a (leaf, leaf)
+    TriangularSolve against the identity, then ``L^-T L^-1``."""
+    from . import kernels
+
+    L = jnp.linalg.cholesky(P)
+    L_inv = jax.lax.linalg.triangular_solve(
+        L, jnp.eye(P.shape[0], dtype=P.dtype), left_side=True, lower=True
+    )
+    return kernels._dot(L_inv.T, L_inv)
+
+
+def _schur_recursive_inverse(P, leaf: int):
+    """Recursive 2x2-block Schur-complement inverse of an SPD matrix.
+
+    With ``P = [[A, B^T], [B, C]]`` and ``S = C - B A^-1 B^T``::
+
+        P^-1 = [[A^-1 + A^-1 B^T S^-1 B A^-1,  -A^-1 B^T S^-1],
+                [        -S^-1 B A^-1,               S^-1    ]]
+
+    Everything above the (leaf, leaf) base case is large matmuls
+    (~(4/3) n^3 flops total), which the GSPMD partitioner can shard over a
+    device mesh -- unlike a full-size Cholesky/TriangularSolve, which it
+    replicates onto every device.  ``P.shape[0]`` must be a multiple of
+    ``leaf``.
+    """
+    from . import kernels
+
+    n = P.shape[0]
+    blocks = n // leaf
+    if blocks <= 1:
+        return _leaf_spd_inverse(P)
+    h = (blocks // 2) * leaf
+    A, Bt, C = P[:h, :h], P[:h, h:], P[h:, h:]
+    A_inv = _schur_recursive_inverse(A, leaf)
+    AiBt = kernels._dot(A_inv, Bt)  # A^-1 B^T, shape (h, n-h)
+    S = C - kernels._dot(Bt.T, AiBt)
+    S_inv = _schur_recursive_inverse(S, leaf)
+    TR = -kernels._dot(AiBt, S_inv)  # -A^-1 B^T S^-1
+    TL = A_inv - kernels._dot(TR, AiBt.T)
+    return jnp.block([[TL, TR], [TR.T, S_inv]])
+
+
+@partial(jax.jit, static_argnames=("leaf",))
+def _jax_schur_explicit_inverse(neg_A, w_col, leaf: int = 2048):
+    """Explicit solution operator ``M`` (``x = M @ h`` solves ``(-A) x = h``)
+    via the matmul-only recursive Schur inverse.
+
+    Same contract as :func:`_jax_chol_explicit_inverse`, but with every
+    O(n^3) op expressed as a plain matmul so the computation shards cleanly
+    under GSPMD (:func:`superscreen_tpu.parallel.sharded_spd_inverse`).
+    Accuracy is backed by the exact-residual refinement at solve time.
+    """
+    P = -neg_A * (1.0 / w_col)[None, :]
+    P = 0.5 * (P + P.T)
+    n = P.shape[0]
+    b = min(leaf, n)
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        # Identity pad block: the inverse of blockdiag(P, I) is
+        # blockdiag(P^-1, I).
+        padded = jnp.eye(n_pad, dtype=P.dtype)
+        P = padded.at[:n, :n].set(P)
+    P_inv = _schur_recursive_inverse(P, b)[:n, :n]
+    return -(P_inv / w_col[:, None])
+
+
 @jax.jit
 def _jax_inv_solve(M, h):
     return M @ h

@@ -302,26 +302,45 @@ def sharded_self_field(mesh, sites, weights, g, diag=None):
     return off_diag[:B, :n] + diag[None, :] * wg
 
 
-def sharded_spd_inverse(mesh, neg_A, w_col):
-    """Schulz-Hotelling explicit inverse with the O(n^3) matmuls
-    GSPMD-sharded over the mesh's ``model`` axis (VERDICT r1 item 5 /
-    SURVEY 5.7: "sharded dense LU / iterative solves").
+def sharded_spd_inverse(mesh, neg_A, w_col, method: Optional[str] = None):
+    """Explicit Brandt-system inverse with the O(n^3) matmuls GSPMD-sharded
+    over the mesh's ``model`` axis (VERDICT r1 item 5 / SURVEY 5.7:
+    "sharded dense LU / iterative solves").
 
-    The iteration body is pure matmuls (``ops.linalg._jax_spd_inverse``),
-    so placing the input row-sharded lets XLA partition every matmul and
-    insert the ICI collectives; each device holds ``n / n_model`` rows of
-    ``P`` and ``X``, putting films beyond one chip's HBM in reach of dense
-    factorization.
+    Both bodies are pure matmuls, so placing the input row-sharded lets XLA
+    partition every matmul and insert the ICI collectives; each device
+    holds ``n / n_model`` rows, putting films beyond one chip's HBM in
+    reach of dense factorization.
+
+    Args:
+        mesh: ``(data, model)`` device mesh.
+        neg_A: The negated film system matrix ``-A``.
+        w_col: Column weights such that ``-A / w`` is SPD.
+        method: ``"schur"`` (default; recursive Schur-complement inverse,
+            ~(4/3) n^3 flops) or ``"schulz"`` (Schulz-Hotelling iteration,
+            ~100 n^3 flops but self-correcting).  Defaults to
+            ``SUPERSCREEN_TPU_SHARDED_FACTOR``.
 
     Returns the solution operator ``M`` (``x = M @ h`` solves
     ``(-A) x = h``), row-sharded over ``model``.
     """
+    import os
+
     import jax.numpy as jnp
 
     from ..ops import linalg
 
+    if method is None:
+        method = os.environ.get("SUPERSCREEN_TPU_SHARDED_FACTOR", "schur")
     row = NamedSharding(mesh, P("model", None))
     replicated = NamedSharding(mesh, P())
     neg_A = jax.device_put(jnp.asarray(neg_A), row)
     w_col = jax.device_put(jnp.asarray(w_col), replicated)
-    return linalg._jax_spd_inverse(neg_A, w_col)
+    if method == "schulz":
+        return linalg._jax_spd_inverse(neg_A, w_col)
+    if method != "schur":
+        raise ValueError(
+            f"Unknown sharded factorization method {method!r} "
+            "(expected 'schur' or 'schulz')."
+        )
+    return linalg._jax_schur_explicit_inverse(neg_A, w_col)

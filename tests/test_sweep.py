@@ -315,10 +315,11 @@ def test_fft_coupling_same_plane_rejected(two_rings):
                    field_units="mT", iterations=1, coupling="fft")
 
 
-def test_sharded_spd_inverse_matches_single_device():
-    """VERDICT r1 item 5: the Schulz-Hotelling factorization runs
-    GSPMD-sharded over the model axis and matches the single-device
-    inverse."""
+@pytest.mark.parametrize("method", ["schur", "schulz"])
+def test_sharded_spd_inverse_matches_single_device(method):
+    """VERDICT r1 item 5: the dense factorization runs GSPMD-sharded over
+    the model axis and matches the single-device inverse, for both the
+    recursive-Schur (default) and Schulz-Hotelling bodies."""
     from superscreen_tpu.ops import linalg
     from superscreen_tpu.parallel import make_mesh, sharded_spd_inverse
 
@@ -331,13 +332,41 @@ def test_sharded_spd_inverse_matches_single_device():
     w = rng.uniform(0.5, 1.5, size=n)
     neg_A = -(P * w[None, :])
     mesh = make_mesh(n_data=4, n_model=2)
-    M_sharded = np.asarray(sharded_spd_inverse(mesh, neg_A, w))
+    M_sharded = np.asarray(sharded_spd_inverse(mesh, neg_A, w, method=method))
     M_single = np.asarray(linalg._jax_spd_inverse(neg_A, w))
     assert np.allclose(M_sharded, M_single, rtol=1e-9, atol=1e-12)
     # And it actually inverts: (-A) @ (M h) = h.
     h = rng.standard_normal(n)
     x = M_sharded @ h
     assert np.allclose(neg_A @ x, h, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_inverse_recursion_and_padding():
+    """The recursive Schur inverse matches the Cholesky inverse through
+    its recursion (n >> leaf), identity-padding (n not a leaf multiple),
+    and base-case (n < leaf) paths."""
+    import jax.numpy as jnp
+
+    from superscreen_tpu.ops import linalg
+
+    rng = np.random.default_rng(7)
+    for n, leaf in [(300, 64), (256, 64), (40, 64)]:
+        G = rng.normal(size=(n, n))
+        P = G @ G.T / n + 3.0 * np.eye(n)
+        w = 0.5 + rng.random(n)
+        neg_A = -(P * w[None, :])
+        M_chol = np.asarray(
+            linalg._jax_chol_explicit_inverse(
+                jnp.asarray(neg_A), jnp.asarray(w), block=64
+            )
+        )
+        M_schur = np.asarray(
+            linalg._jax_schur_explicit_inverse(
+                jnp.asarray(neg_A), jnp.asarray(w), leaf=leaf
+            )
+        )
+        scale = np.abs(M_chol).max()
+        assert np.abs(M_schur - M_chol).max() / scale < 1e-9, (n, leaf)
 
 
 def test_factorization_mesh_routes_lu_factor(monkeypatch):
