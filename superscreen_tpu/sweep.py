@@ -731,31 +731,63 @@ def _run_sweep_history(
     return gs, Js, self_fields, others
 
 
+#: Per-round cost-model constants for ``coupling="auto"``, calibrated on a
+#: v5e against the measured table in docs/COUPLING.md (B=8).  Only the
+#: *ratio* matters for the dispatch decision, so the calibration transfers
+#: across TPU generations better than a raw site-count threshold would.
+_EXACT_MS_PER_PAIR_SITE2 = 7.4e-9  # exact kernel: ms per n_src*n_dst
+_FFT_MS_PER_GRID_UNIT = 2.7e-6  # fft: ms per G^2*log2(G), per film
+_FFT_MS_PER_SITE = 8.0e-5  # fft: ms per mesh site (interp scatters)
+
+
+def _predict_fft_grid(device) -> int:
+    """The grid size the FFT coupling path would build (mirrors
+    ``ops.fft_coupling._grid_axes`` with default spacing and padding)."""
+    meshes = device.meshes
+    h = min(float(np.mean(m.edge_mesh.edge_lengths)) for m in meshes.values())
+    mins = np.min([m.sites.min(axis=0) for m in meshes.values()], axis=0)
+    maxs = np.max([m.sites.max(axis=0) for m in meshes.values()], axis=0)
+    span = float((maxs - mins).max()) * 3.0
+    return int(2 ** np.ceil(np.log2(span / h + 1)))
+
+
 def _resolve_auto_coupling(model, films, iterations) -> str:
     """Concrete coupling mode for ``coupling="auto"``.
 
-    The exact pairwise kernel costs O(n_src * n_dst) per pair; the FFT
-    transfer costs O(G^2 log G + nnz) per film with the grid G set by the
-    mesh density.  Measured on a v5e (B=8, two films, docs/COUPLING.md),
-    the crossover sits at ~64k sites/film, so "auto" switches to FFT when
-    every film is at least that large (env-tunable) AND the films sit at
-    distinct heights (the analytic transfer suppresses nothing at dz=0).
+    Compares per-round cost models (constants measured on a v5e,
+    docs/COUPLING.md): the exact pairwise kernel costs
+    ``A * sum_{i!=j} n_i n_j``; the FFT transfer costs
+    ``B * n_films * G^2 log2(G) + C * sum_i n_i``, where ``G`` is the
+    grid the FFT path would build.  Because ``G`` tracks the mesh density
+    in power-of-two steps, the true crossover moves with the geometry --
+    a scalar site threshold misses that (a 70k-site film needing a 2048
+    grid is still exact-territory).  Setting
+    ``SUPERSCREEN_TPU_FFT_COUPLING_MIN_N`` restores the plain threshold
+    dispatch (fft iff every film has at least that many sites).
+    FFT additionally requires distinct layer heights (the analytic
+    transfer suppresses nothing at dz=0).
     """
     import os
 
     if len(films) < 2 or iterations == 0:
         return "exact"
     device = model.device
-    min_n = min(len(device.meshes[f].sites) for f in films)
-    threshold = int(
-        os.environ.get("SUPERSCREEN_TPU_FFT_COUPLING_MIN_N", "64000")
-    )
-    if min_n < threshold:
-        return "exact"
     z0s = [device.layers[model.film_info[f].layer].z0 for f in films]
     if len(set(np.round(z0s, 12))) != len(z0s):
         return "exact"
-    return "fft"
+    sizes = [len(device.meshes[f].sites) for f in films]
+    threshold = os.environ.get("SUPERSCREEN_TPU_FFT_COUPLING_MIN_N")
+    if threshold is not None:
+        return "fft" if min(sizes) >= int(threshold) else "exact"
+    exact_ms = _EXACT_MS_PER_PAIR_SITE2 * (
+        sum(sizes) ** 2 - sum(n * n for n in sizes)
+    )
+    G = _predict_fft_grid(device)
+    fft_ms = (
+        _FFT_MS_PER_GRID_UNIT * len(films) * G * G * np.log2(G)
+        + _FFT_MS_PER_SITE * sum(sizes)
+    )
+    return "fft" if fft_ms < exact_ms else "exact"
 
 
 def _get_sweep_data(model) -> Dict[str, FilmSweepData]:

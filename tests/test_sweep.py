@@ -408,6 +408,27 @@ def test_auto_coupling_dispatch(two_rings, model, monkeypatch):
             model.device.layers[model.film_info[f].layer].z0 = z
 
 
+def test_auto_coupling_cost_model(two_rings, model, monkeypatch):
+    """Without the env override, 'auto' compares per-round cost models and
+    the predicted FFT grid matches the one build_film_grid_data builds."""
+    from superscreen_tpu import sweep
+    from superscreen_tpu.ops.fft_coupling import build_film_grid_data
+
+    monkeypatch.delenv("SUPERSCREEN_TPU_FFT_COUPLING_MIN_N", raising=False)
+    films = list(model.device.films)
+
+    # The grid predictor must agree with the grid the FFT path builds.
+    G = sweep._predict_fft_grid(model.device)
+    grid_data = build_film_grid_data(model.device)
+    assert all(gd.kmag.shape[0] == G for gd in grid_data.values())
+
+    # The dispatch follows the cost comparison in either direction.
+    monkeypatch.setattr(sweep, "_EXACT_MS_PER_PAIR_SITE2", 1e6)
+    assert sweep._resolve_auto_coupling(model, films, 2) == "fft"
+    monkeypatch.setattr(sweep, "_EXACT_MS_PER_PAIR_SITE2", 0.0)
+    assert sweep._resolve_auto_coupling(model, films, 2) == "exact"
+
+
 def test_solve_many_auto_coupling_runs(model):
     from superscreen_tpu.sweep import solve_many
 
