@@ -12,13 +12,15 @@ off-diagonal entry of :meth:`Device.mutual_inductance_matrix`.
 from typing import Callable, Dict, Optional, Sequence
 
 from ..units import Quantity, ureg
-from . import huber, ibm
+from . import huber, hypres, ibm
 
 __all__ = ["SQUID_LAYOUTS", "MAX_EDGE_LENGTHS", "pickup_loop_mutual", "compute_mutuals"]
 
-#: Real-layout registry (the hypres layouts need digitized data files that
-#: are not in the reference source checkout; see squids/hypres.py).
+#: Real-layout registry (reference ``docs/notebooks/squids/mutuals.py:27-34``;
+#: the hypres layouts load digitized coordinates bundled in squids/data).
 SQUID_LAYOUTS: Dict[str, Callable] = {
+    "hypres-small": hypres.make_squid,
+    "hypres-xsmall": hypres.make_squid_xsmall,
     "ibm-small": ibm.small.make_squid,
     "ibm-medium": ibm.medium.make_squid,
     "ibm-large": ibm.large.make_squid,
@@ -26,8 +28,12 @@ SQUID_LAYOUTS: Dict[str, Callable] = {
     "huber": huber.make_squid,
 }
 
-#: Reference meshing targets (``docs/notebooks/squids/mutuals.py:37-45``).
+#: Reference meshing targets (``docs/notebooks/squids/mutuals.py:37-45``;
+#: hypres-xsmall is not in the reference registry, so it reuses the
+#: hypres-small target).
 MAX_EDGE_LENGTHS: Dict[str, float] = {
+    "hypres-small": 0.2,
+    "hypres-xsmall": 0.2,
     "ibm-small": 0.1,
     "ibm-medium": 0.1,
     "ibm-large": 0.15,

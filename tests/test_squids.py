@@ -105,11 +105,41 @@ def test_huber_layout_builds():
     assert "fc" in opened.terminals
 
 
+def test_hypres_layouts_build():
+    """Both hypres layouts build from the bundled digitized coordinates
+    (reference hypres/small.py and hypres/xsmall.py)."""
+    from superscreen_tpu.squids import hypres
+
+    closed = hypres.make_squid(with_terminals=False)
+    assert closed.name == "hypres_400nm"
+    assert set(closed.films) == {"fc", "fc_shield", "pl", "pl_shield"}
+    assert set(closed.holes) == {"pl_center", "fc_center"}
+    opened = hypres.make_squid(with_terminals=True)
+    assert set(opened.holes) == {"pl_center"}
+    assert [t.name for t in opened.terminals["fc"]] == ["source", "drain"]
+
+    closed = hypres.make_squid_xsmall(with_terminals=False)
+    assert closed.name == "hypres_250nm"
+    assert set(closed.films) == {
+        "fc", "fc_shield", "pl", "pl_shield", "pl_shield2"
+    }
+    assert set(closed.holes) == {"pl_center", "fc_center"}
+    # The closed coil's boundary still contains the inner winding; the
+    # fc_center hole must sit strictly inside it.
+    fc = closed.films["fc"]
+    hole = closed.holes["fc_center"]
+    assert fc.contains_points(hole.points.mean(axis=0)[None, :]).all()
+
+    opened = hypres.make_squid_xsmall(with_terminals=True)
+    assert set(opened.holes) == {"pl_center"}
+    assert [t.name for t in opened.terminals["fc"]] == ["source", "drain"]
+
+
 def test_hypres_missing_data_message():
     from superscreen_tpu.squids import hypres
 
-    with pytest.raises(FileNotFoundError, match="hypres-400nm"):
-        hypres.make_squid()
+    with pytest.raises(FileNotFoundError, match="no-such"):
+        hypres.load_polygons("no-such-file.npz")
 
 
 def test_ibm_small_mutual_workload():
