@@ -41,7 +41,30 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _pin_matmul_precision() -> None:
+    """Pins JAX's default matmul precision to true float32.
+
+    On TPU, ``precision=DEFAULT`` lowers f32 matmuls to a SINGLE bf16 MXU
+    pass (~3e-3 relative error).  The numerical core uses explicitly
+    disciplined dots (:data:`ops.kernels.MATMUL_PRECISION`), but pinning
+    the global default protects every remaining contraction (interp,
+    post-processing, user code running against solver outputs) from a
+    silent 8-bit-mantissa downgrade.  A user-set value is honored; opt out
+    with ``SUPERSCREEN_TPU_PIN_PRECISION=0``.
+    """
+    if _os.environ.get("SUPERSCREEN_TPU_PIN_PRECISION", "") in ("0", "off"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "float32")
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 _enable_compile_cache()
+_pin_matmul_precision()
 
 from . import distance, fem, geometry, sources  # noqa: E402
 from .about import version_dict, version_table

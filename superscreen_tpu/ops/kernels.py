@@ -152,7 +152,7 @@ def Q_matrix(points, weights, dtype=None, block: int = _BLOCK):
 def _q_to_Q(points, weights, q):
     n = points.shape[0]
     C = C_vector(points, dtype=points.dtype)
-    diag = (C + q @ weights) / weights
+    diag = (C + _dot(q, weights)) / weights
     return jnp.where(jnp.eye(n, dtype=bool), diag[:, None], -q)
 
 
@@ -502,6 +502,6 @@ def vector_potential_2d(
         dz = P[:, 2:3] - z0
         rinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
         K = areas[None, :] * rinv  # (b, n)
-        return _ONE_OVER_4PI * (K @ J)
+        return _ONE_OVER_4PI * _dot(K, J)
 
     return _blocked(row_block, X, block)

@@ -4,9 +4,11 @@ On TPU, LU factorization and solves run on device via ``jax.scipy.linalg``
 (XLA). On the CPU backend (tests, machines without accelerators), they fall
 back to scipy/LAPACK, which is much faster than XLA's CPU lowering of LU.
 
-All solves use fixed-count iterative refinement so float32 TPU solves reach
-near machine-precision backward error (the residual matmul runs in the same
-dtype; 2 rounds typically gains ~2 digits).
+All solves use safeguarded fixed-count iterative refinement so float32 TPU
+solves reach near machine-precision backward error: residual matvecs run at
+the disciplined f32 matmul precision (never the TPU-default single bf16
+pass), and the returned iterate is the one with the smallest residual, so
+refinement can never make an answer worse.
 """
 
 import logging
@@ -18,7 +20,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import kernels
+
 logger = logging.getLogger("solve")
+
+#: Matmul precision for the O(n^3) factorization matmuls (blocked
+#: triangular inverse, Schur-complement recursion).  The factorization
+#: error these introduce is wiped by the f32 exact-residual refinement at
+#: solve time (contraction factor = ||I + A M|| ~ the M error), so a
+#: single-pass bf16 MXU matmul (measured 2.4x faster than the 6-pass f32
+#: lowering, n=14.5k: 0.178 s vs 0.423 s) is the default.  Set
+#: SUPERSCREEN_TPU_FACTOR_PRECISION=float32 for f32-quality factors.
+FACTOR_PRECISION = os.environ.get(
+    "SUPERSCREEN_TPU_FACTOR_PRECISION", "bfloat16"
+)
+
+
+def _fdot(a, b):
+    return jnp.dot(a, b, precision=FACTOR_PRECISION)
 
 __all__ = [
     "lu_factor",
@@ -74,6 +93,32 @@ def _jax_lu_factor(neg_A):
     return jax.scipy.linalg.lu_factor(neg_A)
 
 
+def _refine_safeguarded(solve, A, h, x, steps: int):
+    """Iterative refinement of ``(-A) x = h`` that returns, per RHS column,
+    the iterate with the smallest residual norm.
+
+    The residual matvec runs at the disciplined f32 precision
+    (:func:`kernels._dot`) -- at TPU-default precision it would be a
+    single bf16 pass whose ~3e-3 noise, amplified through the solve,
+    makes refinement DIVERGE (measured: a 14.5k-site film went from 5e-3
+    to 2.7 relative error in one step; with an f32 residual the same
+    system contracts by ~1e-5 per step).  The safeguard costs one extra
+    ``A @ x`` matvec and guarantees the refined answer is never worse
+    than any iterate, including the unrefined one.
+    """
+    r = h + kernels._dot(A, x)  # residual of (-A) x = h
+    best_x = x
+    best_r2 = jnp.sum(r * r, axis=0)
+    for _ in range(steps):
+        x = x + solve(r)
+        r = h + kernels._dot(A, x)
+        r2 = jnp.sum(r * r, axis=0)
+        take = r2 < best_r2
+        best_x = jnp.where(take[None, :], x, best_x)
+        best_r2 = jnp.minimum(r2, best_r2)
+    return best_x
+
+
 @partial(jax.jit, static_argnames=("refine_steps",))
 def _jax_lu_solve_refined(A, lu, piv, h, refine_steps: int = 2):
     # The system/factorization may be identity-padded to a shared shape
@@ -85,10 +130,11 @@ def _jax_lu_solve_refined(A, lu, piv, h, refine_steps: int = 2):
         widths = [(0, nip - n)] + [(0, 0)] * (h.ndim - 1)
         h = jnp.pad(h, widths)
     h, restore = _widen_rhs(h)
-    x = jax.scipy.linalg.lu_solve((lu, piv), h)
-    for _ in range(refine_steps):
-        r = h + A @ x  # residual of (-A) x = h
-        x = x + jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    def solve(rhs):
+        return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    x = _refine_safeguarded(solve, A, h, solve(h), refine_steps)
     return restore(x)[:n]
 
 
@@ -127,18 +173,18 @@ def _jax_spd_inverse(neg_A, w_col, iters: int = SCHULZ_ITERS):
     v = jnp.ones((n,), dtype=P.dtype) / jnp.sqrt(jnp.asarray(n, P.dtype))
 
     def power(_, v):
-        v = P @ v
+        v = kernels._dot(P, v)
         return v / jnp.linalg.norm(v)
 
     v = jax.lax.fori_loop(0, 25, power, v)
-    lam = v @ (P @ v)
+    lam = v @ kernels._dot(P, v)
     X0 = jnp.eye(n, dtype=P.dtype) / (1.05 * lam)
 
     def body(_, X):
         # X <- X (2I - P X), written eye-free to avoid materializing an
         # (n, n) identity every iteration.
-        Y = P @ X
-        return 2.0 * X - X @ Y
+        Y = kernels._dot(P, X)
+        return 2.0 * X - kernels._dot(X, Y)
 
     X = jax.lax.fori_loop(0, iters, body, X0)
     # Solution operator for (-A) x = h: x = -(X @ h) / w.
@@ -151,10 +197,8 @@ def _blocked_tril_inverse(L, b: int):
     Everything is (b, b)-block matmuls plus nb small TriangularSolves, so
     XLA maps it onto the MXU; the full-size TriangularSolve (which takes
     minutes to compile on TPU) is never emitted.  ``L.shape[0]`` must be a
-    multiple of ``b``.
+    multiple of ``b``.  Matmuls run at :data:`FACTOR_PRECISION`.
     """
-    from . import kernels
-
     n = L.shape[0]
     nb = n // b
     eye_b = jnp.eye(b, dtype=L.dtype)
@@ -175,7 +219,7 @@ def _blocked_tril_inverse(L, b: int):
         for i in range(j + 1, nb):
             row_band = L[i * b : (i + 1) * b, j * b : i * b]  # (b, (i-j)b)
             stacked = jnp.concatenate(col[j:i], axis=0)  # ((i-j)b, b)
-            col[i] = -kernels._dot(diag_inv[i], kernels._dot(row_band, stacked))
+            col[i] = -_fdot(diag_inv[i], _fdot(row_band, stacked))
         columns.append(col)
     return jnp.block([[columns[j][i] for j in range(nb)] for i in range(nb)])
 
@@ -184,8 +228,6 @@ def _chol_inverse_body(P, w_col, block: int):
     """Shared body: SPD ``P`` -> solution operator ``-P^{-1}/w`` via
     Cholesky + blocked matmul-only triangular inverse
     (``P^{-1} = L^{-T} L^{-1}``)."""
-    from . import kernels
-
     P = 0.5 * (P + P.T)
     n = P.shape[0]
     b = min(block, n)
@@ -197,7 +239,7 @@ def _chol_inverse_body(P, w_col, block: int):
         P = padded.at[:n, :n].set(P)
     L = jnp.linalg.cholesky(P)
     L_inv = _blocked_tril_inverse(L, b)
-    P_inv = kernels._dot(L_inv.T, L_inv)[:n, :n]
+    P_inv = _fdot(L_inv.T, L_inv)[:n, :n]
     return -(P_inv / w_col[:, None])
 
 
@@ -235,13 +277,11 @@ _jax_chol_explicit_inverse_batch = jax.jit(
 def _leaf_spd_inverse(P):
     """Direct inverse of a small SPD block: Cholesky, then a (leaf, leaf)
     TriangularSolve against the identity, then ``L^-T L^-1``."""
-    from . import kernels
-
     L = jnp.linalg.cholesky(P)
     L_inv = jax.lax.linalg.triangular_solve(
         L, jnp.eye(P.shape[0], dtype=P.dtype), left_side=True, lower=True
     )
-    return kernels._dot(L_inv.T, L_inv)
+    return _fdot(L_inv.T, L_inv)
 
 
 def _schur_recursive_inverse(P, leaf: int):
@@ -256,10 +296,8 @@ def _schur_recursive_inverse(P, leaf: int):
     (~(4/3) n^3 flops total), which the GSPMD partitioner can shard over a
     device mesh -- unlike a full-size Cholesky/TriangularSolve, which it
     replicates onto every device.  ``P.shape[0]`` must be a multiple of
-    ``leaf``.
+    ``leaf``.  Matmuls run at :data:`FACTOR_PRECISION`.
     """
-    from . import kernels
-
     n = P.shape[0]
     blocks = n // leaf
     if blocks <= 1:
@@ -267,11 +305,11 @@ def _schur_recursive_inverse(P, leaf: int):
     h = (blocks // 2) * leaf
     A, Bt, C = P[:h, :h], P[:h, h:], P[h:, h:]
     A_inv = _schur_recursive_inverse(A, leaf)
-    AiBt = kernels._dot(A_inv, Bt)  # A^-1 B^T, shape (h, n-h)
-    S = C - kernels._dot(Bt.T, AiBt)
+    AiBt = _fdot(A_inv, Bt)  # A^-1 B^T, shape (h, n-h)
+    S = C - _fdot(Bt.T, AiBt)
     S_inv = _schur_recursive_inverse(S, leaf)
-    TR = -kernels._dot(AiBt, S_inv)  # -A^-1 B^T S^-1
-    TL = A_inv - kernels._dot(TR, AiBt.T)
+    TR = -_fdot(AiBt, S_inv)  # -A^-1 B^T S^-1
+    TL = A_inv - _fdot(TR, AiBt.T)
     return jnp.block([[TL, TR], [TR.T, S_inv]])
 
 
@@ -301,7 +339,7 @@ def _jax_schur_explicit_inverse(neg_A, w_col, leaf: int = 2048):
 
 @jax.jit
 def _jax_inv_solve(M, h):
-    return M @ h
+    return kernels._dot(M, h)
 
 
 @partial(jax.jit, static_argnames=("refine_steps",))
@@ -311,10 +349,15 @@ def _jax_inv_solve_refined(A, M, h, refine_steps: int = 2):
     if nip != n:
         widths = [(0, nip - n)] + [(0, 0)] * (h.ndim - 1)
         h = jnp.pad(h, widths)
-    x = M @ h
-    for _ in range(refine_steps):
-        r = h + A @ x
-        x = x + M @ r
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+    def solve(rhs):
+        return kernels._dot(M, rhs)
+
+    x = _refine_safeguarded(solve, A, h, solve(h), refine_steps)
+    if squeeze:
+        x = x[:, 0]
     return x[:n]
 
 
@@ -346,10 +389,16 @@ def _jax_chol_solve_refined(A, L, w_col, h, refine_steps: int = 2):
     if nip != n:
         widths = [(0, nip - n)] + [(0, 0)] * (h.ndim - 1)
         h = jnp.pad(h, widths)
-    x = _jax_chol_solve(L, w_col, h)
-    for _ in range(refine_steps):
-        r = h + A @ x
-        x = x + _jax_chol_solve(L, w_col, r)
+    squeeze = h.ndim == 1
+    if squeeze:
+        h = h[:, None]
+
+    def solve(rhs):
+        return _jax_chol_solve(L, w_col, rhs)
+
+    x = _refine_safeguarded(solve, A, h, solve(h), refine_steps)
+    if squeeze:
+        x = x[:, 0]
     return x[:n]
 
 

@@ -187,6 +187,19 @@ class TerminalSystems:
         )
 
 
+def _op_matvec(A, x):
+    """Precision-disciplined ``A @ x`` for operator blocks that may live on
+    device.  On TPU a plain ``@`` between a device matrix and a host vector
+    lowers to a SINGLE bf16 MXU pass (~3e-3 relative error); route those
+    through :func:`kernels._dot` instead.  Host numpy operands keep the
+    plain (exact) numpy matmul."""
+    if isinstance(A, np.ndarray):
+        return A @ x
+    import jax.numpy as jnp
+
+    return np.asarray(kernels._dot(A, jnp.asarray(x, A.dtype)))
+
+
 def _build_system_1d(
     Q, weights, Lambda, laplacian, grad_Lambda_term, ix, inhomogeneous=False
 ):
@@ -530,10 +543,12 @@ def factorize_linear_systems(
             grad = film_info.gradient
             # (grad Lambda) . grad as an operator:
             # diag(gx @ Lambda) @ gx + diag(gy @ Lambda) @ gy
+            # (matvecs precision-disciplined; the diag-scaled products are
+            # elementwise broadcasts, not matmuls)
             gx, gy = grad
-            grad_Lambda_term = (gx @ Lambda[:, 0])[:, None] * gx + (
-                gy @ Lambda[:, 0]
-            )[:, None] * gy
+            dLx = _op_matvec(gx, Lambda[:, 0])
+            dLy = _op_matvec(gy, Lambda[:, 0])
+            grad_Lambda_term = dLx[:, None] * gx + dLy[:, None] * gy
         else:
             grad_Lambda_term = 0
 
@@ -723,7 +738,7 @@ def solve_for_terminal_current_stream(
         g[remaining_boundary] += stream[-1]
     g = g - np.max(g) + np.ptp(g) / 2
     A = terminal_systems.boundary.A
-    Ha_eff += -(A @ g[boundary_indices])
+    Ha_eff += -_op_matvec(A, g[boundary_indices])
 
     # 2. Solve ignoring holes.
     sysb = terminal_systems.film_without_boundary
@@ -738,9 +753,9 @@ def solve_for_terminal_current_stream(
     for system in terminal_systems.holes.values():
         ix = system.indices
         g[ix] = np.average(g[ix], weights=weights[ix])
-        Ha_eff += -(system.A @ g[ix])
+        Ha_eff += -_op_matvec(system.A, g[ix])
     A = terminal_systems.boundary.A
-    Ha_eff += -(A @ g[boundary_indices])
+    Ha_eff += -_op_matvec(A, g[boundary_indices])
     sysbh = terminal_systems.film_without_boundary_or_holes
     gf = linalg.lu_solve_refined(sysbh.A, sysbh.lu_piv, -Ha_eff[sysbh.indices])
     g[sysbh.indices] = gf
@@ -806,7 +821,7 @@ def solve_film(
             # current is a precomputed vector.
             Ha_eff += np.asarray(-(system.A * current))
         else:
-            Ha_eff += -(system.A @ g[indices])
+            Ha_eff += -_op_matvec(system.A, g[indices])
 
     if film_info.name in device.terminals:
         g_transport = solve_for_terminal_current_stream(
@@ -843,7 +858,7 @@ def solve_film(
         gf_p = gf
         if A.shape[0] != len(gf):
             gf_p = np.concatenate([gf, np.zeros(A.shape[0] - len(gf), gf.dtype)])
-        hsim = np.asarray(-(A @ gf_p))[: len(h)]
+        hsim = -_op_matvec(A, gf_p)[: len(h)]
         if not np.allclose(hsim, h):
             logger.warning(
                 f"Unable to solve for stream function in {film_info.name!r}, "
@@ -885,7 +900,7 @@ def solve_film(
         )
     elif Q is not None:
         # Eq. 7 in [Kirtley-RSI-2016] / [Kirtley-SST-2016].
-        screening_field = Q @ (weights * g)
+        screening_field = _op_matvec(Q, weights * g)
     else:
         # Low-memory mode: apply the Brandt kernel matrix-free.
         screening_field = kernels.Q_apply(

@@ -308,7 +308,7 @@ def _solve_film_batch(
     Hz_total,  # (B, n): applied + field from other films, solver units
     I_circ,  # (B, n_holes)
     vortex_flux: float,
-    refine_steps: int = 1,
+    refine_steps: int = 2,
     compute_self_field: bool = True,
 ):
     """Batched single-film solve. Returns (g, J, self_field), shapes
@@ -318,8 +318,8 @@ def _solve_film_batch(
     B = Hz_total.shape[0]
     # Hole boundary conditions (batched rank-1 terms).
     if data.hole_masks.shape[0]:
-        g0 = I_circ @ data.hole_masks  # (B, n)
-        Ha_eff = I_circ @ data.hole_ha_vecs  # (B, n)
+        g0 = kernels._dot(I_circ, data.hole_masks)  # (B, n)
+        Ha_eff = kernels._dot(I_circ, data.hole_ha_vecs)  # (B, n)
     else:
         g0 = jnp.zeros_like(Hz_total)
         Ha_eff = jnp.zeros_like(Hz_total)
@@ -371,11 +371,14 @@ def _solve_film_batch(
     gf = solve(hT)  # (nip, B)
     # CG/BiCGStab control their own accuracy; no outer refinement (and no
     # dense A to form the residual with).
-    for _ in range(0 if data.fac_kind in ("cg", "bicgstab") else refine_steps):
-        r = hT + kernels._dot(data.A, gf)
-        gf = gf + solve(r)
+    if data.fac_kind not in ("cg", "bicgstab") and refine_steps:
+        from .ops.linalg import _refine_safeguarded
+
+        gf = _refine_safeguarded(solve, data.A, hT, gf, refine_steps)
     if data.vortex_cols is not None:
-        gf = gf + (data.vortex_cols @ (vortex_flux * data.vortex_scales))[:, None]
+        gf = gf + kernels._dot(
+            data.vortex_cols, vortex_flux * data.vortex_scales
+        )[:, None]
     gf = jnp.where(valid[:, None], gf, 0.0)
     g = g0.at[:, data.interior].add(gf.T)
     Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
@@ -842,7 +845,7 @@ def solve_many(
     field_units: str = "mT",
     current_units: str = "uA",
     iterations: int = 0,
-    refine_steps: int = 1,
+    refine_steps: int = 2,
     sharding: Optional["jax.sharding.Sharding"] = None,
     coupling: str = "exact",
     keep_history: bool = False,

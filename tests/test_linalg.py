@@ -118,3 +118,55 @@ def test_lu_factor_batched_matches_sequential():
         h = rng.standard_normal(n)
         x = linalg.lu_solve(fac, h)
         assert np.abs(-(A @ x) - h).max() < 1e-9 * np.abs(h).max()
+
+
+def test_refine_safeguarded_never_worse_than_unrefined():
+    """A solution operator with one badly wrong mode makes plain
+    refinement diverge (the bad mode is re-amplified every step); the
+    safeguarded refinement must return the minimum-residual iterate."""
+    import jax.numpy as jnp
+
+    from superscreen_tpu.ops import linalg
+
+    rng = np.random.default_rng(5)
+    n = 96
+    G = rng.standard_normal((n, 32))
+    P = G @ G.T + n * np.eye(n)
+    A = 0.5 * (P + P.T)  # SPD system, solve (-A) x = h
+    M_good = -np.linalg.inv(A)
+    # Corrupt one eigen-direction: E = I + A M has an eigenvalue ~ -3.
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    M_bad = M_good + 3.0 * np.outer(v, v) @ M_good
+    h = rng.standard_normal((n, 4))
+    x_ref = np.linalg.solve(-A, h)
+
+    x0 = M_bad @ h
+    err0 = np.linalg.norm(x0 - x_ref, axis=0)
+
+    # Plain refinement diverges on this operator.
+    x_plain = x0.copy()
+    for _ in range(3):
+        x_plain = x_plain + M_bad @ (h + A @ x_plain)
+    assert (np.linalg.norm(x_plain - x_ref, axis=0) > 5 * err0).all()
+
+    x_safe = np.asarray(
+        linalg._refine_safeguarded(
+            lambda r: jnp.asarray(M_bad) @ r,
+            jnp.asarray(A),
+            jnp.asarray(h),
+            jnp.asarray(x0),
+            3,
+        )
+    )
+    r_safe = np.linalg.norm(h + A @ x_safe, axis=0)
+    r0 = np.linalg.norm(h + A @ x0, axis=0)
+    assert (r_safe <= r0 * (1 + 1e-12)).all()
+
+
+def test_factor_precision_knob():
+    from superscreen_tpu.ops import linalg
+
+    assert linalg.FACTOR_PRECISION in (
+        "bfloat16", "bfloat16_3x", "tensorfloat32", "float32", "highest"
+    )
