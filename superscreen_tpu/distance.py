@@ -6,7 +6,47 @@ import numpy as np
 
 from .ops import kernels as _kernels
 
-__all__ = ["cdist", "q_matrix"]
+__all__ = [
+    "cdist",
+    "q_matrix",
+    "sqeuclidean_distance_2d",
+    "sqeuclidean_distance_3d",
+    "euclidean_distance_2d",
+    "euclidean_distance_3d",
+]
+
+
+def _pairwise_sq(XA: np.ndarray, XB: np.ndarray, ndim: int) -> np.ndarray:
+    XA = np.asarray(XA, dtype=float)
+    XB = np.asarray(XB, dtype=float)
+    if XA.shape[1] != ndim or XB.shape[1] != ndim:
+        raise ValueError(
+            f"Expected (n, {ndim}) arrays, got {XA.shape} and {XB.shape}."
+        )
+    diff = XA[:, None, :] - XB[None, :, :]
+    return np.einsum("ijk,ijk->ij", diff, diff)
+
+
+def sqeuclidean_distance_2d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances between 2D point sets (parity with the
+    reference ``distance.py:6``)."""
+    return _pairwise_sq(XA, XB, 2)
+
+
+def sqeuclidean_distance_3d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances between 3D point sets (reference
+    ``distance.py:18``)."""
+    return _pairwise_sq(XA, XB, 3)
+
+
+def euclidean_distance_2d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Euclidean distances between 2D point sets (reference ``distance.py:31``)."""
+    return np.sqrt(_pairwise_sq(XA, XB, 2))
+
+
+def euclidean_distance_3d(XA: np.ndarray, XB: np.ndarray) -> np.ndarray:
+    """Euclidean distances between 3D point sets (reference ``distance.py:43``)."""
+    return np.sqrt(_pairwise_sq(XA, XB, 3))
 
 
 def cdist(XA: np.ndarray, XB: np.ndarray, metric: str = "euclidean") -> np.ndarray:
