@@ -19,7 +19,51 @@ from typing import Callable, Optional, Union
 
 import numpy as np
 
-__all__ = ["Parameter", "CompositeParameter", "Constant"]
+__all__ = ["Parameter", "CompositeParameter", "Constant", "function_repr"]
+
+
+def function_repr(func: Callable, argspec=None) -> str:
+    """Renders ``func`` as a readable ``name(signature)`` string.
+
+    API-parity helper (reference ``superscreen/parameter.py:30-62``) built on
+    :func:`inspect.signature` instead of ``getfullargspec``: each parameter is
+    formatted by its own :class:`inspect.Parameter` (which already handles
+    defaults, ``*args``/``**kwargs`` markers, and keyword-only separators).
+
+    Args:
+        func: The function to describe.
+        argspec: Optional pre-computed ``inspect.FullArgSpec``-like object;
+            when given, a signature is reconstructed from it instead of
+            re-inspecting ``func``.
+
+    Returns:
+        ``"name(arg, kwarg=default, ...)"``.
+    """
+    if argspec is None:
+        try:
+            sig = inspect.signature(func)
+        except (TypeError, ValueError):
+            return f"{getattr(func, '__name__', repr(func))}(...)"
+    else:
+        P = inspect.Parameter
+        params = []
+        defaults = list(argspec.defaults or ())
+        n_plain = len(argspec.args) - len(defaults)
+        for i, name in enumerate(argspec.args):
+            default = defaults[i - n_plain] if i >= n_plain else P.empty
+            params.append(P(name, P.POSITIONAL_OR_KEYWORD, default=default))
+        if argspec.varargs:
+            params.append(P(argspec.varargs, P.VAR_POSITIONAL))
+        kw_defaults = argspec.kwonlydefaults or {}
+        for name in argspec.kwonlyargs or ():
+            params.append(
+                P(name, P.KEYWORD_ONLY, default=kw_defaults.get(name, P.empty))
+            )
+        if argspec.varkw:
+            params.append(P(argspec.varkw, P.VAR_KEYWORD))
+        sig = inspect.Signature(params)
+    rendered = ", ".join(str(p) for p in sig.parameters.values())
+    return f"{func.__name__}({rendered})"
 
 # Binary operations supported between parameter expressions, keyed by the
 # symbol used in reprs.  Callables from the ``operator`` module are accepted

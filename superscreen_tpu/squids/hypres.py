@@ -61,6 +61,22 @@ def load_polygons(
         return dict(data)
 
 
+def make_polygons(data_path: Optional[str] = None):
+    """Returns ``(films, holes)`` dicts of raw (un-resampled) Polygons for the
+    400 nm layout — API parity with the reference
+    ``docs/notebooks/squids/hypres/small.py:11-20``."""
+    coords = load_polygons("hypres-400nm.npz", data_path)
+    films = {
+        name: Polygon(name, points=coords[name])
+        for name in ("fc", "fc_shield", "pl", "pl_shield")
+    }
+    holes = {
+        name: Polygon(name, points=coords[name])
+        for name in ("pl_center", "fc_center")
+    }
+    return films, holes
+
+
 def make_squid(
     with_terminals: bool = True,
     align_layers: str = "middle",

@@ -87,6 +87,34 @@ def test_parameter_repr():
     assert "+" in repr(comp)
 
 
+def test_function_repr():
+    import inspect
+
+    from superscreen_tpu.parameter import function_repr
+
+    def f(x, y, z=0.0, *args, scale=2, **kw):
+        return x + y
+
+    expected = "f(x, y, z=0.0, *args, scale=2, **kw)"
+    assert function_repr(f) == expected
+    assert function_repr(f, argspec=inspect.getfullargspec(f)) == expected
+
+    def g(x, y):
+        return x * y
+
+    assert function_repr(g) == "g(x, y)"
+
+
+def test_hypres_make_polygons():
+    pytest.importorskip("numpy")
+    from superscreen_tpu.squids import hypres
+
+    films, holes = hypres.make_polygons()
+    assert sorted(films) == ["fc", "fc_shield", "pl", "pl_shield"]
+    assert sorted(holes) == ["fc_center", "pl_center"]
+    assert all(p.points.shape[1] == 2 for p in films.values())
+
+
 def test_parameter_pickle():
     import dill
 
