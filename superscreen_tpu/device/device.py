@@ -527,7 +527,12 @@ class Device:
         solve_kwargs.pop("current_units", None)
         solve_kwargs["progress_bar"] = False
         iterations = solve_kwargs.get("iterations", 1)
-        use_batched = solve_kwargs.pop("use_batched_solver", not self.terminals)
+        # high_precision solves run host-side f64 refinement, which the
+        # batched (f32 device sweep) path cannot provide.
+        use_batched = solve_kwargs.pop(
+            "use_batched_solver",
+            not self.terminals and not solve_kwargs.get("high_precision"),
+        )
         # Single-layer devices have no inter-film coupling: iteration 0 is
         # already converged.
         n_matrices = iterations + 1 if (all_iterations and len(self.layers) > 1) else 1

@@ -268,10 +268,11 @@ def _sample_applied_fields(
     film_info: Dict[str, FilmInfo],
     applied_field: Callable,
     field_conversion: float,
+    dtype=None,
 ) -> Dict[str, np.ndarray]:
     """Evaluates the applied field at every film's mesh sites (at the film's
     layer height), scaled into solver units ``current_units/length_units``."""
-    dtype = device.solve_dtype
+    dtype = dtype or device.solve_dtype
     out = {}
     for film, mesh in device.meshes.items():
         sites = mesh.sites
@@ -410,6 +411,7 @@ def _solve_all_films(
     field_conversion: float,
     vortex_flux: float,
     check_inversion: bool,
+    hp_systems: Optional[Dict] = None,
 ) -> Dict[str, FilmSolution]:
     """One stage of the legacy path: solves every film independently given
     the applied field plus (optionally) the screening field of the others."""
@@ -428,6 +430,7 @@ def _solve_all_films(
             vortex_flux=vortex_flux,
             terminal_systems=model.terminal_systems.get(name, None),
             check_inversion=check_inversion,
+            hp_system=None if hp_systems is None else hp_systems[name],
         )
     return film_solutions
 
@@ -435,11 +438,12 @@ def _solve_all_films(
 def _coupling_fields(
     model: FactorizedModel,
     film_solutions: Dict[str, FilmSolution],
+    high_precision: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Screening field each film feels from every *other* film's current
     density (Biot-Savart, evaluated at the target film's layer height)."""
     device = model.device
-    dtype = device.solve_dtype
+    dtype = np.float64 if high_precision else device.solve_dtype
     z0_of = {
         name: device.layers[info.layer].z0
         for name, info in model.film_info.items()
@@ -452,17 +456,27 @@ def _coupling_fields(
         for target in device.films:
             if target == source:
                 continue
-            fields[target] += np.asarray(
-                kernels.biot_savart_film_to_film(
+            if high_precision:
+                from .refine import biot_savart_film_to_film64
+
+                contrib = biot_savart_film_to_film64(
+                    device.meshes[source].sites,
+                    z0_of[source],
+                    device.meshes[source].operators.weights,
+                    film_solutions[source].current_density,
+                    device.meshes[target].sites,
+                    z0_of[target],
+                )
+            else:
+                contrib = kernels.biot_savart_film_to_film(
                     device.meshes[source].sites,
                     z0_of[source],
                     model.film_info[source].weights,
                     film_solutions[source].current_density,
                     device.meshes[target].sites,
                     z0_of[target],
-                ),
-                dtype=dtype,
-            )
+                )
+            fields[target] += np.asarray(contrib, dtype=dtype)
     return fields
 
 
@@ -518,6 +532,7 @@ def solve(
     save_path: Optional[os.PathLike] = None,
     log_level: Optional[int] = None,
     progress_bar: bool = True,
+    high_precision: bool = False,
     _solver: str = "superscreen_tpu.solve",
 ) -> List[Solution]:
     """Computes stream functions and fields for all films in a device.
@@ -544,6 +559,12 @@ def solve(
         save_path: HDF5 path for incremental saving.
         log_level: Logging level.
         progress_bar: Show a progress bar over iterations.
+        high_precision: Solve to float64 accuracy on float32 hardware via
+            host-side f64 iterative refinement around the device
+            factorizations (see :mod:`superscreen_tpu.solver.refine`).
+            Costs one f64 host copy of each film system plus O(n^2) host
+            matvecs per solve; not supported for devices with transport
+            terminals.
 
     Returns:
         A list of ``iterations + 1`` Solutions (if ``return_solutions``).
@@ -576,9 +597,24 @@ def solve(
         f"Conversion factor from {field_units} to "
         f"{current_units} / {length_units}: {field_conversion}."
     )
+    hp_systems = None
+    if high_precision:
+        if device.terminals:
+            raise NotImplementedError(
+                "high_precision solves do not support devices with "
+                "transport terminals yet."
+            )
+        from .refine import get_hp_systems
+
+        hp_systems = get_hp_systems(model)
+
     applied_field = applied_field or ConstantField(0)
     applied_fields = _sample_applied_fields(
-        device, model.film_info, applied_field, field_conversion.magnitude
+        device,
+        model.film_info,
+        applied_field,
+        field_conversion.magnitude,
+        dtype=np.float64 if high_precision else None,
     )
     # Vortex flux in magnetization-like units: Phi_0 / mu_0 has dimensions
     # of [current] * [length].
@@ -607,6 +643,7 @@ def solve(
     )
     if (
         not check_inversion
+        and not high_precision  # hp refinement is a host/device ping-pong
         and device_solve != "0"
         # "auto": matrix-free CG films use the legacy per-stage path, whose
         # host-chunked CG keeps each device program short (a single jitted
@@ -647,6 +684,7 @@ def solve(
             field_conversion.magnitude,
             vortex_flux,
             check_inversion,
+            hp_systems=hp_systems,
         )
         sink.append(
             Solution(device=device, film_solutions=film_solutions, **solution_kwargs)
@@ -661,10 +699,13 @@ def solve(
                 film_solutions = _solve_all_films(
                     model,
                     applied_fields,
-                    _coupling_fields(model, film_solutions),
+                    _coupling_fields(
+                        model, film_solutions, high_precision=high_precision
+                    ),
                     field_conversion.magnitude,
                     vortex_flux,
                     check_inversion,
+                    hp_systems=hp_systems,
                 )
                 sink.append(
                     Solution(

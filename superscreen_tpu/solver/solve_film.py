@@ -774,6 +774,7 @@ def solve_film(
     terminal_systems: Optional[TerminalSystems] = None,
     field_from_other_films: Optional[np.ndarray] = None,
     check_inversion: bool = False,
+    hp_system=None,
 ) -> FilmSolution:
     """Computes the stream function and fields within a single film.
 
@@ -792,6 +793,11 @@ def solve_film(
         terminal_systems: The film's :class:`TerminalSystems` (if any).
         field_from_other_films: Screening field from other films.
         check_inversion: Verify the solve accuracy and warn on failure.
+        hp_system: A :class:`superscreen_tpu.solver.refine.HighPrecisionSystem`
+            enabling float64-residual refinement around the f32 device
+            factorization (see :mod:`superscreen_tpu.solver.refine`); the
+            hole effective fields, current density, and self-field are then
+            also computed in float64 on the host.
 
     Returns:
         A :class:`FilmSolution` (fields converted back to user units).
@@ -803,6 +809,9 @@ def solve_film(
 
     weights = film_info.weights
     Q = film_info.kernel
+    if hp_system is not None:
+        weights = hp_system.weights64
+        applied_field = np.asarray(applied_field, dtype=np.float64)
 
     Hz_applied = applied_field
     if field_from_other_films is not None:
@@ -816,7 +825,9 @@ def solve_film(
         indices = system.indices
         current = circulating_currents.get(name, 0)
         g[indices] += current
-        if np.ndim(system.A) == 1:
+        if hp_system is not None:
+            Ha_eff += -(hp_system.hole_eff64[name] @ g[indices])
+        elif np.ndim(system.A) == 1:
             # Low-memory mode: the effective field of a unit circulating
             # current is a precomputed vector.
             Ha_eff += np.asarray(-(system.A * current))
@@ -851,14 +862,29 @@ def solve_film(
     indices = film_system.indices
     A = film_system.A
     h = Hz_applied[indices] - Ha_eff[indices]
-    gf = linalg.lu_solve_refined(A, film_system.lu_piv, h)
+    if hp_system is not None:
+        from . import refine
+
+        solve_dtype = device.solve_dtype
+
+        def _precond(rhs):
+            return linalg.lu_solve(
+                film_system.lu_piv, np.asarray(rhs, dtype=solve_dtype)
+            )
+
+        gf = refine.refined_solve(hp_system.A64, _precond, h)
+    else:
+        gf = linalg.lu_solve_refined(A, film_system.lu_piv, h)
     g[indices] += gf
 
-    if check_inversion and A is not None:
+    if check_inversion and (A is not None or hp_system is not None):
+        A_chk = hp_system.A64 if hp_system is not None else A
         gf_p = gf
-        if A.shape[0] != len(gf):
-            gf_p = np.concatenate([gf, np.zeros(A.shape[0] - len(gf), gf.dtype)])
-        hsim = -_op_matvec(A, gf_p)[: len(h)]
+        if A_chk.shape[0] != len(gf):
+            gf_p = np.concatenate(
+                [gf, np.zeros(A_chk.shape[0] - len(gf), gf.dtype)]
+            )
+        hsim = -_op_matvec(A_chk, gf_p)[: len(h)]
         if not np.allclose(hsim, h):
             logger.warning(
                 f"Unable to solve for stream function in {film_info.name!r}, "
@@ -868,8 +894,12 @@ def solve_film(
     if film_info.vortices:
         # One batched lu_solve over the vortex unit vectors (Brandt Eq. 28)
         # instead of materializing the full inverse.
-        n_sys = A.shape[0] if A is not None else len(indices)
-        rhs_dtype = A.dtype if A is not None else film_info.weights.dtype
+        if hp_system is not None:
+            n_sys = len(indices)
+            rhs_dtype = np.float64
+        else:
+            n_sys = A.shape[0] if A is not None else len(indices)
+            rhs_dtype = A.dtype if A is not None else film_info.weights.dtype
         rhs = np.zeros((n_sys, len(film_info.vortices)), dtype=rhs_dtype)
         scales = np.zeros(len(film_info.vortices), dtype=float)
         for k, vortex in enumerate(film_info.vortices):
@@ -878,15 +908,24 @@ def solve_film(
             j_device = int(np.argmin(np.linalg.norm(points - xy, axis=1)))
             rhs[j_film, k] = 1.0
             scales[k] = vortex_flux * vortex.nPhi0 / weights[j_device]
-        K_cols = -linalg.lu_solve(film_system.lu_piv, rhs)[: len(indices)]
+        if hp_system is not None:
+            K_cols = -refine.refined_solve(hp_system.A64, _precond, rhs)
+        else:
+            K_cols = -linalg.lu_solve(film_system.lu_piv, rhs)[: len(indices)]
         g[indices] += K_cols @ scales
 
     # Current density J = curl(g z) = (dg/dy, -dg/dx).
     grad_x = mesh.operators.gradient_x
     grad_y = mesh.operators.gradient_y
-    J = np.array(
-        [np.asarray(grad_y.matvec(g)), -np.asarray(grad_x.matvec(g))]
-    ).T
+    if hp_system is not None:
+        J = np.stack(
+            [refine.coo_matvec64(grad_y, g), -refine.coo_matvec64(grad_x, g)],
+            axis=1,
+        )
+    else:
+        J = np.array(
+            [np.asarray(grad_y.matvec(g)), -np.asarray(grad_x.matvec(g))]
+        ).T
     if film_info.name in device.terminals:
         Gx = mesh.operators.gradient_tri_x
         Gy = mesh.operators.gradient_tri_y
@@ -897,6 +936,11 @@ def solve_film(
             kernels.biot_savart_within_film(
                 points, mesh.triangle_centroids, mesh.triangle_areas, J_tri
             )
+        )
+    elif hp_system is not None:
+        # Q @ (w g) in float64: Q_ii w_i = brandt_diag_i, off-diagonal -q_ij.
+        screening_field = hp_system.brandt_diag64 * g - refine.q_apply64(
+            points, points, weights * g
         )
     elif Q is not None:
         # Eq. 7 in [Kirtley-RSI-2016] / [Kirtley-SST-2016].
