@@ -115,6 +115,58 @@ def coo_matvec64(coo, x: np.ndarray) -> np.ndarray:
     )
 
 
+def boundary_effective_field64(
+    sites: np.ndarray,
+    boundary_centers: np.ndarray,
+    boundary_lengths: np.ndarray,
+    boundary_normals: np.ndarray,
+    boundary_stream: np.ndarray,
+) -> np.ndarray:
+    """Float64 host effective field of the transport-current boundary stream
+    (cf. ``ops.kernels.boundary_effective_field``)."""
+    sites = np.asarray(sites, dtype=np.float64)
+    centers = np.asarray(boundary_centers, dtype=np.float64)
+    coef = (
+        np.asarray(boundary_stream, dtype=np.float64)
+        * np.asarray(boundary_lengths, dtype=np.float64)
+    )
+    normals = np.asarray(boundary_normals, dtype=np.float64)
+    out = np.empty(len(sites), dtype=np.float64)
+    for start in range(0, len(sites), _BLOCK):
+        stop = min(start + _BLOCK, len(sites))
+        dr = sites[start:stop, None, :] - centers[None, :, :]
+        r3inv = np.sum(dr * dr, axis=-1) ** -1.5
+        dot = -np.sum(dr * normals[None, :, :], axis=-1)
+        out[start:stop] = (dot * r3inv) @ coef
+    return _ONE_OVER_4PI * out
+
+
+def biot_savart_within_film64(
+    sites: np.ndarray,
+    tri_centroids: np.ndarray,
+    tri_areas: np.ndarray,
+    tri_J: np.ndarray,
+) -> np.ndarray:
+    """Float64 host in-plane Biot-Savart self-field from triangle-centroid
+    current densities (cf. ``ops.kernels.biot_savart_within_film``)."""
+    sites = np.asarray(sites, dtype=np.float64)
+    cent = np.asarray(tri_centroids, dtype=np.float64)
+    areas = np.asarray(tri_areas, dtype=np.float64)
+    aJx = areas * np.asarray(tri_J[:, 0], dtype=np.float64)
+    aJy = areas * np.asarray(tri_J[:, 1], dtype=np.float64)
+    out = np.empty(len(sites), dtype=np.float64)
+    for start in range(0, len(sites), _BLOCK):
+        stop = min(start + _BLOCK, len(sites))
+        dx = sites[start:stop, None, 0] - cent[None, :, 0]
+        dy = sites[start:stop, None, 1] - cent[None, :, 1]
+        r2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore"):
+            r3inv = np.where(r2 > 0, r2, 1.0) ** -1.5
+        r3inv[r2 <= 0] = 0.0
+        out[start:stop] = (dy * r3inv) @ aJx - (dx * r3inv) @ aJy
+    return _ONE_OVER_4PI * out
+
+
 def biot_savart_film_to_film64(
     src_sites: np.ndarray,
     src_z0: float,
@@ -163,6 +215,13 @@ class HighPrecisionSystem:
         weights64: Vertex areas at all sites, float64, ``(n,)``.
         brandt_diag64: ``C + q @ w`` at all sites (the Brandt-kernel
             diagonal times ``w``), used for the matrix-free self-field.
+        boundary_eff64: Terminal films only: the ``(n, n_boundary)``
+            effective-field block of the boundary stream system.
+        fwb_A64: Terminal films only: the float64 system over
+            ``terminal_systems.film_without_boundary.indices``.
+        fwboh_A64: Terminal films only: the float64 system over
+            ``terminal_systems.film_without_boundary_or_holes.indices``
+            (None when the film has no holes).
     """
 
     indices: np.ndarray
@@ -171,6 +230,9 @@ class HighPrecisionSystem:
     Lambda64: np.ndarray
     weights64: np.ndarray
     brandt_diag64: np.ndarray
+    boundary_eff64: Optional[np.ndarray] = None
+    fwb_A64: Optional[np.ndarray] = None
+    fwboh_A64: Optional[np.ndarray] = None
     stats: Dict[str, float] = field(default_factory=dict)
 
 
@@ -207,15 +269,19 @@ def _scatter_restricted(
     np.add.at(out, (row_pos[rows_k], col_pos[cols_k]), sign * vals)
 
 
-def build_hp_system(device, film_info, film_system) -> HighPrecisionSystem:
+def build_hp_system(
+    device, film_info, film_system, terminal_systems=None
+) -> HighPrecisionSystem:
     """Re-assembles one film's linear systems in float64 on the host.
 
     Follows the same formulas as the f32 device assembly
     (``solve_film._build_system_1d/2d``): the interior system
-    ``A_ij = Q_ij w_j - Lambda_j L_ij - (grad Lambda . grad)_ij`` plus the
-    per-hole effective-field blocks, built from the float64 mesh sites,
-    vertex areas, and COO operators (which :mod:`superscreen_tpu.ops.fem`
-    constructs in f64 before the solver casts them down).
+    ``A_ij = Q_ij w_j - Lambda_j L_ij - (grad Lambda . grad)_ij``, the
+    per-hole effective-field blocks, and (for terminal films) the boundary
+    and without-boundary(/holes) systems, built from the float64 mesh
+    sites, vertex areas, and COO operators (which
+    :mod:`superscreen_tpu.ops.fem` constructs in f64 before the solver
+    casts them down).
     """
     import time
 
@@ -241,41 +307,62 @@ def build_hp_system(device, film_info, film_system) -> HighPrecisionSystem:
         dLx, dLy, gx, gy = _grad_lambda_parts(mesh, Lambda64)
 
     lap = mesh.operators.laplacian
+    all_pos = np.arange(n, dtype=np.int64)
+    ones = np.ones(n)
+
+    def square_block(ix):
+        """The system restricted to rows and columns ``ix``."""
+        ix = np.asarray(ix)
+        k = len(ix)
+        out = -q_block64(sites[ix], sites[ix]) * w[ix][None, :]
+        out[np.arange(k), np.arange(k)] = brandt_diag[ix]
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[ix] = np.arange(k)
+        _scatter_restricted(out, lap, None, Lambda64, pos, pos, -1.0)
+        if inhomogeneous:
+            _scatter_restricted(out, gx, dLx, ones, pos, pos, -1.0)
+            _scatter_restricted(out, gy, dLy, ones, pos, pos, -1.0)
+        return out
+
+    def column_block(ix):
+        """The effective-field system: all rows, columns ``ix``."""
+        ix = np.asarray(ix)
+        k = len(ix)
+        out = -q_block64(sites, sites[ix]) * w[ix][None, :]
+        # Diagonal entries of Q land at rows ix (same site as the column).
+        out[ix, np.arange(k)] = brandt_diag[ix]
+        cpos = np.full(n, -1, dtype=np.int64)
+        cpos[ix] = np.arange(k)
+        _scatter_restricted(out, lap, None, Lambda64, all_pos, cpos, -1.0)
+        if inhomogeneous:
+            _scatter_restricted(out, gx, dLx, ones, all_pos, cpos, -1.0)
+            _scatter_restricted(out, gy, dLy, ones, all_pos, cpos, -1.0)
+        return out
 
     ix = np.asarray(film_system.indices)
-    ni = len(ix)
-    # Interior system: off-diagonal Q_ij = -q_ij; diagonal Q_ii w_i = C_i + (q w)_i.
-    A64 = -q_block64(sites[ix], sites[ix]) * w[ix][None, :]
-    A64[np.arange(ni), np.arange(ni)] = brandt_diag[ix]
-    pos = np.full(n, -1, dtype=np.int64)
-    pos[ix] = np.arange(ni)
-    # Subtract Lambda_j * L_ij (column-scaled Laplacian), restricted.
-    _scatter_restricted(A64, lap, None, Lambda64, pos, pos, -1.0)
-    if inhomogeneous:
-        # Subtract dLx_i gx_ij + dLy_i gy_ij (row-scaled gradients).
-        _scatter_restricted(A64, gx, dLx, np.ones(n), pos, pos, -1.0)
-        _scatter_restricted(A64, gy, dLy, np.ones(n), pos, pos, -1.0)
+    A64 = square_block(ix)
+    hole_eff64 = {
+        hole_name: column_block(ih)
+        for hole_name, ih in film_info.hole_indices.items()
+    }
 
-    all_pos = np.arange(n, dtype=np.int64)
-    hole_eff64 = {}
-    for hole_name, ih in film_info.hole_indices.items():
-        ih = np.asarray(ih)
-        nh = len(ih)
-        block = -q_block64(sites, sites[ih]) * w[ih][None, :]
-        # Diagonal entries of Q land at rows ih (same site as the column).
-        block[ih, np.arange(nh)] = brandt_diag[ih]
-        cpos = np.full(n, -1, dtype=np.int64)
-        cpos[ih] = np.arange(nh)
-        _scatter_restricted(block, lap, None, Lambda64, all_pos, cpos, -1.0)
-        if inhomogeneous:
-            _scatter_restricted(block, gx, dLx, np.ones(n), all_pos, cpos, -1.0)
-            _scatter_restricted(block, gy, dLy, np.ones(n), all_pos, cpos, -1.0)
-        hole_eff64[hole_name] = block
+    boundary_eff64 = fwb_A64 = fwboh_A64 = None
+    if terminal_systems is not None:
+        boundary_eff64 = column_block(terminal_systems.boundary.indices)
+        fwb_ix = np.asarray(terminal_systems.film_without_boundary.indices)
+        fwb_A64 = square_block(fwb_ix)
+        fwboh = terminal_systems.film_without_boundary_or_holes
+        if fwboh is not None:
+            fwboh_ix = np.asarray(fwboh.indices)
+            if fwboh_ix.shape == ix.shape and np.array_equal(fwboh_ix, ix):
+                fwboh_A64 = A64  # same index set as the main film system
+            else:
+                fwboh_A64 = square_block(fwboh_ix)
 
     elapsed = time.perf_counter() - t0
     logger.info(
         f"Assembled float64 system for film {film_info.name!r} "
-        f"(ni={ni}, {8 * ni * ni / 1e9:.2f} GB) in {elapsed:.1f}s."
+        f"(ni={len(ix)}, {8 * len(ix) ** 2 / 1e9:.2f} GB) in {elapsed:.1f}s."
     )
     return HighPrecisionSystem(
         indices=ix,
@@ -284,6 +371,9 @@ def build_hp_system(device, film_info, film_system) -> HighPrecisionSystem:
         Lambda64=Lambda64,
         weights64=w,
         brandt_diag64=brandt_diag,
+        boundary_eff64=boundary_eff64,
+        fwb_A64=fwb_A64,
+        fwboh_A64=fwboh_A64,
         stats={"assembly_s": elapsed},
     )
 
@@ -294,7 +384,12 @@ def get_hp_systems(model) -> Dict[str, "HighPrecisionSystem"]:
     cache = getattr(model, "_hp_systems", None)
     if cache is None:
         cache = {
-            name: build_hp_system(model.device, info, model.film_systems[name])
+            name: build_hp_system(
+                model.device,
+                info,
+                model.film_systems[name],
+                terminal_systems=model.terminal_systems.get(name),
+            )
             for name, info in model.film_info.items()
         }
         model._hp_systems = cache

@@ -563,8 +563,7 @@ def solve(
             host-side f64 iterative refinement around the device
             factorizations (see :mod:`superscreen_tpu.solver.refine`).
             Costs one f64 host copy of each film system plus O(n^2) host
-            matvecs per solve; not supported for devices with transport
-            terminals.
+            matvecs per solve.
 
     Returns:
         A list of ``iterations + 1`` Solutions (if ``return_solutions``).
@@ -599,11 +598,6 @@ def solve(
     )
     hp_systems = None
     if high_precision:
-        if device.terminals:
-            raise NotImplementedError(
-                "high_precision solves do not support devices with "
-                "transport terminals yet."
-            )
         from .refine import get_hp_systems
 
         hp_systems = get_hp_systems(model)

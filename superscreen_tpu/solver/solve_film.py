@@ -701,6 +701,7 @@ def solve_for_terminal_current_stream(
     film_info: FilmInfo,
     terminal_systems: TerminalSystems,
     terminal_currents: Dict[str, float],
+    hp_system=None,
 ) -> np.ndarray:
     """Stream function from transport currents in a single film.
 
@@ -710,6 +711,10 @@ def solve_for_terminal_current_stream(
        film ignoring holes.
     2. Set each hole's stream to the weighted average from step 1.
     3. Re-solve with the hole boundary conditions.
+
+    With ``hp_system``, every matvec and solve runs at float64 accuracy
+    (host effective-field blocks + f64-residual refinement around the f32
+    factorizations; see :mod:`superscreen_tpu.solver.refine`).
     """
     terminal_currents = terminal_currents.copy()
     mesh = device.meshes[film_info.name]
@@ -718,6 +723,25 @@ def solve_for_terminal_current_stream(
     npoints = len(points)
     if not any(terminal_currents.values()):
         return np.zeros(npoints)
+
+    if hp_system is not None:
+        from . import refine
+
+        solve_dtype = device.solve_dtype
+
+        def _solve(system, A64, h):
+            def precond(rhs):
+                return linalg.lu_solve(
+                    system.lu_piv, np.asarray(rhs, dtype=solve_dtype)
+                )
+
+            return refine.refined_solve(A64, precond, h)
+
+        def _boundary_eff(g_boundary):
+            return -(hp_system.boundary_eff64 @ g_boundary)
+
+        def _hole_eff(name, g_hole):
+            return -(hp_system.hole_eff64[name] @ g_hole)
 
     terminals = list(device.terminals[film_info.name])
     boundary_indices = terminal_systems.boundary.indices
@@ -737,27 +761,41 @@ def solve_for_terminal_current_stream(
         g[ix_terminal[:-1]] += stream
         g[remaining_boundary] += stream[-1]
     g = g - np.max(g) + np.ptp(g) / 2
-    A = terminal_systems.boundary.A
-    Ha_eff += -_op_matvec(A, g[boundary_indices])
+    if hp_system is not None:
+        Ha_eff += _boundary_eff(g[boundary_indices])
+    else:
+        Ha_eff += -_op_matvec(terminal_systems.boundary.A, g[boundary_indices])
 
     # 2. Solve ignoring holes.
     sysb = terminal_systems.film_without_boundary
     h = -Ha_eff[sysb.indices]
-    gf = linalg.lu_solve_refined(sysb.A, sysb.lu_piv, h)
+    if hp_system is not None:
+        gf = _solve(sysb, hp_system.fwb_A64, h)
+    else:
+        gf = linalg.lu_solve_refined(sysb.A, sysb.lu_piv, h)
     g[sysb.indices] = gf
     if len(terminal_systems.holes) == 0:
         return g
 
     # 3. Hole averages, then re-solve without holes.
     Ha_eff = np.zeros(npoints)
-    for system in terminal_systems.holes.values():
+    for hole_name, system in terminal_systems.holes.items():
         ix = system.indices
         g[ix] = np.average(g[ix], weights=weights[ix])
-        Ha_eff += -_op_matvec(system.A, g[ix])
-    A = terminal_systems.boundary.A
-    Ha_eff += -_op_matvec(A, g[boundary_indices])
+        if hp_system is not None:
+            Ha_eff += _hole_eff(hole_name, g[ix])
+        else:
+            Ha_eff += -_op_matvec(system.A, g[ix])
+    if hp_system is not None:
+        Ha_eff += _boundary_eff(g[boundary_indices])
+    else:
+        Ha_eff += -_op_matvec(terminal_systems.boundary.A, g[boundary_indices])
     sysbh = terminal_systems.film_without_boundary_or_holes
-    gf = linalg.lu_solve_refined(sysbh.A, sysbh.lu_piv, -Ha_eff[sysbh.indices])
+    h = -Ha_eff[sysbh.indices]
+    if hp_system is not None:
+        gf = _solve(sysbh, hp_system.fwboh_A64, h)
+    else:
+        gf = linalg.lu_solve_refined(sysbh.A, sysbh.lu_piv, h)
     g[sysbh.indices] = gf
     return g
 
@@ -836,7 +874,11 @@ def solve_film(
 
     if film_info.name in device.terminals:
         g_transport = solve_for_terminal_current_stream(
-            device, film_info, terminal_systems, terminal_currents
+            device,
+            film_info,
+            terminal_systems,
+            terminal_currents,
+            hp_system=hp_system,
         )
         g += g_transport
         boundary_sites = points[film_info.boundary_indices]
@@ -848,15 +890,26 @@ def solve_film(
             boundary_stream + np.roll(boundary_stream, -1, axis=0)
         )
         edge_lengths, boundary_normals = path_vectors(close_curve(boundary_sites))
-        Ha_transport = np.asarray(
-            kernels.boundary_effective_field(
+        if hp_system is not None:
+            from . import refine as _refine
+
+            Ha_transport = _refine.boundary_effective_field64(
                 points,
                 boundary_centers,
                 edge_lengths,
                 boundary_normals,
                 boundary_stream,
             )
-        )
+        else:
+            Ha_transport = np.asarray(
+                kernels.boundary_effective_field(
+                    points,
+                    boundary_centers,
+                    edge_lengths,
+                    boundary_normals,
+                    boundary_stream,
+                )
+            )
         Ha_eff += Ha_transport
 
     indices = film_system.indices
@@ -929,14 +982,23 @@ def solve_film(
     if film_info.name in device.terminals:
         Gx = mesh.operators.gradient_tri_x
         Gy = mesh.operators.gradient_tri_y
-        J_tri = np.array(
-            [np.asarray(Gy.matvec(g)), -np.asarray(Gx.matvec(g))]
-        ).T
-        screening_field = np.asarray(
-            kernels.biot_savart_within_film(
+        if hp_system is not None:
+            J_tri = np.stack(
+                [refine.coo_matvec64(Gy, g), -refine.coo_matvec64(Gx, g)],
+                axis=1,
+            )
+            screening_field = refine.biot_savart_within_film64(
                 points, mesh.triangle_centroids, mesh.triangle_areas, J_tri
             )
-        )
+        else:
+            J_tri = np.array(
+                [np.asarray(Gy.matvec(g)), -np.asarray(Gx.matvec(g))]
+            ).T
+            screening_field = np.asarray(
+                kernels.biot_savart_within_film(
+                    points, mesh.triangle_centroids, mesh.triangle_areas, J_tri
+                )
+            )
     elif hp_system is not None:
         # Q @ (w g) in float64: Q_ii w_i = brandt_diag_i, off-diagonal -q_ij.
         screening_field = hp_system.brandt_diag64 * g - refine.q_apply64(

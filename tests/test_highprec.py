@@ -179,13 +179,19 @@ def test_high_precision_mutual_inductance():
     )
 
 
-def test_high_precision_rejects_terminals():
+def _strip_device(dtype, with_hole=True):
+    holes = []
+    if with_hole:
+        holes = [
+            sc.Polygon(
+                "strip_hole", layer="base", points=sc.geometry.circle(0.4)
+            )
+        ]
     device = sc.Device(
         "strip",
         layers=[sc.Layer("base", Lambda=1.0, z0=0)],
-        films=[
-            sc.Polygon("strip", layer="base", points=sc.geometry.box(4, 2))
-        ],
+        films=[sc.Polygon("strip", layer="base", points=sc.geometry.box(4, 2))],
+        holes=holes,
         terminals={
             "strip": [
                 sc.Polygon("source", points=sc.geometry.box(0.1, 1.5)).translate(
@@ -196,15 +202,29 @@ def test_high_precision_rejects_terminals():
                 ),
             ]
         },
+        solve_dtype=dtype,
     )
-    device.make_mesh(min_points=400)
-    with pytest.raises(NotImplementedError, match="transport terminals"):
-        sc.solve(
-            device=device,
-            applied_field=sc.sources.ConstantField(0),
-            terminal_currents={"strip": {"source": "1 mA", "drain": "-1 mA"}},
-            high_precision=True,
-        )
+    device.make_mesh(min_points=700)
+    return device
+
+
+def test_high_precision_transport():
+    """hp on a holey transport strip matches the full-f64 solve."""
+    kwargs = dict(
+        applied_field=sc.sources.ConstantField(0.2),
+        field_units="mT",
+        terminal_currents={"strip": {"source": "1 mA", "drain": "-1 mA"}},
+        circulating_currents={"strip_hole": "0.3 mA"},
+    )
+    dev32 = _strip_device("float32")
+    sol_hp = sc.solve(device=dev32, high_precision=True, **kwargs)[-1]
+    dev64 = _strip_device("float64")
+    sol64 = sc.solve(device=dev64, **kwargs)[-1]
+    fs_hp = sol_hp.film_solutions["strip"]
+    fs_64 = sol64.film_solutions["strip"]
+    assert _rel_err(fs_hp.stream, fs_64.stream) < 1e-9
+    assert _rel_err(fs_hp.current_density, fs_64.current_density) < 1e-9
+    assert _rel_err(fs_hp.self_field, fs_64.self_field) < 1e-9
 
 
 def test_hp_systems_cached_on_model():
