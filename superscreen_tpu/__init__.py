@@ -68,6 +68,7 @@ _pin_matmul_precision()
 
 from . import distance, fem, geometry, sources  # noqa: E402
 from .about import version_dict, version_table
+from .adjoint import AdjointModel, build_adjoint_model
 from .device import Device, EdgeMesh, Layer, Mesh, MeshOperators, Polygon
 from .device.mesh_generation import generate_mesh, smooth_mesh
 from .fluxoid import find_fluxoid_solution, make_fluxoid_polygons
