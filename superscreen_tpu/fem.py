@@ -22,9 +22,11 @@ __all__ = [
     "laplace_operator",
     "gradient_triangles",
     "gradient_vertices",
+    "vertex_areas",
 ]
 
 triangle_areas = _fem.triangle_areas
+vertex_areas = _fem.vertex_areas
 in_polygon = _fem.in_polygon
 centroids = _fem.centroids
 adjacency_matrix = _fem.adjacency_matrix

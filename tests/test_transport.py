@@ -296,3 +296,48 @@ def test_boundary_roll_wrap(plus_device):
         # Still the same cycle, just rotated.
         shift = np.nonzero(fixed == base[0])[0][0]
         assert np.array_equal(np.roll(fixed, -shift), base)
+
+
+def test_strip_current_density_matches_london_theory():
+    """In the London limit (Lambda -> 0) the sheet current across a long
+    current-biased strip of width W approaches the analytic distribution
+    J_y(x) = I / (pi * sqrt((W/2)^2 - x^2)) (see e.g. the reference's
+    docs/notebooks/wire.ipynb, which plots the same curve). Residual
+    deviation is dominated by the finite strip length (the theory is for an
+    infinite strip) and peaks mid-strip."""
+    width, height = 10.0, 20.0
+    layer = sc.Layer("base", Lambda=0.02)
+    strip = sc.Polygon(
+        "strip", layer="base", points=sc.geometry.box(width, height, points=401)
+    )
+    source = sc.Polygon(
+        "source", points=sc.geometry.box(width, height / 100, center=(0, height / 2))
+    )
+    drain = sc.Polygon(
+        "drain", points=sc.geometry.box(width, height / 100, center=(0, -height / 2))
+    )
+    device = sc.Device(
+        "strip",
+        layers=[layer],
+        films=[strip],
+        terminals={"strip": [source, drain]},
+        length_units="um",
+    )
+    device.make_mesh(max_edge_length=0.4)
+    solution = sc.solve(
+        device,
+        terminal_currents={"strip": {"source": "1 mA", "drain": "-1 mA"}},
+        current_units="mA",
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    # Sample |J| along the mid-strip cut, away from the edge divergence.
+    xs = np.linspace(-0.8 * width / 2, 0.8 * width / 2, 41)
+    positions = np.stack([xs, np.zeros_like(xs)], axis=1)
+    J = solution.interp_current_density(
+        positions, film="strip", units="mA/um", with_units=False
+    )
+    J_mag = np.linalg.norm(J, axis=1)
+    J_theory = 1.0 / (np.pi * np.sqrt((width / 2) ** 2 - xs**2))
+    # Finite Lambda and finite mesh: agree to ~10% pointwise in the interior.
+    assert np.allclose(J_mag, J_theory, rtol=0.10)
