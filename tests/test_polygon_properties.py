@@ -1,0 +1,185 @@
+"""Randomized property tests for the self-built polygon boolean engine
+(:mod:`superscreen_tpu.polygon_ops`, a Greiner-Hormann implementation that
+replaces the reference's shapely/GEOS dependency,
+reference ``superscreen/device/polygon.py:302-435``).
+
+The engine's contract (like the reference's) is that results must be single
+simple polygons; it raises :class:`PolygonOpError` otherwise. So identities
+are checked on families where simplicity is guaranteed (overlapping convex
+polygons) plus star-shaped pairs where non-simple results are skipped:
+
+- inclusion-exclusion: area(A) + area(B) = area(A u B) + area(A n B)
+- difference: area(A - B) = area(A) - area(A n B)
+- containment: sampled points of A n B lie in both A and B; sampled points
+  of A u B lie in at least one
+- buffer monotonicity and resample area/spacing preservation
+"""
+
+import numpy as np
+import pytest
+
+from superscreen_tpu import polygon_ops as po
+from superscreen_tpu.polygon_ops import PolygonOpError
+
+
+def convex_polygon(rng, center, scale, n_points):
+    """Convex hull of random points (always simple, CCW)."""
+    pts = center + scale * rng.uniform(-1, 1, size=(n_points, 2))
+    hull = _convex_hull(pts)
+    return po.orient_ccw(hull)
+
+
+def _convex_hull(points):
+    pts = points[np.lexsort((points[:, 1], points[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def star_polygon(rng, center, mean_radius, n_vertices, wobble=0.35):
+    """A random simple (star-shaped) polygon around ``center``."""
+    theta = np.sort(rng.uniform(0, 2 * np.pi, size=n_vertices))
+    theta += np.linspace(0, 1e-3, n_vertices)
+    radii = mean_radius * (1 + wobble * rng.uniform(-1, 1, size=n_vertices))
+    pts = np.stack(
+        [center[0] + radii * np.cos(theta), center[1] + radii * np.sin(theta)],
+        axis=1,
+    )
+    return po.orient_ccw(pts)
+
+
+def _convex_pairs(n_pairs=10, seed=3):
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < n_pairs:
+        a = convex_polygon(rng, np.zeros(2), 1.0, 24)
+        b = convex_polygon(rng, rng.uniform(-0.6, 0.6, 2), rng.uniform(0.5, 1.2), 24)
+        try:  # require genuine overlap
+            po.boolean_op(a, b, "intersection")
+        except PolygonOpError:
+            continue
+        out.append((a, b))
+    return out
+
+
+def _star_pairs(n_pairs=10, seed=42):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_pairs):
+        a = star_polygon(rng, (0.0, 0.0), 1.0, int(rng.integers(6, 24)))
+        b = star_polygon(
+            rng, rng.uniform(-0.7, 0.7, 2), rng.uniform(0.6, 1.1), int(rng.integers(6, 24))
+        )
+        out.append((a, b))
+    return out
+
+
+CONVEX_PAIRS = _convex_pairs()
+STAR_PAIRS = _star_pairs()
+
+
+@pytest.mark.parametrize("idx", range(len(CONVEX_PAIRS)))
+def test_inclusion_exclusion_convex(idx):
+    a, b = CONVEX_PAIRS[idx]
+    inter = po.boolean_op(a, b, "intersection")
+    union = po.boolean_op(a, b, "union")
+    lhs = po.polygon_area(a) + po.polygon_area(b)
+    rhs = po.polygon_area(union) + po.polygon_area(inter)
+    assert np.isclose(lhs, rhs, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("idx", range(len(STAR_PAIRS)))
+def test_inclusion_exclusion_star(idx):
+    a, b = STAR_PAIRS[idx]
+    try:
+        inter = po.boolean_op(a, b, "intersection")
+        union = po.boolean_op(a, b, "union")
+    except PolygonOpError:
+        pytest.skip("non-simple boolean result (allowed by contract)")
+    lhs = po.polygon_area(a) + po.polygon_area(b)
+    rhs = po.polygon_area(union) + po.polygon_area(inter)
+    assert np.isclose(lhs, rhs, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("idx", range(len(CONVEX_PAIRS)))
+def test_difference_area_convex(idx):
+    a, b = CONVEX_PAIRS[idx]
+    inter = po.boolean_op(a, b, "intersection")
+    try:
+        diff = po.boolean_op(a, b, "difference")
+    except PolygonOpError:
+        pytest.skip("difference splits the polygon (allowed by contract)")
+    assert np.isclose(
+        po.polygon_area(diff),
+        po.polygon_area(a) - po.polygon_area(inter),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("idx", range(0, len(CONVEX_PAIRS), 2))
+def test_boolean_containment_sampling(idx):
+    a, b = CONVEX_PAIRS[idx]
+    rng = np.random.default_rng(idx)
+    inter = po.boolean_op(a, b, "intersection")
+    union = po.boolean_op(a, b, "union")
+    lo = union.min(axis=0)
+    hi = union.max(axis=0)
+    samples = rng.uniform(lo, hi, size=(4000, 2))
+    # Compare only well inside/outside all boundaries (grazing points are
+    # legitimately ambiguous between implementations).
+    margin = 1e-3
+    keep = np.ones(len(samples), dtype=bool)
+    for poly in (a, b, union, inter):
+        keep &= _boundary_distance(samples, poly) > margin
+    in_a = po.points_in_polygon(a, samples)
+    in_b = po.points_in_polygon(b, samples)
+    assert np.array_equal(
+        po.points_in_polygon(inter, samples)[keep], (in_a & in_b)[keep]
+    )
+    assert np.array_equal(
+        po.points_in_polygon(union, samples)[keep], (in_a | in_b)[keep]
+    )
+
+
+def _boundary_distance(points, poly):
+    seg1 = np.roll(poly, -1, axis=0)
+    d = np.full(len(points), np.inf)
+    for s0, s1 in zip(poly, seg1):
+        d = np.minimum(d, po._point_segment_distance_many(points, s0, s1))
+    return d
+
+
+@pytest.mark.parametrize("idx", range(0, len(STAR_PAIRS), 3))
+def test_buffer_monotone_and_resample(idx):
+    a, _ = STAR_PAIRS[idx]
+    grown = po.buffer_polygon(a, 0.2)
+    shrunk = po.buffer_polygon(a, -0.1)
+    assert po.polygon_area(grown) > po.polygon_area(a)
+    assert po.polygon_area(shrunk) < po.polygon_area(a)
+    res = po.resample_polygon(a, 512)
+    assert np.isclose(po.polygon_area(res), po.polygon_area(a), rtol=2e-2)
+    seglen = np.linalg.norm(np.diff(np.vstack([res, res[:1]]), axis=0), axis=1)
+    assert seglen.std() / seglen.mean() < 0.2
+
+
+def test_disjoint_raises_and_nested_identities():
+    rng = np.random.default_rng(7)
+    a = star_polygon(rng, (0.0, 0.0), 1.0, 16)
+    far = star_polygon(rng, (10.0, 0.0), 1.0, 16)
+    with pytest.raises(PolygonOpError):
+        po.boolean_op(a, far, "intersection")
+    inner = po.orient_ccw(a * 0.25)
+    inter = po.boolean_op(a, inner, "intersection")
+    assert np.isclose(po.polygon_area(inter), po.polygon_area(inner), rtol=1e-9)
+    union = po.boolean_op(a, inner, "union")
+    assert np.isclose(po.polygon_area(union), po.polygon_area(a), rtol=1e-9)
