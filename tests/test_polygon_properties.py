@@ -35,7 +35,12 @@ def _convex_hull(points):
     def half(seq):
         out = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2:
+                u = out[-1] - out[-2]
+                v = p - out[-2]
+                if u[0] * v[1] - u[1] * v[0] > 0:
+                    break
+                out.pop()
                 out.pop()
             out.append(p)
         return out
