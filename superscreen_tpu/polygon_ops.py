@@ -127,22 +127,38 @@ class _Degenerate(Exception):
 
 
 def is_simple_polygon(points: np.ndarray) -> bool:
-    """True if the ring has no self-intersections and nonzero area."""
+    """True if the ring has no self-intersections and nonzero area.
+
+    Self-intersection means a strict interior crossing of two non-adjacent
+    edges (the same predicate as :func:`_seg_intersect` with ``eps=0``),
+    computed vectorized over all edge pairs in blocks so the check stays
+    cheap for rings with thousands of vertices.
+    """
     p = _open_ring(points)
     n = len(p)
     if n < 3 or polygon_area(p) == 0:
         return False
-    segs = np.stack([p, np.roll(p, -1, axis=0)], axis=1)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if j == i or (j == i + 1) or (i == 0 and j == n - 1):
-                continue
-            try:
-                hit = _seg_intersect(segs[i, 0], segs[i, 1], segs[j, 0], segs[j, 1])
-            except _Degenerate:  # pragma: no cover - eps=0 never raises
-                hit = True
-            if hit is not None:
-                return False
+    p0 = p
+    p1 = np.roll(p, -1, axis=0)
+    r = p1 - p0
+    idx = np.arange(n)
+    block = max(1, min(n, 4_000_000 // max(n, 1)))
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        ri = r[start:stop]  # (b, 2)
+        qp = p0[None, :, :] - p0[start:stop, None, :]  # q0_j - p0_i, (b, n, 2)
+        denom = ri[:, None, 0] * r[None, :, 1] - ri[:, None, 1] * r[None, :, 0]
+        t_num = qp[..., 0] * r[None, :, 1] - qp[..., 1] * r[None, :, 0]
+        u_num = qp[..., 0] * ri[:, None, 1] - qp[..., 1] * ri[:, None, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            u = u_num / denom
+        hit = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        # Mask self and adjacent edge pairs (ring-adjacency wraps around).
+        sep = np.abs(idx[start:stop, None] - idx[None, :])
+        hit &= (sep > 1) & (sep < n - 1)
+        if hit.any():
+            return False
     # Repeated (non-consecutive) vertices also make the ring non-simple
     # (e.g. a bowtie passing through the same point twice).
     uniq = np.unique(np.round(p, 12), axis=0)
@@ -442,6 +458,14 @@ def boolean_op(subject: np.ndarray, clip: np.ndarray, op: str) -> np.ndarray:
         raise PolygonOpError(f"Unknown operation: {op!r}.")
     subject = orient_ccw(np.asarray(subject, dtype=float))
     clip = orient_ccw(np.asarray(clip, dtype=float))
+    # Garbage-in guard: a self-intersecting input produces a silently wrong
+    # result (the Greiner-Hormann traversal assumes simple rings), so refuse.
+    for ring_name, ring in (("subject", subject), ("clip", clip)):
+        if not is_simple_polygon(ring):
+            raise PolygonOpError(
+                f"The {ring_name} polygon is not a simple polygon "
+                "(it is self-intersecting or degenerate)."
+            )
     scale = max(
         np.ptp(subject[:, 0]),
         np.ptp(subject[:, 1]),

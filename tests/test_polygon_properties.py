@@ -24,30 +24,11 @@ from superscreen_tpu.polygon_ops import PolygonOpError
 
 def convex_polygon(rng, center, scale, n_points):
     """Convex hull of random points (always simple, CCW)."""
+    from scipy.spatial import ConvexHull
+
     pts = center + scale * rng.uniform(-1, 1, size=(n_points, 2))
-    hull = _convex_hull(pts)
+    hull = pts[ConvexHull(pts).vertices]  # vertices are in CCW order
     return po.orient_ccw(hull)
-
-
-def _convex_hull(points):
-    pts = points[np.lexsort((points[:, 1], points[:, 0]))]
-
-    def half(seq):
-        out = []
-        for p in seq:
-            while len(out) >= 2:
-                u = out[-1] - out[-2]
-                v = p - out[-2]
-                if u[0] * v[1] - u[1] * v[0] > 0:
-                    break
-                out.pop()
-                out.pop()
-            out.append(p)
-        return out
-
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
 
 
 def star_polygon(rng, center, mean_radius, n_vertices, wobble=0.35):
