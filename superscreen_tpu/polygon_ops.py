@@ -138,24 +138,29 @@ def is_simple_polygon(points: np.ndarray) -> bool:
     n = len(p)
     if n < 3 or polygon_area(p) == 0:
         return False
-    p0 = p
-    p1 = np.roll(p, -1, axis=0)
-    r = p1 - p0
+    x0, y0 = p[:, 0], p[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    rx, ry = x1 - x0, y1 - y0
     idx = np.arange(n)
     block = max(1, min(n, 4_000_000 // max(n, 1)))
     for start in range(0, n, block):
         stop = min(start + block, n)
-        ri = r[start:stop]  # (b, 2)
-        qp = p0[None, :, :] - p0[start:stop, None, :]  # q0_j - p0_i, (b, n, 2)
-        denom = ri[:, None, 0] * r[None, :, 1] - ri[:, None, 1] * r[None, :, 0]
-        t_num = qp[..., 0] * r[None, :, 1] - qp[..., 1] * r[None, :, 0]
-        u_num = qp[..., 0] * ri[:, None, 1] - qp[..., 1] * ri[:, None, 0]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = t_num / denom
-            u = u_num / denom
-        hit = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        bi = slice(start, stop)
+        # All 2D (b, n) arrays; strict interior crossing without divisions:
+        # 0 < t < 1  <=>  t_num*denom > 0 and (t_num - denom)*denom < 0.
+        qx = x0[None, :] - x0[bi, None]
+        qy = y0[None, :] - y0[bi, None]
+        denom = rx[bi, None] * ry[None, :] - ry[bi, None] * rx[None, :]
+        t_num = qx * ry[None, :] - qy * rx[None, :]
+        u_num = qx * ry[bi, None] - qy * rx[bi, None]
+        hit = (
+            (t_num * denom > 0)
+            & ((t_num - denom) * denom < 0)
+            & (u_num * denom > 0)
+            & ((u_num - denom) * denom < 0)
+        )
         # Mask self and adjacent edge pairs (ring-adjacency wraps around).
-        sep = np.abs(idx[start:stop, None] - idx[None, :])
+        sep = np.abs(idx[bi, None] - idx[None, :])
         hit &= (sep > 1) & (sep < n - 1)
         if hit.any():
             return False
@@ -313,25 +318,57 @@ def _original_next(node: _Node) -> _Node:
     return nxt
 
 
+def _candidate_pairs(s0, s1, c0, c1, eps: float) -> np.ndarray:
+    """Indices ``(i, j)`` of subject/clip segment pairs whose infinite-line
+    parameters fall inside the (eps-expanded) unit windows — exactly the
+    pairs for which :func:`_seg_intersect` returns a hit or raises
+    :class:`_Degenerate`. All-pairs numpy prefilter so the boolean ops stay
+    fast for rings with thousands of vertices."""
+    r = s1 - s0  # (k, 2)
+    s = c1 - c0  # (l, 2)
+    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qp = c0[None, :, :] - s0[:, None, :]
+    t_num = qp[..., 0] * s[None, :, 1] - qp[..., 1] * s[None, :, 0]
+    u_num = qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    lo, hi = (-eps, 1 + eps) if eps else (0.0, 1.0)
+    ok = denom != 0
+    if eps:
+        ok &= (t >= lo) & (t <= hi) & (u >= lo) & (u <= hi)
+    else:
+        ok &= (t > lo) & (t < hi) & (u > lo) & (u < hi)
+    return np.argwhere(ok)
+
+
 def _find_intersections(subj_first: _Node, clip_first: _Node, eps: float) -> int:
     count = 0
     subj_orig = _ring_nodes(subj_first, original_only=True)
     clip_orig = _ring_nodes(clip_first, original_only=True)
-    for s in subj_orig:
-        s_end = _original_next(s)
-        for c in clip_orig:
-            c_end = _original_next(c)
-            hit = _seg_intersect(s.xy, s_end.xy, c.xy, c_end.xy, eps=eps)
-            if hit is None:
-                continue
-            t, u, point = hit
-            ns = _Node(point, alpha=t, intersect=True)
-            nc = _Node(point, alpha=u, intersect=True)
-            ns.neighbor = nc
-            nc.neighbor = ns
-            _insert_between(ns, s, s_end)
-            _insert_between(nc, c, c_end)
-            count += 1
+    subj_ends = [_original_next(s) for s in subj_orig]
+    clip_ends = [_original_next(c) for c in clip_orig]
+    pairs = _candidate_pairs(
+        np.array([s.xy for s in subj_orig]),
+        np.array([s.xy for s in subj_ends]),
+        np.array([c.xy for c in clip_orig]),
+        np.array([c.xy for c in clip_ends]),
+        eps,
+    )
+    for i, j in pairs:  # row-major: same order as the original nested loop
+        s, s_end = subj_orig[i], subj_ends[i]
+        c, c_end = clip_orig[j], clip_ends[j]
+        hit = _seg_intersect(s.xy, s_end.xy, c.xy, c_end.xy, eps=eps)
+        if hit is None:
+            continue
+        t, u, point = hit
+        ns = _Node(point, alpha=t, intersect=True)
+        nc = _Node(point, alpha=u, intersect=True)
+        ns.neighbor = nc
+        nc.neighbor = ns
+        _insert_between(ns, s, s_end)
+        _insert_between(nc, c, c_end)
+        count += 1
     return count
 
 
