@@ -304,9 +304,21 @@ def main():
     # large config (4x A + M each) cannot coexist in 16 GB HBM.
     model, factorize_cold_s, stats_cold = factorize_blocked(device)
     _log(f"factorize cold {factorize_cold_s:.1f}s (stats: {stats_cold})")
-    del model
-    model, factorize_warm_s, stats_warm = factorize_blocked(device)
-    _log(f"factorize warm {factorize_warm_s:.1f}s (stats: {stats_warm})")
+    # Best of 2 warm factorizes: the tunneled TPU is time-shared and a
+    # single reading can wobble by large factors under host contention;
+    # the minimum is the honest device-capability number. Each model is
+    # dropped first (two large-config models cannot coexist in HBM).
+    factorize_warm_runs = []
+    for _ in range(2):
+        del model
+        model, run_s, stats_warm = factorize_blocked(device)
+        factorize_warm_runs.append(run_s)
+    factorize_warm_s = min(factorize_warm_runs)
+    _log(
+        f"factorize warm {factorize_warm_s:.1f}s "
+        f"(runs: {[round(t, 2) for t in factorize_warm_runs]}, "
+        f"stats: {stats_warm})"
+    )
     interiors = {k: len(s.indices) for k, s in model.film_systems.items()}
 
     run = tpu_workload(model, B, iterations, field_values)
