@@ -32,8 +32,12 @@ program.  Use it for moderate mesh sizes (the dense system is rebuilt on
 every call); production forward-only sweeps should keep using
 :func:`superscreen_tpu.solve` / :func:`superscreen_tpu.solve_many`.
 
-Transport terminals are not supported (the terminal stream bootstrap is
-host-side sequential logic); devices with terminals raise ``ValueError``.
+Transport terminals ARE supported: the terminal boundary streams are
+linear in the terminal currents, so per-terminal unit streams are
+precomputed at build time (geometry only) and the three-step transport
+bootstrap (reference ``superscreen/solver/solve_film.py:308-390``) is
+replayed inside the trace against the Lambda-dependent system matrix.
+Gradients therefore flow to terminal currents as well.
 """
 
 from dataclasses import dataclass, field
@@ -44,8 +48,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .device import Device
+from .geometry import close_curve, path_vectors
 from .ops import kernels
-from .solver.utils import field_conversion_factor, make_film_info
+from .solver.utils import (
+    field_conversion_factor,
+    make_film_info,
+    stream_from_terminal_current,
+)
 from .solution import Vortex
 
 __all__ = ["AdjointModel", "FilmAdjointData", "build_adjoint_model"]
@@ -88,15 +97,35 @@ class FilmAdjointData:
     hole_masks: jnp.ndarray  # (n_holes, n) 1.0 where site is in the hole
     z0: float
     default_Lambda: jnp.ndarray  # (n,) from the device's layers
+    # --- transport terminals (empty/None for films without terminals) ---
+    terminal_names: Tuple[str, ...] = ()
+    boundary_ix: Optional[np.ndarray] = None  # (nb,) CCW boundary (static)
+    fwb: Optional[np.ndarray] = None  # film-without-boundary set (static)
+    term_unit_streams: Optional[jnp.ndarray] = None  # (nt, n) unit-current
+    boundary_centers: Optional[jnp.ndarray] = None  # (nb, 2) edge midpoints
+    boundary_lengths: Optional[jnp.ndarray] = None  # (nb,)
+    boundary_normals: Optional[jnp.ndarray] = None  # (nb, 2)
+    tri_centroids: Optional[jnp.ndarray] = None  # (m, 2)
+    tri_areas: Optional[jnp.ndarray] = None  # (m,)
+    gtx_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (x)
+    gtx_cols: Optional[jnp.ndarray] = None
+    gtx_vals: Optional[jnp.ndarray] = None
+    gty_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (y)
+    gty_cols: Optional[jnp.ndarray] = None
+    gty_vals: Optional[jnp.ndarray] = None
 
 
 _FAD_ARRAYS = (
     "sites", "weights", "Q", "lap_rows", "lap_cols", "lap_vals",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
     "hole_masks", "default_Lambda",
+    "term_unit_streams", "boundary_centers", "boundary_lengths",
+    "boundary_normals", "tri_centroids", "tri_areas",
+    "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
 )
 _FAD_STATIC = (
     "name", "n", "hole_names", "vortex_rows", "vortex_sites", "interior", "z0",
+    "terminal_names", "boundary_ix", "fwb",
 )
 
 
@@ -113,20 +142,51 @@ def _fad_flatten(d: FilmAdjointData):
 def _fad_unflatten(aux, children):
     kwargs = dict(zip(_FAD_ARRAYS, children))
     kwargs.update(dict(zip(_FAD_STATIC, aux)))
-    kwargs["interior"] = np.asarray(kwargs["interior"], dtype=np.int64)
+    for key in ("interior", "boundary_ix", "fwb"):
+        if kwargs[key] is not None:
+            kwargs[key] = np.asarray(kwargs[key], dtype=np.int64)
     return FilmAdjointData(**kwargs)
 
 
 jax.tree_util.register_pytree_node(FilmAdjointData, _fad_flatten, _fad_unflatten)
 
 
+def _terminal_stream(data: FilmAdjointData, A, terminal_currents):
+    """Differentiable replay of the three-step transport bootstrap
+    (``solver.solve_film.solve_for_terminal_current_stream``): boundary
+    stream (linear in the terminal currents, via precomputed unit
+    streams), solve in the film ignoring holes, set each hole to its
+    weighted average, and re-solve without holes."""
+    w = data.weights
+    bix = data.boundary_ix
+    fwb = data.fwb
+    g = terminal_currents @ data.term_unit_streams  # (n,), boundary support
+    g = g - jnp.max(g) + (jnp.max(g) - jnp.min(g)) / 2.0
+    ha = -(A[:, bix] @ g[bix])
+    gf = jnp.linalg.solve(-A[np.ix_(fwb, fwb)], -ha[fwb])
+    g = g.at[fwb].set(gf)
+    if not data.hole_names:
+        return g
+    for k in range(len(data.hole_names)):
+        m = data.hole_masks[k]
+        avg = jnp.sum(w * m * g) / jnp.sum(w * m)
+        g = g * (1.0 - m) + avg * m
+    hole_support = jnp.sum(data.hole_masks, axis=0)
+    ha = -(A @ (g * hole_support)) - (A[:, bix] @ g[bix])
+    ix = data.interior  # == film without boundary or holes
+    gf = jnp.linalg.solve(-A[np.ix_(ix, ix)], -ha[ix])
+    return g.at[ix].set(gf)
+
+
 def _film_forward(data: FilmAdjointData, vortex_flux, Lambda, hz_solver,
-                  hole_currents, vortex_nphi0, field_other):
+                  hole_currents, vortex_nphi0, field_other,
+                  terminal_currents=None):
     """One differentiable single-film solve, in solver units.
 
-    Mirrors ``solver.solve_film.solve_film`` for a non-terminal film:
-    assemble ``A(Lambda)``, apply hole BCs, solve the interior system, add
-    vortex responses, then derive ``J`` and the screening field.
+    Mirrors ``solver.solve_film.solve_film``: assemble ``A(Lambda)``,
+    bootstrap the transport stream (terminal films), apply hole BCs, solve
+    the interior system, add vortex responses, then derive ``J`` and the
+    screening field (triangle-centroid Biot-Savart for terminal films).
     """
     n = data.n
     w = data.weights
@@ -152,6 +212,19 @@ def _film_forward(data: FilmAdjointData, vortex_flux, Lambda, hz_solver,
     Hz = hz_solver + field_other
     ix = data.interior
     h = Hz[ix] + (A @ g0)[ix]
+    if data.terminal_names:
+        g_t = _terminal_stream(data, A, terminal_currents)
+        bix = data.boundary_ix
+        bs = g_t[bix]
+        ha_transport = kernels.boundary_effective_field(
+            data.sites,
+            data.boundary_centers,
+            data.boundary_lengths,
+            data.boundary_normals,
+            0.5 * (bs + jnp.roll(bs, -1)),
+        )
+        h = h - ha_transport[ix]
+        g0 = g0 + g_t
 
     A_in = -A[np.ix_(ix, ix)]
     rhs = h[:, None]
@@ -175,7 +248,23 @@ def _film_forward(data: FilmAdjointData, vortex_flux, Lambda, hz_solver,
         ],
         axis=1,
     )
-    screening = kernels._dot(data.Q, w * g)
+    if data.terminal_names:
+        # With a nonzero boundary stream the Q-kernel diagonal
+        # regularization is invalid; use the triangle-centroid in-film
+        # Biot-Savart instead (reference solve_film.py:558-565).
+        m_tri = len(data.tri_areas)
+        J_tri = jnp.stack(
+            [
+                _coo_matvec(data.gty_rows, data.gty_cols, data.gty_vals, g, m_tri),
+                -_coo_matvec(data.gtx_rows, data.gtx_cols, data.gtx_vals, g, m_tri),
+            ],
+            axis=1,
+        )
+        screening = kernels.biot_savart_within_film(
+            data.sites, data.tri_centroids, data.tri_areas, J_tri
+        )
+    else:
+        screening = kernels._dot(data.Q, w * g)
     return g, J, screening
 
 
@@ -220,6 +309,7 @@ class AdjointModel:
             "applied_field": {},
             "circulating_currents": {},
             "vortex_nPhi0": {},
+            "terminal_currents": {},
         }
         for name in self.film_order:
             data = self.films[name]
@@ -244,6 +334,12 @@ class AdjointModel:
                 params["vortex_nPhi0"][name] = np.array(
                     [v.nPhi0 for v in self.vortices if v.film == name],
                     dtype=self.dtype,
+                )
+            if data.terminal_names:
+                # One entry per terminal, ordered like data.terminal_names.
+                # They must sum to zero (current conservation).
+                params["terminal_currents"][name] = np.zeros(
+                    len(data.terminal_names), dtype=self.dtype
                 )
         return params
 
@@ -286,9 +382,14 @@ class AdjointModel:
                     if data.vortex_rows
                     else jnp.zeros(0, dtype)
                 )
+                terms = (
+                    jnp.asarray(params["terminal_currents"][name], dtype)
+                    if data.terminal_names
+                    else None
+                )
                 g, J, screening = _film_forward(
                     data, vortex_flux, params["Lambda"][name], hz,
-                    holes, nphi0, others[name],
+                    holes, nphi0, others[name], terminal_currents=terms,
                 )
                 streams[name], Js[name], selfs[name] = g, J, screening
             return streams, Js, selfs
@@ -345,8 +446,9 @@ def build_adjoint_model(
     :class:`AdjointModel` whose forward solve is differentiable.
 
     Args:
-        device: The device (must be meshed; transport terminals are not
-            supported).
+        device: The device (must be meshed).  Films with transport
+            terminals get a ``params["terminal_currents"][film]`` vector
+            (ordered like ``device.terminals[film]``, must sum to zero).
         vortices: Pinned vortices.  Their positions snap to mesh sites at
             build time (a discrete choice, so positions are not
             differentiable); their ``nPhi0`` values become parameters.
@@ -359,11 +461,6 @@ def build_adjoint_model(
     Returns:
         The :class:`AdjointModel`.
     """
-    if device.terminals:
-        raise ValueError(
-            "build_adjoint_model does not support devices with transport "
-            "terminals."
-        )
     if not device.meshes:
         raise ValueError(
             "The device does not have a mesh. Call device.make_mesh() to "
@@ -408,6 +505,49 @@ def build_adjoint_model(
             vortex_sites.append(
                 int(np.argmin(np.linalg.norm(mesh.sites - (v.x, v.y), axis=1)))
             )
+        # Transport terminals: precompute per-terminal unit boundary
+        # streams (the bootstrap is linear in the terminal currents) and
+        # the boundary/triangle geometry used inside the trace.
+        terminal_kwargs = {}
+        if name in device.terminals:
+            b_ix = np.asarray(info.boundary_indices, dtype=np.int64)
+            boundary_points = mesh.sites[b_ix]
+            unit_streams = []
+            terminal_names = []
+            for terminal in device.terminals[name]:
+                ix_boundary = np.sort(
+                    terminal.contains_points(boundary_points, index=True)
+                )
+                remaining_boundary = b_ix[ix_boundary[-1]:]
+                ix_terminal = b_ix[ix_boundary]
+                stream = stream_from_terminal_current(
+                    mesh.sites[ix_terminal], -1.0
+                )
+                u = np.zeros(n)
+                u[ix_terminal[:-1]] += stream
+                u[remaining_boundary] += stream[-1]
+                unit_streams.append(u)
+                terminal_names.append(terminal.name)
+            centers = 0.5 * (boundary_points + np.roll(boundary_points, -1, axis=0))
+            lengths, normals = path_vectors(close_curve(boundary_points))
+            gtx, gty = ops.gradient_tri_x, ops.gradient_tri_y
+            terminal_kwargs = dict(
+                terminal_names=tuple(terminal_names),
+                boundary_ix=b_ix,
+                fwb=np.asarray(info.interior_indices, dtype=np.int64),
+                term_unit_streams=jnp.asarray(np.stack(unit_streams), dtype),
+                boundary_centers=jnp.asarray(centers, dtype),
+                boundary_lengths=jnp.asarray(lengths, dtype),
+                boundary_normals=jnp.asarray(normals, dtype),
+                tri_centroids=jnp.asarray(mesh.triangle_centroids, dtype),
+                tri_areas=jnp.asarray(mesh.triangle_areas, dtype),
+                gtx_rows=jnp.asarray(gtx.rows),
+                gtx_cols=jnp.asarray(gtx.cols),
+                gtx_vals=jnp.asarray(gtx.vals, dtype),
+                gty_rows=jnp.asarray(gty.rows),
+                gty_cols=jnp.asarray(gty.cols),
+                gty_vals=jnp.asarray(gty.vals, dtype),
+            )
         lap = ops.laplacian
         gx, gy = ops.gradient_x, ops.gradient_y
         films[name] = FilmAdjointData(
@@ -434,6 +574,7 @@ def build_adjoint_model(
             default_Lambda=jnp.asarray(
                 np.asarray(info.lambda_info.Lambda)[:, 0], dtype
             ),
+            **terminal_kwargs,
         )
     ureg = device.ureg
     field_conversion = field_conversion_factor(

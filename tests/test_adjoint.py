@@ -255,24 +255,145 @@ def test_adjoint_two_layer_coupling_matches_solve():
     assert abs(float(fd - ad)) / max(abs(float(ad)), 1e-12) < 1e-5
 
 
-def test_adjoint_rejects_terminals():
+def _strip_device():
+    width, height = 2.0, 6.0
+    layer = sc.Layer("base", Lambda=0.5)
+    strip = sc.Polygon(
+        "strip", layer="base", points=sc.geometry.box(width, height, points=160)
+    )
+    source = sc.Polygon(
+        "source", points=sc.geometry.box(width, height / 100, center=(0, height / 2))
+    )
+    drain = sc.Polygon(
+        "drain", points=sc.geometry.box(width, height / 100, center=(0, -height / 2))
+    )
     device = sc.Device(
         "strip",
-        layers=[sc.Layer("base", Lambda=1.0, z0=0)],
-        films=[
-            sc.Polygon("strip", layer="base", points=sc.geometry.box(4, 2))
-        ],
-        terminals={
-            "strip": [
-                sc.Polygon(
-                    "source", points=sc.geometry.box(0.1, 1.5)
-                ).translate(dx=-1.95),
-                sc.Polygon(
-                    "drain", points=sc.geometry.box(0.1, 1.5)
-                ).translate(dx=1.95),
-            ]
-        },
+        layers=[layer],
+        films=[strip],
+        terminals={"strip": [source, drain]},
+        length_units="um",
+        solve_dtype="float64",
     )
-    device.make_mesh(min_points=400)
-    with pytest.raises(ValueError, match="terminals"):
-        adjoint.build_adjoint_model(device)
+    device.make_mesh(max_edge_length=0.3)
+    return device
+
+
+@pytest.fixture(scope="module")
+def strip():
+    return _strip_device()
+
+
+def test_adjoint_transport_matches_solve(strip):
+    solution = sc.solve(
+        strip,
+        terminal_currents={"strip": {"source": "1 mA", "drain": "-1 mA"}},
+        applied_field=sc.sources.ConstantField(0.1),
+        current_units="mA",
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    fs = solution.film_solutions["strip"]
+    model = adjoint.build_adjoint_model(
+        strip, field_units="mT", current_units="mA", dtype="float64"
+    )
+    params = model.default_params(applied_field=sc.sources.ConstantField(0.1))
+    params["terminal_currents"]["strip"] = np.array([1.0, -1.0])
+    out = jax.jit(model.forward_fn(iterations=0))(params)["strip"]
+    for ref, key in (
+        (fs.stream, "stream"),
+        (fs.current_density, "current_density"),
+        (fs.self_field, "self_field"),
+    ):
+        ref = np.asarray(ref)
+        got = np.asarray(out[key])
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_adjoint_transport_grads_finite_difference(strip):
+    model = adjoint.build_adjoint_model(
+        strip, field_units="mT", current_units="mA", dtype="float64"
+    )
+    params = model.default_params(applied_field=sc.sources.ConstantField(0.1))
+    params["terminal_currents"]["strip"] = np.array([1.0, -1.0])
+    fwd = jax.jit(model.forward_fn(iterations=0))
+    eps = 1e-5
+
+    def loss_current(I):
+        p = {**params, "terminal_currents": {"strip": jnp.stack([I, -I])}}
+        return jnp.sum(fwd(p)["strip"]["current_density"] ** 2)
+
+    ad = jax.grad(loss_current)(jnp.asarray(1.0))
+    fd = (loss_current(jnp.asarray(1.0 + eps)) - loss_current(jnp.asarray(1.0 - eps))) / (
+        2 * eps
+    )
+    assert abs(float(ad) / float(fd) - 1) < 1e-7
+
+    def loss_lambda(lam):
+        return jnp.sum(fwd({**params, "Lambda": {"strip": lam}})["strip"]["stream"] ** 2)
+
+    lam0 = jnp.asarray(params["Lambda"]["strip"])
+    grad = jax.grad(loss_lambda)(lam0)
+    v = jax.random.normal(jax.random.PRNGKey(0), grad.shape)
+    fd = (loss_lambda(lam0 + eps * v) - loss_lambda(lam0 - eps * v)) / (2 * eps)
+    ad = jnp.vdot(grad, v)
+    assert abs(float(fd - ad)) / max(abs(float(ad)), 1e-12) < 1e-5
+
+
+def test_adjoint_transport_with_holes_matches_solve():
+    width, height = 1.0, 2.0
+    slot_h, slot_w = height / 5, width / 4
+    film = (
+        sc.Polygon("film", layer="base", points=sc.geometry.box(width, height))
+        .difference(
+            sc.geometry.box(slot_w, slot_h, center=(-(width - slot_w) / 2, 0))
+        )
+        .difference(
+            sc.geometry.box(slot_w, slot_h, center=(+(width - slot_w) / 2, 0))
+        )
+        .resample(151)
+    )
+    src = sc.Polygon(
+        "source", points=sc.geometry.box(width, height / 100, center=(0, height / 2))
+    )
+    drn = sc.Polygon(
+        "drain", points=sc.geometry.box(width, height / 100, center=(0, -height / 2))
+    )
+    hole = sc.Polygon(
+        "hole", layer="base", points=sc.geometry.circle(0.08, center=(0, 0.55))
+    )
+    device = sc.Device(
+        "holey",
+        layers=[sc.Layer("base", Lambda=0.5)],
+        films=[film],
+        holes=[hole],
+        terminals={"film": [src, drn]},
+        length_units="um",
+        solve_dtype="float64",
+    )
+    device.make_mesh(max_edge_length=0.1)
+    solution = sc.solve(
+        device,
+        terminal_currents={"film": {"source": "1 mA", "drain": "-1 mA"}},
+        circulating_currents={"hole": "0.3 mA"},
+        applied_field=sc.sources.ConstantField(0.2),
+        current_units="mA",
+        field_units="mT",
+        progress_bar=False,
+    )[-1]
+    fs = solution.film_solutions["film"]
+    model = adjoint.build_adjoint_model(
+        device, field_units="mT", current_units="mA", dtype="float64"
+    )
+    params = model.default_params(applied_field=sc.sources.ConstantField(0.2))
+    params["terminal_currents"]["film"] = np.array([1.0, -1.0])
+    params["circulating_currents"]["hole"] = np.asarray(0.3)
+    out = jax.jit(model.forward_fn(iterations=0))(params)["film"]
+    for ref, key in (
+        (fs.stream, "stream"),
+        (fs.current_density, "current_density"),
+        (fs.self_field, "self_field"),
+    ):
+        ref = np.asarray(ref)
+        got = np.asarray(out[key])
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
