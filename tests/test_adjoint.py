@@ -397,3 +397,20 @@ def test_adjoint_transport_with_holes_matches_solve():
         ref = np.asarray(ref)
         got = np.asarray(out[key])
         assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_adjoint_vmap_over_lambda(ring_model):
+    model = ring_model
+    params = model.default_params(applied_field=sc.sources.ConstantField(0.3))
+    fwd = model.forward_fn(iterations=0)
+    lam0 = jnp.asarray(params["Lambda"]["ring"])
+    lams = jnp.stack([lam0 * s for s in (0.5, 1.0, 2.0)])
+    batched = jax.jit(
+        jax.vmap(
+            lambda lam: fwd({**params, "Lambda": {"ring": lam}})["ring"]["stream"]
+        )
+    )
+    gb = batched(lams)
+    g_single = fwd({**params, "Lambda": {"ring": lams[2]}})["ring"]["stream"]
+    assert gb.shape == (3,) + g_single.shape
+    assert np.allclose(np.asarray(gb[2]), np.asarray(g_single))
