@@ -151,12 +151,14 @@ def _fad_unflatten(aux, children):
 jax.tree_util.register_pytree_node(FilmAdjointData, _fad_flatten, _fad_unflatten)
 
 
-def _terminal_stream(data: FilmAdjointData, A, terminal_currents):
+def _terminal_stream(data: FilmAdjointData, A, terminal_currents, lu_piv):
     """Differentiable replay of the three-step transport bootstrap
     (``solver.solve_film.solve_for_terminal_current_stream``): boundary
     stream (linear in the terminal currents, via precomputed unit
     streams), solve in the film ignoring holes, set each hole to its
-    weighted average, and re-solve without holes."""
+    weighted average, and re-solve without holes.  ``lu_piv`` is the LU of
+    the main interior system ``-A[ix, ix]`` (``ix == data.interior``, the
+    film-without-boundary-or-holes set), shared with the caller's solve."""
     w = data.weights
     bix = data.boundary_ix
     fwb = data.fwb
@@ -174,7 +176,7 @@ def _terminal_stream(data: FilmAdjointData, A, terminal_currents):
     hole_support = jnp.sum(data.hole_masks, axis=0)
     ha = -(A @ (g * hole_support)) - (A[:, bix] @ g[bix])
     ix = data.interior  # == film without boundary or holes
-    gf = jnp.linalg.solve(-A[np.ix_(ix, ix)], -ha[ix])
+    gf = jax.scipy.linalg.lu_solve(lu_piv, -ha[ix])
     return g.at[ix].set(gf)
 
 
@@ -212,8 +214,11 @@ def _film_forward(data: FilmAdjointData, vortex_flux, Lambda, hz_solver,
     Hz = hz_solver + field_other
     ix = data.interior
     h = Hz[ix] + (A @ g0)[ix]
+    # One LU of the interior system, shared by the transport bootstrap's
+    # final re-solve, the main solve, and the vortex response columns.
+    lu_piv = jax.scipy.linalg.lu_factor(-A[np.ix_(ix, ix)])
     if data.terminal_names:
-        g_t = _terminal_stream(data, A, terminal_currents)
+        g_t = _terminal_stream(data, A, terminal_currents, lu_piv)
         bix = data.boundary_ix
         bs = g_t[bix]
         ha_transport = kernels.boundary_effective_field(
@@ -226,14 +231,13 @@ def _film_forward(data: FilmAdjointData, vortex_flux, Lambda, hz_solver,
         h = h - ha_transport[ix]
         g0 = g0 + g_t
 
-    A_in = -A[np.ix_(ix, ix)]
     rhs = h[:, None]
     if data.vortex_rows:
         unit_cols = jnp.zeros((len(ix), len(data.vortex_rows)), dtype=w.dtype)
         unit_cols = unit_cols.at[np.asarray(data.vortex_rows),
                                  np.arange(len(data.vortex_rows))].set(1.0)
         rhs = jnp.concatenate([rhs, unit_cols], axis=1)
-    sol = jnp.linalg.solve(A_in, rhs)
+    sol = jax.scipy.linalg.lu_solve(lu_piv, rhs)
     g = g0.at[ix].add(sol[:, 0])
     if data.vortex_rows:
         # Brandt Eq. 28: response columns K = -(-A)^-1 e_j, scaled by
@@ -302,7 +306,10 @@ class AdjointModel:
         Returns:
             ``{"Lambda": {film: (n,)}, "applied_field": {film: (n,)},
             "circulating_currents": {hole: ()},
-            "vortex_nPhi0": {film: (n_vortices,)}}``.
+            "vortex_nPhi0": {film: (n_vortices,)},
+            "terminal_currents": {film: (n_terminals,)}}`` (the last only
+            for films with transport terminals; the entries are ordered
+            like ``device.terminals[film]`` and must sum to zero).
         """
         params = {
             "Lambda": {},

@@ -326,20 +326,32 @@ def _candidate_pairs(s0, s1, c0, c1, eps: float) -> np.ndarray:
     fast for rings with thousands of vertices."""
     r = s1 - s0  # (k, 2)
     s = c1 - c0  # (l, 2)
-    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
-    qp = c0[None, :, :] - s0[:, None, :]
-    t_num = qp[..., 0] * s[None, :, 1] - qp[..., 1] * s[None, :, 0]
-    u_num = qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = t_num / denom
-        u = u_num / denom
+    k, l = len(s0), len(c0)
     lo, hi = (-eps, 1 + eps) if eps else (0.0, 1.0)
-    ok = denom != 0
-    if eps:
-        ok &= (t >= lo) & (t <= hi) & (u >= lo) & (u <= hi)
-    else:
-        ok &= (t > lo) & (t < hi) & (u > lo) & (u < hi)
-    return np.argwhere(ok)
+    block = max(1, min(k, 4_000_000 // max(l, 1)))
+    out = []
+    for start in range(0, k, block):
+        bi = slice(start, min(start + block, k))
+        denom = r[bi, None, 0] * s[None, :, 1] - r[bi, None, 1] * s[None, :, 0]
+        qx = c0[None, :, 0] - s0[bi, None, 0]
+        qy = c0[None, :, 1] - s0[bi, None, 1]
+        t_num = qx * s[None, :, 1] - qy * s[None, :, 0]
+        u_num = qx * r[bi, None, 1] - qy * r[bi, None, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            u = u_num / denom
+        ok = denom != 0
+        if eps:
+            ok &= (t >= lo) & (t <= hi) & (u >= lo) & (u <= hi)
+        else:
+            ok &= (t > lo) & (t < hi) & (u > lo) & (u < hi)
+        hits = np.argwhere(ok)
+        if len(hits):
+            hits[:, 0] += start
+            out.append(hits)
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out, axis=0)
 
 
 def _find_intersections(subj_first: _Node, clip_first: _Node, eps: float) -> int:
