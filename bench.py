@@ -265,6 +265,30 @@ def cpu_baseline_measured(model, field_values, iterations):
     return factorize_s, sweep_s
 
 
+def _probe_tpu(timeout_s: float) -> bool:
+    """Check (in a subprocess, bounded) that the TPU backend initializes.
+
+    The axon PJRT plugin tunnels to the chip; when the tunnel is wedged,
+    backend init blocks indefinitely, which would hang the whole benchmark.
+    Probing in a killable child process keeps the parent safe.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        _log(f"TPU probe timed out after {timeout_s:.0f}s")
+        return False
+    backend = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    _log(f"TPU probe: rc={proc.returncode} backend={backend!r}")
+    return proc.returncode == 0 and backend not in ("", "cpu")
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "large")
     B = int(os.environ.get("BENCH_B", "8"))
@@ -273,6 +297,20 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     import jax
+
+    probe_timeout = float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "240"))
+    tpu_unavailable = not _probe_tpu(probe_timeout)
+    if tpu_unavailable:
+        # Honest degraded mode: run the same pipeline on CPU at a size that
+        # completes, and say so in the metric. (JAX_PLATFORMS=cpu via env is
+        # NOT enough -- the axon plugin outranks it; the config update wins.)
+        jax.config.update("jax_platforms", "cpu")
+        if config == "large":
+            config = "two_layer"
+        _log(
+            "TPU unreachable; falling back to CPU backend with "
+            f"config={config} (result will be flagged tpu_unavailable)"
+        )
 
     try:
         jax.config.update(
@@ -384,11 +422,12 @@ def main():
     )
     cpu_total = cpu_factor_extrap + cpu_sweep_extrap
 
+    backend_tag = backend + (" FALLBACK, tpu unavailable" if tpu_unavailable else "")
     result = {
         "metric": (
             f"end-to-end factorize+{B}-point self-consistent sweep "
             f"(config={config}, films={len(sizes)}, n_total={n_total}, "
-            f"iters={iterations}, {dtype}, {backend})"
+            f"iters={iterations}, {dtype}, {backend_tag})"
         ),
         "value": round(end_to_end_s, 4),
         "unit": "s",
@@ -417,6 +456,7 @@ def main():
                 "measured config's throughputs (conservative)"
             ),
             "backend": backend,
+            "tpu_unavailable": tpu_unavailable,
         },
     }
     print(json.dumps(result))
