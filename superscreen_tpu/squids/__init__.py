@@ -1,5 +1,6 @@
 from . import huber, hypres, ibm
 from .layers import hypres_squid_layers, ibm_squid_layers
+from .scanning import applied_field_maps, susceptibility_scan
 from .mutuals import (
     MAX_EDGE_LENGTHS,
     SQUID_LAYOUTS,

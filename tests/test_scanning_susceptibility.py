@@ -1,0 +1,178 @@
+"""Tests for squids.scanning: batched sample-response susceptibility maps.
+
+Physics checks (diamagnetic sign, center-peaked, decay off the sample,
+mirror symmetry) plus an exact cross-check of the batched readout against
+the unbatched Solution.vector_potential_at_position path.
+"""
+
+import numpy as np
+import pytest
+
+import superscreen_tpu as sc
+from superscreen_tpu.squids import applied_field_maps, susceptibility_scan
+from superscreen_tpu.sweep import solve_many
+
+
+@pytest.fixture(scope="module")
+def mini_squid_solution():
+    squid = sc.Device(
+        "mini_squid",
+        layers=[sc.Layer("sq", Lambda=0.3, z0=0)],
+        films=[
+            sc.Polygon(
+                "fc_ring", layer="sq", points=sc.geometry.circle(1.5, points=80)
+            )
+        ],
+        holes=[
+            sc.Polygon(
+                "fc_hole", layer="sq", points=sc.geometry.circle(0.9, points=50)
+            )
+        ],
+        abstract_regions=[
+            sc.Polygon("pl", layer="sq", points=sc.geometry.circle(0.4, points=48))
+        ],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    squid.make_mesh(min_points=1000, smooth=5)
+    return sc.solve(
+        squid,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="mA",
+        progress_bar=False,
+    )[-1]
+
+
+@pytest.fixture(scope="module")
+def sample_disk():
+    sample = sc.Device(
+        "sample",
+        layers=[sc.Layer("s", Lambda=0.1, z0=0)],
+        films=[
+            sc.Polygon(
+                "disk", layer="s", points=sc.geometry.circle(4.0, points=120)
+            )
+        ],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    sample.make_mesh(min_points=2000, smooth=5)
+    return sample
+
+
+def test_susceptibility_scan_physics(mini_squid_solution, sample_disk):
+    xs = np.array([-6.0, -3.0, 0.0, 3.0, 6.0])
+    positions = np.column_stack([xs, np.zeros_like(xs)])
+    M = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=positions,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    assert M.shape == (5,)
+    # Diamagnetic response everywhere over/near the film.
+    assert np.all(M < 0)
+    # Strongest signal with the SQUID centered on the disk.
+    assert M[2] == M.min()
+    # Off the 4-um disk (|x| = 6) the response is tiny.
+    assert abs(M[0]) < 0.05 * abs(M[2])
+    assert abs(M[4]) < 0.05 * abs(M[2])
+    # Mirror symmetry up to mesh asymmetry.
+    assert abs(M[1] - M[3]) < 0.05 * abs(M[2])
+    # Batch chunking is exact.
+    M_chunked = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=positions,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+        batch_size=2,
+    )
+    np.testing.assert_allclose(M_chunked, M, rtol=1e-10)
+    # Units plumbing.
+    Mq = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=positions[2:3],
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+        units="Phi_0 / mA",
+        with_units=True,
+    )
+    assert np.isclose(Mq.to("Phi_0 / A").magnitude[0], M[2], rtol=1e-10)
+
+
+def test_scan_matches_unbatched_readout(mini_squid_solution, sample_disk):
+    p = np.array([[3.0, 0.0]])
+    M = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    H = applied_field_maps(
+        sample_disk,
+        mini_squid_solution,
+        p,
+        squid_height=1.0,
+        current_units="uA",
+    )
+    result = solve_many(
+        device=sample_disk,
+        applied_field_arrays={"disk": H["disk"]},
+        field_units="uA/um",
+        current_units="uA",
+    )
+    solution = result.solution(0)
+    contour = sc.geometry.close_curve(sc.geometry.circle(0.4, points=48)) + p[0]
+    A = np.asarray(
+        solution.vector_potential_at_position(
+            contour, zs=1.0, units="Phi_0/um", with_units=False
+        )
+    )
+    dl = np.diff(contour, axis=0)
+    A_mid = 0.5 * (A[:-1] + A[1:])
+    flux_phi0 = float(np.einsum("kx,kx->", A_mid[:, :2], dl))
+    M_direct = flux_phi0 / 1e-3  # the 1 mA drive, in amperes
+    assert M[0] == pytest.approx(M_direct, rel=1e-8)
+
+
+def test_pickup_loop_variants(mini_squid_solution, sample_disk):
+    p = np.array([[0.0, 0.0]])
+    by_name = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    # Same contour passed explicitly (CW on purpose: orientation is fixed
+    # internally).
+    contour = sc.geometry.circle(0.4, points=48)[::-1]
+    by_coords = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop=contour,
+        I_fc="1 mA",
+    )
+    assert by_coords[0] == pytest.approx(by_name[0], rel=1e-9)
+    with pytest.raises(KeyError):
+        susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=p,
+            squid_height=1.0,
+            pickup_loop="nope",
+            I_fc="1 mA",
+        )
