@@ -150,6 +150,7 @@ def susceptibility_scan(
     pickup_loop: Union[str, np.ndarray],
     I_fc: Union[str, float],
     iterations: int = 0,
+    back_action: int = 0,
     coupling: str = "auto",
     current_units: str = "uA",
     units: str = "Phi_0 / A",
@@ -163,7 +164,8 @@ def susceptibility_scan(
         sample_model: A pre-factorized sample model (reused across scans).
         squid_solution: The susceptometer solved standalone with the
             field-coil drive (terminal or circulating currents); its full
-            sheet-current distribution is frozen for the scan.
+            sheet-current distribution is frozen for the scan (refined
+            per position if ``back_action > 0``).
         positions: ``(B, 2)`` lateral positions of the SQUID origin over
             the sample, in sample length units.
         squid_height: Height of the SQUID's ``z = 0`` plane above the
@@ -174,6 +176,15 @@ def susceptibility_scan(
         I_fc: The field-coil current used when solving ``squid_solution``
             (normalizes the map), e.g. ``"1 mA"``.
         iterations: Self-consistent coupling rounds for multi-film samples.
+        back_action: Rounds of SQUID <-> sample self-consistency.  ``0``
+            (default) is the standard first-order scan: the SQUID current
+            distribution is frozen.  Each round re-solves the SQUID (all
+            positions in one batched sweep, reusing one factorization of
+            the SQUID with its drive) under the sample's response field,
+            then re-solves the sample -- converging to the exact coupled
+            SQUID+sample linear system per pixel, which no per-pixel
+            workflow on the reference package models.  Requires the SQUID
+            and sample devices to share length units.
         coupling: Inter-film coupling operator for the sweep
             (see :func:`superscreen_tpu.solve_many`).
         current_units: Working current units for the sample solve.
@@ -184,8 +195,10 @@ def susceptibility_scan(
 
     Returns:
         ``(B,)`` response mutual inductance ``Phi_pickup / I_fc`` in
-        ``units``.  Diamagnetic (superconducting) samples give negative
-        values.
+        ``units``: the pickup-loop flux change caused by the sample
+        (including, for ``back_action > 0``, the flux change from the
+        SQUID's own re-screened currents).  Diamagnetic (superconducting)
+        samples give negative values.
     """
     from ..ops import kernels
     from ..sweep import solve_many
@@ -236,6 +249,42 @@ def susceptibility_scan(
     ).to("A")
     out = np.zeros(B, dtype=float)
 
+    squid_model = None
+    squid_base_J = None
+    if back_action > 0:
+        if squid.length_units != length_units:
+            raise ValueError(
+                "back_action > 0 requires the SQUID and sample devices to "
+                f"share length units (got {squid.length_units!r} vs "
+                f"{length_units!r})."
+            )
+        squid_model, squid_base_J = _factorize_squid(
+            squid_solution, current_units, field_units, coupling
+        )
+
+    import jax
+
+    def _contour_flux(dev, Js, eval_pts, eval_z):
+        """sum_films trapezoid of (A / mu_0) . dl; ``eval_pts`` ``(Bc, k, 2)``
+        and ``Js[film]`` ``(Bc, n, 2)`` vary together over the batch."""
+        zs = np.full(eval_pts.shape[1], eval_z, dtype=dtype)
+        total = np.zeros(eval_pts.shape[0], dtype=float)
+        for film_name, mesh in dev.meshes.items():
+            z_s = float(dev.layers[dev.films[film_name].layer].z0)
+            sites = np.asarray(mesh.sites, dtype=dtype)
+            areas = np.asarray(mesh.vertex_areas, dtype=dtype)
+            A = np.asarray(
+                jax.vmap(
+                    lambda p, j: kernels.vector_potential_2d(
+                        p, zs, sites, z_s, areas, j
+                    )
+                )(eval_pts, np.asarray(Js[film_name], dtype=dtype))
+            )  # (Bc, k, 2)
+            dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
+            A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
+            total += np.einsum("bkx,bkx->b", A_mid, dl)
+        return total
+
     for start in range(0, B, batch_size or B):
         chunk = positions[start : start + (batch_size or B)]
         Bc = chunk.shape[0]
@@ -254,37 +303,172 @@ def susceptibility_scan(
             iterations=iterations,
             coupling=coupling,
         )
-        # Response flux: mu_0 * trapezoid of (A / mu_0) . dl around the
-        # shifted contour, summed over sample films.  The contour shifts
-        # AND the current distribution differs per position, so vmap the
-        # blocked vector-potential kernel over the batch.
-        import jax
+        squid_J = None
+        for _ in range(back_action):
+            # Field of the sample's currents at the (shifted) SQUID sites,
+            # then a batched re-solve of the driven SQUID under it.
+            H_squid = _cross_field_maps(
+                src_dev=device,
+                src_Js={
+                    name: np.asarray(result.current_densities[name])
+                    for name in device.meshes
+                },
+                dst_dev=squid,
+                dst_z_offset=squid_height,
+                shifts=chunk,
+                dst_shift_sign=+1.0,
+                dtype=dtype,
+            )
+            squid_result = solve_many(
+                model=squid_model,
+                applied_field_arrays=H_squid,
+                field_units=field_units,
+                current_units=current_units,
+                iterations=iterations,
+                coupling=coupling,
+            )
+            squid_J = {
+                name: np.asarray(squid_result.current_densities[name])
+                for name in squid.meshes
+            }
+            # Field of the re-screened SQUID currents back on the sample.
+            H_sample = _cross_field_maps(
+                src_dev=squid,
+                src_Js=squid_J,
+                dst_dev=device,
+                dst_z_offset=-squid_height,
+                shifts=-chunk,
+                dst_shift_sign=+1.0,
+                dtype=dtype,
+            )
+            result = solve_many(
+                model=sample_model,
+                applied_field_arrays=H_sample,
+                field_units=field_units,
+                current_units=current_units,
+                iterations=iterations,
+                coupling=coupling,
+            )
 
+        # Sample-current flux through the (shifted) pickup contour.
         pts = (contour[None, :, :] + chunk[:, None, :]).astype(dtype)
-        k = contour.shape[0]
-        zs = np.full(k, z_pl, dtype=dtype)
-        flux = np.zeros(Bc, dtype=float)
-        for film_name, mesh in device.meshes.items():
-            z_s = float(device.layers[device.films[film_name].layer].z0)
-            J = np.asarray(result.current_densities[film_name], dtype=dtype)
-            A = np.asarray(
-                jax.vmap(
-                    lambda p, j: kernels.vector_potential_2d(
-                        p,
-                        zs,
-                        np.asarray(mesh.sites, dtype=dtype),
-                        z_s,
-                        np.asarray(mesh.vertex_areas, dtype=dtype),
-                        j,
-                    )
-                )(pts, J)
-            )  # (Bc, k, 2)
-            dl = np.diff(contour, axis=0)  # (k-1, 2)
-            A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
-            flux += np.einsum("bkx,kx->b", A_mid, dl)
+        flux = _contour_flux(
+            device,
+            {n: result.current_densities[n] for n in device.meshes},
+            pts,
+            z_pl,
+        )
+        if squid_J is not None:
+            # Flux change from the SQUID's own re-screened currents; the
+            # contour rides with the SQUID, so this evaluates in the SQUID
+            # frame with a fixed contour.
+            dJ = {
+                name: squid_J[name] - squid_base_J[name][None]
+                for name in squid_J
+            }
+            pts_sq = np.broadcast_to(
+                contour.astype(dtype)[None], (Bc,) + contour.shape
+            )
+            flux = flux + _contour_flux(
+                squid, dJ, np.ascontiguousarray(pts_sq), z_loop
+            )
         # flux is (A/mu_0) . dl in current*length units.
         M = (flux * mu0_flux / I_amp).to(units)
         out[start : start + Bc] = M.magnitude
     if with_units:
         return out * _global_ureg(units)
+    return out
+
+
+def _factorize_squid(squid_solution, current_units, field_units, coupling):
+    """Factorize the SQUID with its drive (converted to ``current_units``)
+    and solve its zero-applied-field base state through the same batched
+    path used in the back-action rounds."""
+    from ..sweep import solve_many
+
+    squid = squid_solution.device
+    cf = float(
+        _global_ureg(f"1 {squid_solution.current_units}")
+        .to(current_units)
+        .magnitude
+    )
+    circulating = {
+        k: v * cf for k, v in (squid_solution.circulating_currents or {}).items()
+    }
+    terminal = {
+        film: {t: v * cf for t, v in d.items()}
+        for film, d in (squid_solution.terminal_currents or {}).items()
+    }
+    model = factorize_model(
+        device=squid,
+        current_units=current_units,
+        terminal_currents=terminal or None,
+        circulating_currents=circulating or None,
+        vortices=list(squid_solution.vortices or []) or None,
+    )
+    zeros = {
+        name: np.zeros((1, len(mesh.sites)), dtype=squid.solve_dtype)
+        for name, mesh in squid.meshes.items()
+    }
+    base = solve_many(
+        model=model,
+        applied_field_arrays=zeros,
+        field_units=field_units,
+        current_units=current_units,
+        coupling=coupling,
+    )
+    base_J = {
+        name: np.asarray(base.current_densities[name])[0]
+        for name in squid.meshes
+    }
+    return model, base_J
+
+
+def _cross_field_maps(
+    *,
+    src_dev,
+    src_Js,
+    dst_dev,
+    dst_z_offset,
+    shifts,
+    dst_shift_sign,
+    dtype,
+):
+    """``{dst_film: (B, n_dst)}`` H_z at the destination device's sites from
+    per-position source currents, with the destination laterally shifted by
+    ``dst_shift_sign * shifts[b]`` relative to the source frame.
+
+    ``dst_z_offset`` is the height of the destination device's ``z = 0``
+    plane above the source device's.  Both devices must share length units.
+    """
+    import jax
+
+    from ..ops import kernels
+
+    shifts = np.asarray(shifts, dtype=dtype)
+    out = {}
+    for dst_name, dst_mesh in dst_dev.meshes.items():
+        z_dst = dst_z_offset + float(
+            dst_dev.layers[dst_dev.films[dst_name].layer].z0
+        )
+        dst_sites = np.asarray(dst_mesh.sites, dtype=dtype)
+        eval_pts = (
+            dst_sites[None, :, :] + dst_shift_sign * shifts[:, None, :]
+        ).astype(dtype)
+        H = None
+        for src_name, src_mesh in src_dev.meshes.items():
+            z_src = float(src_dev.layers[src_dev.films[src_name].layer].z0)
+            dz2 = np.asarray((z_dst - z_src) ** 2, dtype=dtype)
+            sites = np.asarray(src_mesh.sites, dtype=dtype)
+            areas = np.asarray(src_mesh.vertex_areas, dtype=dtype)
+            J = np.asarray(src_Js[src_name], dtype=dtype)
+            contrib = np.asarray(
+                jax.vmap(
+                    lambda p, j: kernels.biot_savart_film_to_film_dz2(
+                        sites, areas, j, p, dz2
+                    )
+                )(eval_pts, J)
+            )
+            H = contrib if H is None else H + contrib
+        out[dst_name] = H
     return out

@@ -145,6 +145,116 @@ def test_scan_matches_unbatched_readout(mini_squid_solution, sample_disk):
     assert M[0] == pytest.approx(M_direct, rel=1e-8)
 
 
+def test_back_action_matches_coupled_device(mini_squid_solution, sample_disk):
+    """back_action rounds converge to the exact coupled SQUID+sample
+    system: ground truth is ONE combined Device (SQUID films at z = h,
+    sample at z = 0, SQUID shifted to the scan position) solved with the
+    standard multi-film iteration, minus the no-sample SQUID flux."""
+    from superscreen_tpu.ops import kernels
+
+    h = 1.0
+    p = np.array([1.0, 0.5])
+    M = {}
+    for ba in (0, 1, 2):
+        M[ba] = susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=p[None],
+            squid_height=h,
+            pickup_loop="pl",
+            I_fc="1 mA",
+            back_action=ba,
+        )[0]
+
+    def shifted_squid_polys():
+        return (
+            sc.Polygon(
+                "fc_ring",
+                layer="sq",
+                points=sc.geometry.circle(1.5, points=80) + p,
+            ),
+            sc.Polygon(
+                "fc_hole",
+                layer="sq",
+                points=sc.geometry.circle(0.9, points=50) + p,
+            ),
+        )
+
+    ring, hole = shifted_squid_polys()
+    combined = sc.Device(
+        "combined",
+        layers=[sc.Layer("sq", Lambda=0.3, z0=h), sc.Layer("s", Lambda=0.1, z0=0)],
+        films=[
+            ring,
+            sc.Polygon("disk", layer="s", points=sc.geometry.circle(4.0, points=120)),
+        ],
+        holes=[hole],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    combined.make_mesh(min_points={"fc_ring": 1000, "disk": 2000}, smooth=5)
+    sol_with = sc.solve(
+        combined,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="uA",
+        iterations=8,
+        progress_bar=False,
+    )[-1]
+    ring_ns, hole_ns = shifted_squid_polys()
+    squid_only = sc.Device(
+        "squid_only",
+        layers=[sc.Layer("sq", Lambda=0.3, z0=h)],
+        films=[ring_ns],
+        holes=[hole_ns],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    squid_only.make_mesh(min_points=1000, smooth=5)
+    sol_ns = sc.solve(
+        squid_only,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="uA",
+        progress_bar=False,
+    )[-1]
+
+    contour = sc.geometry.close_curve(sc.geometry.circle(0.4, points=48)) + p
+
+    def loop_flux(solution, dev):
+        total = 0.0
+        for name, mesh in dev.meshes.items():
+            z_s = float(dev.layers[dev.films[name].layer].z0)
+            J = np.asarray(solution.film_solutions[name].current_density)
+            A = np.asarray(
+                kernels.vector_potential_2d(
+                    contour,
+                    np.full(len(contour), h),
+                    np.asarray(mesh.sites),
+                    z_s,
+                    np.asarray(mesh.vertex_areas),
+                    J,
+                )
+            )
+            dl = np.diff(contour, axis=0)
+            total += float(np.einsum("kx,kx->", 0.5 * (A[:-1] + A[1:]), dl))
+        return total
+
+    flux = loop_flux(sol_with, combined) - loop_flux(sol_ns, squid_only)
+    M_truth = (
+        (flux * sc.ureg("mu_0 * uA * um") / sc.ureg("1 mA"))
+        .to("Phi_0/A")
+        .magnitude
+    )
+    # Converged back-action matches the coupled solve; first order does not.
+    assert M[2] == pytest.approx(M_truth, rel=1e-3)
+    assert abs(M[0] - M_truth) > 5 * abs(M[2] - M_truth)
+    # Successive rounds contract toward the converged value.
+    assert abs(M[2] - M[1]) < abs(M[1] - M[0])
+
+
 def test_pickup_loop_variants(mini_squid_solution, sample_disk):
     p = np.array([[0.0, 0.0]])
     by_name = susceptibility_scan(
