@@ -99,20 +99,30 @@ def applied_field_maps(
     squid_solution: Solution,
     positions: np.ndarray,
     *,
-    squid_height: float,
+    squid_height: Union[float, np.ndarray],
     current_units: str,
 ) -> Dict[str, np.ndarray]:
     """``{sample_film: (B, n)}`` H_z applied by the frozen SQUID currents at
     every scan position, in ``current_units / sample length_units``.
 
-    One blocked device dispatch per (squid film, sample film) pair covers
-    all ``B`` positions.
+    ``squid_height`` may be a scalar (constant-height raster: one blocked
+    device dispatch per (squid film, sample film) pair covers all ``B``
+    positions) or a ``(B,)`` array (approach curves / tilted scan planes:
+    the dispatch is vmapped over the per-position layer separation).
     """
+    import jax
+
     from ..ops import kernels
 
     positions = np.atleast_2d(np.asarray(positions, dtype=float))
     B = positions.shape[0]
     dtype = sample_device.solve_dtype
+    heights = np.asarray(squid_height, dtype=dtype)
+    if heights.ndim == 1 and heights.shape != (B,):
+        raise ValueError(
+            f"squid_height must be a scalar or shape ({B},), got "
+            f"{heights.shape}."
+        )
     sheets = _gather_squid_sheets(
         squid_solution, sample_device.length_units, current_units
     )
@@ -122,21 +132,31 @@ def applied_field_maps(
         sites = np.asarray(mesh.sites, dtype=dtype)
         n = sites.shape[0]
         # Shifting the SQUID by +p equals evaluating at sites - p.
-        eval_pts = (sites[None, :, :] - positions[:, None, :]).reshape(B * n, 2)
-        eval_pts = eval_pts.astype(dtype)
-        H = np.zeros((B * n,), dtype=dtype)
+        eval_pts = (sites[None, :, :] - positions[:, None, :]).astype(dtype)
+        H = np.zeros((B, n), dtype=dtype)
         for sq_sites, sq_areas, sq_J, sq_z0 in sheets:
-            dz2 = (squid_height + sq_z0 - z_s) ** 2
-            H = H + np.asarray(
-                kernels.biot_savart_film_to_film_dz2(
-                    sq_sites.astype(dtype),
-                    sq_areas.astype(dtype),
-                    sq_J.astype(dtype),
-                    eval_pts,
-                    np.asarray(dz2, dtype=dtype),
-                )
+            dz2 = ((heights + sq_z0 - z_s) ** 2).astype(dtype)
+            args = (
+                sq_sites.astype(dtype),
+                sq_areas.astype(dtype),
+                sq_J.astype(dtype),
             )
-        out[film_name] = H.reshape(B, n)
+            if heights.ndim == 0:
+                contrib = np.asarray(
+                    kernels.biot_savart_film_to_film_dz2(
+                        *args, eval_pts.reshape(B * n, 2), dz2
+                    )
+                ).reshape(B, n)
+            else:
+                contrib = np.asarray(
+                    jax.vmap(
+                        lambda p, d2: kernels.biot_savart_film_to_film_dz2(
+                            *args, p, d2
+                        )
+                    )(eval_pts, dz2)
+                )
+            H = H + contrib
+        out[film_name] = H
     return out
 
 
@@ -169,7 +189,9 @@ def susceptibility_scan(
         positions: ``(B, 2)`` lateral positions of the SQUID origin over
             the sample, in sample length units.
         squid_height: Height of the SQUID's ``z = 0`` plane above the
-            sample's ``z = 0`` plane (sample length units).
+            sample's ``z = 0`` plane (sample length units).  A scalar for
+            constant-height rasters, or a ``(B,)`` array for per-position
+            heights (approach curves, tilted scan planes).
         pickup_loop: Name of a polygon/hole in the SQUID device, or an
             explicit ``(k, 2)`` CCW contour in SQUID coordinates, through
             which the response flux is evaluated.
@@ -240,7 +262,13 @@ def susceptibility_scan(
     else:
         contour = np.asarray(pickup_loop, dtype=float)
     contour = _ccw(contour) * lf
-    z_pl = squid_height + z_loop
+    heights = np.asarray(squid_height, dtype=float)
+    if heights.ndim not in (0, 1) or (heights.ndim == 1 and heights.shape != (B,)):
+        raise ValueError(
+            f"squid_height must be a scalar or shape ({B},), got "
+            f"{np.shape(squid_height)}."
+        )
+    z_pl = heights + z_loop  # scalar or (B,)
 
     field_units = f"{current_units} / {length_units}"
     mu0_flux = _global_ureg(f"1 mu_0 * {current_units} * {length_units}")
@@ -266,19 +294,24 @@ def susceptibility_scan(
 
     def _contour_flux(dev, Js, eval_pts, eval_z):
         """sum_films trapezoid of (A / mu_0) . dl; ``eval_pts`` ``(Bc, k, 2)``
-        and ``Js[film]`` ``(Bc, n, 2)`` vary together over the batch."""
-        zs = np.full(eval_pts.shape[1], eval_z, dtype=dtype)
-        total = np.zeros(eval_pts.shape[0], dtype=float)
+        and ``Js[film]`` ``(Bc, n, 2)`` vary together over the batch;
+        ``eval_z`` is a scalar or per-position ``(Bc,)`` heights."""
+        Bc, k = eval_pts.shape[0], eval_pts.shape[1]
+        zs = np.broadcast_to(
+            np.asarray(eval_z, dtype=dtype).reshape(-1, 1), (Bc, k)
+        )
+        zs = np.ascontiguousarray(zs)
+        total = np.zeros(Bc, dtype=float)
         for film_name, mesh in dev.meshes.items():
             z_s = float(dev.layers[dev.films[film_name].layer].z0)
             sites = np.asarray(mesh.sites, dtype=dtype)
             areas = np.asarray(mesh.vertex_areas, dtype=dtype)
             A = np.asarray(
                 jax.vmap(
-                    lambda p, j: kernels.vector_potential_2d(
-                        p, zs, sites, z_s, areas, j
+                    lambda p, z, j: kernels.vector_potential_2d(
+                        p, z, sites, z_s, areas, j
                     )
-                )(eval_pts, np.asarray(Js[film_name], dtype=dtype))
+                )(eval_pts, zs, np.asarray(Js[film_name], dtype=dtype))
             )  # (Bc, k, 2)
             dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
             A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
@@ -288,11 +321,13 @@ def susceptibility_scan(
     for start in range(0, B, batch_size or B):
         chunk = positions[start : start + (batch_size or B)]
         Bc = chunk.shape[0]
+        h_chunk = heights if heights.ndim == 0 else heights[start : start + Bc]
+        z_chunk = z_pl if np.ndim(z_pl) == 0 else z_pl[start : start + Bc]
         H = applied_field_maps(
             device,
             squid_solution,
             chunk,
-            squid_height=squid_height,
+            squid_height=h_chunk,
             current_units=current_units,
         )
         result = solve_many(
@@ -314,7 +349,7 @@ def susceptibility_scan(
                     for name in device.meshes
                 },
                 dst_dev=squid,
-                dst_z_offset=squid_height,
+                dst_z_offset=h_chunk,
                 shifts=chunk,
                 dst_shift_sign=+1.0,
                 dtype=dtype,
@@ -336,7 +371,7 @@ def susceptibility_scan(
                 src_dev=squid,
                 src_Js=squid_J,
                 dst_dev=device,
-                dst_z_offset=-squid_height,
+                dst_z_offset=-h_chunk,
                 shifts=-chunk,
                 dst_shift_sign=+1.0,
                 dtype=dtype,
@@ -356,7 +391,7 @@ def susceptibility_scan(
             device,
             {n: result.current_densities[n] for n in device.meshes},
             pts,
-            z_pl,
+            z_chunk,
         )
         if squid_J is not None:
             # Flux change from the SQUID's own re-screened currents; the
@@ -439,16 +474,19 @@ def _cross_field_maps(
     ``dst_shift_sign * shifts[b]`` relative to the source frame.
 
     ``dst_z_offset`` is the height of the destination device's ``z = 0``
-    plane above the source device's.  Both devices must share length units.
+    plane above the source device's (scalar or per-position ``(B,)``).
+    Both devices must share length units.
     """
     import jax
 
     from ..ops import kernels
 
     shifts = np.asarray(shifts, dtype=dtype)
+    B = shifts.shape[0]
+    z_off = np.broadcast_to(np.asarray(dst_z_offset, dtype=dtype), (B,))
     out = {}
     for dst_name, dst_mesh in dst_dev.meshes.items():
-        z_dst = dst_z_offset + float(
+        z_dst = z_off + float(
             dst_dev.layers[dst_dev.films[dst_name].layer].z0
         )
         dst_sites = np.asarray(dst_mesh.sites, dtype=dtype)
@@ -458,16 +496,16 @@ def _cross_field_maps(
         H = None
         for src_name, src_mesh in src_dev.meshes.items():
             z_src = float(src_dev.layers[src_dev.films[src_name].layer].z0)
-            dz2 = np.asarray((z_dst - z_src) ** 2, dtype=dtype)
+            dz2 = np.ascontiguousarray((z_dst - z_src) ** 2, dtype=dtype)
             sites = np.asarray(src_mesh.sites, dtype=dtype)
             areas = np.asarray(src_mesh.vertex_areas, dtype=dtype)
             J = np.asarray(src_Js[src_name], dtype=dtype)
             contrib = np.asarray(
                 jax.vmap(
-                    lambda p, j: kernels.biot_savart_film_to_film_dz2(
-                        sites, areas, j, p, dz2
+                    lambda p, j, d2: kernels.biot_savart_film_to_film_dz2(
+                        sites, areas, j, p, d2
                     )
-                )(eval_pts, J)
+                )(eval_pts, J, dz2)
             )
             H = contrib if H is None else H + contrib
         out[dst_name] = H

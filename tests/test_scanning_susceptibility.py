@@ -255,6 +255,54 @@ def test_back_action_matches_coupled_device(mini_squid_solution, sample_disk):
     assert abs(M[2] - M[1]) < abs(M[1] - M[0])
 
 
+def test_approach_curve_heights(mini_squid_solution, sample_disk):
+    """Per-position heights: chi(z) approach curve over the disk center."""
+    hs = np.array([0.5, 1.0, 2.0, 4.0])
+    positions = np.zeros((len(hs), 2))
+    M = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=positions,
+        squid_height=hs,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    # Monotonic decay of the diamagnetic response with height.
+    assert np.all(M < 0)
+    assert np.all(np.diff(np.abs(M)) < 0)
+    # The heights array agrees with scalar-height calls elementwise.
+    for i in (0, 2):
+        M_scalar = susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=positions[i : i + 1],
+            squid_height=float(hs[i]),
+            pickup_loop="pl",
+            I_fc="1 mA",
+        )
+        assert M[i] == pytest.approx(M_scalar[0], rel=1e-10)
+    # Back-action accepts per-position heights too.
+    M_ba = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=positions[:2],
+        squid_height=hs[:2],
+        pickup_loop="pl",
+        I_fc="1 mA",
+        back_action=1,
+    )
+    assert np.all(np.abs(M_ba) > np.abs(M[:2]))  # coupling strengthens it
+    with pytest.raises(ValueError):
+        susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=positions,
+            squid_height=hs[:2],
+            pickup_loop="pl",
+            I_fc="1 mA",
+        )
+
+
 def test_pickup_loop_variants(mini_squid_solution, sample_disk):
     p = np.array([[0.0, 0.0]])
     by_name = susceptibility_scan(
