@@ -115,6 +115,20 @@ def main():
         f"contrast {image.max() - flat:.2f} Phi_0/A"
     )
 
+    # chi(z) approach curve over a clean spot, one batched computation.
+    heights = np.geomspace(0.5, 8.0, 10)
+    chi = susceptibility_scan(
+        sample_model=model,
+        squid_solution=probe,
+        positions=np.tile([-2.5, 0.0], (len(heights), 1)),
+        squid_height=heights,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    print("approach curve chi(z) at (-2.5, 0):")
+    for z, c in zip(heights, chi):
+        print(f"  z = {z:5.2f} um : {c:8.3f} Phi_0/A")
+
 
 if __name__ == "__main__":
     main()

@@ -12,6 +12,29 @@ batched device computations.
 import os as _os
 
 
+def _honor_platform_request() -> None:
+    """Makes an explicit ``JAX_PLATFORMS`` environment request stick.
+
+    Some out-of-tree PJRT plugins (e.g. tunneled TPU backends) rewrite
+    ``jax_platforms`` at import to put themselves first (``"axon,cpu"``),
+    so a user who exported ``JAX_PLATFORMS=cpu`` can still end up
+    initializing -- and blocking on -- the plugin.  Restore the env
+    request in the config, which plugins cannot outrank.  No-op unless
+    the variable is set; a config already equal to the request is left
+    untouched, and failures (backends already initialized) are ignored.
+    """
+    request = _os.environ.get("JAX_PLATFORMS", "")
+    if not request:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != request:
+            jax.config.update("jax_platforms", request)
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 def _enable_compile_cache() -> None:
     """Enables JAX's persistent compilation cache by default.
 
@@ -63,6 +86,7 @@ def _pin_matmul_precision() -> None:
         pass
 
 
+_honor_platform_request()
 _enable_compile_cache()
 _pin_matmul_precision()
 
