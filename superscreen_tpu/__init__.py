@@ -16,12 +16,14 @@ def _honor_platform_request() -> None:
     """Makes an explicit ``JAX_PLATFORMS`` environment request stick.
 
     Some out-of-tree PJRT plugins (e.g. tunneled TPU backends) rewrite
-    ``jax_platforms`` at import to put themselves first (``"axon,cpu"``),
-    so a user who exported ``JAX_PLATFORMS=cpu`` can still end up
-    initializing -- and blocking on -- the plugin.  Restore the env
-    request in the config, which plugins cannot outrank.  No-op unless
-    the variable is set; a config already equal to the request is left
-    untouched, and failures (backends already initialized) are ignored.
+    ``jax_platforms`` at import to put themselves first (``"cpu"`` ->
+    ``"axon,cpu"``), so a user who exported ``JAX_PLATFORMS=cpu`` can
+    still end up initializing -- and blocking on -- the plugin.  Restore
+    the env request ONLY when the current config is exactly the request
+    with extra platform names prepended (the plugin-rewrite signature);
+    anything else -- env unset, config already honored, or a value set
+    programmatically after import (e.g. a test harness forcing CPU) --
+    is left alone.
     """
     request = _os.environ.get("JAX_PLATFORMS", "")
     if not request:
@@ -29,7 +31,10 @@ def _honor_platform_request() -> None:
     try:
         import jax
 
-        if jax.config.jax_platforms != request:
+        current = jax.config.jax_platforms or ""
+        req_list = [p for p in request.split(",") if p]
+        cur_list = [p for p in current.split(",") if p]
+        if len(cur_list) > len(req_list) and cur_list[-len(req_list):] == req_list:
             jax.config.update("jax_platforms", request)
     except Exception:  # pragma: no cover - best-effort
         pass

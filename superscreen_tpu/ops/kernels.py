@@ -500,7 +500,13 @@ def vector_potential_2d(
         dx = P[:, 0:1] - positions[None, :, 0]
         dy = P[:, 1:2] - positions[None, :, 1]
         dz = P[:, 2:3] - z0
-        rinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        r2 = dx * dx + dy * dy + dz * dz
+        # An evaluation point coinciding with a mesh site (e.g. a contour
+        # along a conforming feature ring of the same film) would divide by
+        # zero; drop the self term, as q_matrix does with its diagonal (the
+        # 1/r singularity is integrable, so the term's continuum weight is
+        # zero).
+        rinv = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
         K = areas[None, :] * rinv  # (b, n)
         return _ONE_OVER_4PI * _dot(K, J)
 

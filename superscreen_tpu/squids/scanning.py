@@ -34,7 +34,6 @@ length units).  Only squared layer separations enter, so the sign of
 ``squid_height`` is irrelevant.
 """
 
-import logging
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -43,8 +42,6 @@ from ..device.device import Device
 from ..solution import Solution
 from ..solver import FactorizedModel, factorize_model
 from ..units import ureg as _global_ureg
-
-logger = logging.getLogger("squids.scanning")
 
 
 def _ccw(points: np.ndarray) -> np.ndarray:
@@ -118,7 +115,9 @@ def applied_field_maps(
     B = positions.shape[0]
     dtype = sample_device.solve_dtype
     heights = np.asarray(squid_height, dtype=dtype)
-    if heights.ndim == 1 and heights.shape != (B,):
+    if heights.ndim not in (0, 1) or (
+        heights.ndim == 1 and heights.shape != (B,)
+    ):
         raise ValueError(
             f"squid_height must be a scalar or shape ({B},), got "
             f"{heights.shape}."
@@ -196,7 +195,8 @@ def susceptibility_scan(
             explicit ``(k, 2)`` CCW contour in SQUID coordinates, through
             which the response flux is evaluated.
         I_fc: The field-coil current used when solving ``squid_solution``
-            (normalizes the map), e.g. ``"1 mA"``.
+            (normalizes the map): a string with units (e.g. ``"1 mA"``)
+            or a plain float **in amperes**.
         iterations: Self-consistent coupling rounds for multi-film samples.
         back_action: Rounds of SQUID <-> sample self-consistency.  ``0``
             (default) is the standard first-order scan: the SQUID current
@@ -210,6 +210,8 @@ def susceptibility_scan(
         coupling: Inter-film coupling operator for the sweep
             (see :func:`superscreen_tpu.solve_many`).
         current_units: Working current units for the sample solve.
+            Ignored when ``sample_model`` is given -- the model's own
+            factorization units are used throughout.
         units: Output units (default ``Phi_0 / A``).
         with_units: Return a Quantity array instead of floats.
         batch_size: Optional chunk size over scan positions to bound
@@ -233,9 +235,15 @@ def susceptibility_scan(
         sample_model = factorize_model(
             device=sample_device, current_units=current_units
         )
+    else:
+        # solve_many always works in the model's factorization units; keep
+        # the flux normalization consistent with them.
+        current_units = sample_model.current_units
     device = sample_model.device
     length_units = device.length_units
     dtype = device.solve_dtype
+    if batch_size is not None and batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}.")
 
     positions = np.atleast_2d(np.asarray(positions, dtype=float))
     B = positions.shape[0]
@@ -287,7 +295,7 @@ def susceptibility_scan(
                 f"{length_units!r})."
             )
         squid_model, squid_base_J = _factorize_squid(
-            squid_solution, current_units, field_units, coupling
+            squid_solution, current_units, field_units, coupling, iterations
         )
 
     import jax
@@ -301,6 +309,7 @@ def susceptibility_scan(
             np.asarray(eval_z, dtype=dtype).reshape(-1, 1), (Bc, k)
         )
         zs = np.ascontiguousarray(zs)
+        dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
         total = np.zeros(Bc, dtype=float)
         for film_name, mesh in dev.meshes.items():
             z_s = float(dev.layers[dev.films[film_name].layer].z0)
@@ -313,7 +322,6 @@ def susceptibility_scan(
                     )
                 )(eval_pts, zs, np.asarray(Js[film_name], dtype=dtype))
             )  # (Bc, k, 2)
-            dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
             A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
             total += np.einsum("bkx,bkx->b", A_mid, dl)
         return total
@@ -351,7 +359,6 @@ def susceptibility_scan(
                 dst_dev=squid,
                 dst_z_offset=h_chunk,
                 shifts=chunk,
-                dst_shift_sign=+1.0,
                 dtype=dtype,
             )
             squid_result = solve_many(
@@ -373,7 +380,6 @@ def susceptibility_scan(
                 dst_dev=device,
                 dst_z_offset=-h_chunk,
                 shifts=-chunk,
-                dst_shift_sign=+1.0,
                 dtype=dtype,
             )
             result = solve_many(
@@ -415,7 +421,7 @@ def susceptibility_scan(
     return out
 
 
-def _factorize_squid(squid_solution, current_units, field_units, coupling):
+def _factorize_squid(squid_solution, current_units, field_units, coupling, iterations):
     """Factorize the SQUID with its drive (converted to ``current_units``)
     and solve its zero-applied-field base state through the same batched
     path used in the back-action rounds."""
@@ -450,6 +456,7 @@ def _factorize_squid(squid_solution, current_units, field_units, coupling):
         applied_field_arrays=zeros,
         field_units=field_units,
         current_units=current_units,
+        iterations=iterations,
         coupling=coupling,
     )
     base_J = {
@@ -466,12 +473,11 @@ def _cross_field_maps(
     dst_dev,
     dst_z_offset,
     shifts,
-    dst_shift_sign,
     dtype,
 ):
     """``{dst_film: (B, n_dst)}`` H_z at the destination device's sites from
     per-position source currents, with the destination laterally shifted by
-    ``dst_shift_sign * shifts[b]`` relative to the source frame.
+    ``shifts[b]`` relative to the source frame.
 
     ``dst_z_offset`` is the height of the destination device's ``z = 0``
     plane above the source device's (scalar or per-position ``(B,)``).
@@ -491,7 +497,7 @@ def _cross_field_maps(
         )
         dst_sites = np.asarray(dst_mesh.sites, dtype=dtype)
         eval_pts = (
-            dst_sites[None, :, :] + dst_shift_sign * shifts[:, None, :]
+            dst_sites[None, :, :] + shifts[:, None, :]
         ).astype(dtype)
         H = None
         for src_name, src_mesh in src_dev.meshes.items():

@@ -303,6 +303,105 @@ def test_approach_curve_heights(mini_squid_solution, sample_disk):
         )
 
 
+def test_review_regressions(mini_squid_solution, sample_disk):
+    p = np.array([[1.0, 0.0]])
+    M_dev = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    # A user-supplied model factorized in DIFFERENT units must give the
+    # same physical answer (units come from the model, not the argument).
+    model_mA = sc.factorize_model(device=sample_disk, current_units="mA")
+    M_model = susceptibility_scan(
+        sample_model=model_mA,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+        current_units="uA",  # deliberately inconsistent; must be ignored
+    )
+    assert M_model[0] == pytest.approx(M_dev[0], rel=1e-6)
+    # Float I_fc means amperes.
+    M_float = susceptibility_scan(
+        sample_disk,
+        squid_solution=mini_squid_solution,
+        positions=p,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc=1e-3,
+    )
+    assert M_float[0] == pytest.approx(M_dev[0], rel=1e-10)
+    with pytest.raises(ValueError):
+        susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=p,
+            squid_height=1.0,
+            pickup_loop="pl",
+            I_fc="1 mA",
+            batch_size=-1,
+        )
+    with pytest.raises(ValueError):
+        susceptibility_scan(
+            sample_disk,
+            squid_solution=mini_squid_solution,
+            positions=p,
+            squid_height=np.ones((1, 1)),
+            pickup_loop="pl",
+            I_fc="1 mA",
+        )
+
+
+def test_back_action_unsmoothed_mesh_is_finite(sample_disk):
+    """The pickup contour of an UNSMOOTHED probe mesh coincides with mesh
+    feature-ring vertices (dz = 0 in the readout); the vector-potential
+    kernel must drop the self terms instead of dividing by zero."""
+    squid = sc.Device(
+        "rough_squid",
+        layers=[sc.Layer("sq", Lambda=0.3, z0=0)],
+        films=[
+            sc.Polygon(
+                "fc_ring", layer="sq", points=sc.geometry.circle(1.5, points=60)
+            )
+        ],
+        holes=[
+            sc.Polygon(
+                "fc_hole", layer="sq", points=sc.geometry.circle(0.9, points=40)
+            )
+        ],
+        abstract_regions=[
+            sc.Polygon("pl", layer="sq", points=sc.geometry.circle(0.4, points=24))
+        ],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    squid.make_mesh(min_points=700)  # no smoothing on purpose
+    sol = sc.solve(
+        squid,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="mA",
+        progress_bar=False,
+    )[-1]
+    M = susceptibility_scan(
+        sample_disk,
+        squid_solution=sol,
+        positions=np.array([[0.5, 0.0]]),
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+        back_action=1,
+    )
+    assert np.all(np.isfinite(M))
+    assert M[0] < 0
+
+
 def test_pickup_loop_variants(mini_squid_solution, sample_disk):
     p = np.array([[0.0, 0.0]])
     by_name = susceptibility_scan(
