@@ -62,7 +62,10 @@ class FilmSweepData:
     hole_masks: jnp.ndarray  # (n_holes, n) 1.0 where site in hole
     hole_ha_vecs: jnp.ndarray  # (n_holes, n) effective-field vectors
     vortex_cols: Optional[jnp.ndarray]  # (ni, n_vortices) K columns
-    vortex_scales: Optional[jnp.ndarray]  # (n_vortices,) nPhi0 / w_j
+    vortex_scales: Optional[jnp.ndarray]  # (n_vortices,) 1 / w_j
+    # Declared amplitudes: (n_vortices,) nPhi0, or (B, n_vortices) for a
+    # per-sweep-point vortex-amplitude sweep (solve_many(vortex_nPhi0=...)).
+    vortex_nphi0: Optional[jnp.ndarray] = None
     hole_names: Sequence[str] = field(default_factory=list)
     # Transport-terminal films (reference solve_film.py:308-437): fixed
     # stream/effective-field offsets from the terminal currents, plus the
@@ -89,7 +92,8 @@ _FSD_ARRAY_FIELDS = (
     "interior", "n_valid", "fac_a", "fac_b", "A", "Q", "weights",
     "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
-    "vortex_scales", "g_offset", "ha_offset", "tri_centroids", "tri_areas",
+    "vortex_scales", "vortex_nphi0", "g_offset", "ha_offset",
+    "tri_centroids", "tri_areas",
     "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
     "cg_op", "fft_grid",
 )
@@ -131,8 +135,9 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
             hole_ha[k] = -np.asarray(A_hole)
         else:
             hole_ha[k] = -(A_hole @ np.ones(len(idx), dtype=dtype))
-    # Vortex response columns (fixed vortex positions across the sweep).
-    vortex_cols = vortex_scales = None
+    # Vortex response columns (fixed vortex positions across the sweep;
+    # amplitudes may still vary per sweep point via vortex_nphi0).
+    vortex_cols = vortex_scales = vortex_nphi0 = None
     if info.vortices:
         from .ops import linalg
 
@@ -142,6 +147,7 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         )
         rhs = np.zeros((ni, len(info.vortices)), dtype=rhs_dtype)
         scales = np.zeros(len(info.vortices))
+        nphi0 = np.zeros(len(info.vortices))
         points = mesh.sites
         for k, vortex in enumerate(info.vortices):
             xy = (vortex.x, vortex.y)
@@ -150,9 +156,11 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
             )
             j_device = int(np.argmin(np.linalg.norm(points - xy, axis=1)))
             rhs[j_film, k] = 1.0
-            scales[k] = vortex.nPhi0 / info.weights[j_device]
+            scales[k] = 1.0 / info.weights[j_device]
+            nphi0[k] = vortex.nPhi0
         vortex_cols = jnp.asarray(-linalg.lu_solve(system.lu_piv, rhs))
         vortex_scales = jnp.asarray(scales)
+        vortex_nphi0 = jnp.asarray(nphi0)
     gx = mesh.operators.gradient_x
     gy = mesh.operators.gradient_y
     cg_op = None
@@ -266,6 +274,7 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         hole_ha_vecs=jnp.asarray(hole_ha),
         vortex_cols=vortex_cols,
         vortex_scales=vortex_scales,
+        vortex_nphi0=vortex_nphi0,
         hole_names=hole_names,
     )
 
@@ -376,9 +385,13 @@ def _solve_film_batch(
 
         gf = _refine_safeguarded(solve, data.A, hT, gf, refine_steps)
     if data.vortex_cols is not None:
-        gf = gf + kernels._dot(
-            data.vortex_cols, vortex_flux * data.vortex_scales
-        )[:, None]
+        # (n_v,) shared amplitudes broadcast over B; (B, n_v) amplitudes
+        # sweep the vortex states per point (one MXU contraction either way).
+        eff = vortex_flux * data.vortex_scales * data.vortex_nphi0
+        if eff.ndim == 1:
+            gf = gf + kernels._dot(data.vortex_cols, eff)[:, None]
+        else:
+            gf = gf + kernels._dot(data.vortex_cols, eff.T)
     gf = jnp.where(valid[:, None], gf, 0.0)
     g = g0.at[:, data.interior].add(gf.T)
     Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
@@ -473,6 +486,7 @@ class SweepResult:
         current_units: str,
         applied_field_funcs: Optional[Sequence[Callable]] = None,
         circulating_currents: Optional[Sequence[Dict[str, float]]] = None,
+        vortex_nPhi0: Optional[np.ndarray] = None,
     ):
         self.model = model
         self.streams = streams
@@ -484,6 +498,8 @@ class SweepResult:
         self.current_units = current_units
         self.applied_field_funcs = applied_field_funcs
         self.circulating_currents = circulating_currents
+        # (B, n_vortices) per-point amplitudes (flat film order), or None.
+        self.vortex_nPhi0 = vortex_nPhi0
 
     @property
     def num_solutions(self) -> int:
@@ -518,6 +534,12 @@ class SweepResult:
         circ = self.model.circulating_currents
         if self.circulating_currents is not None:
             circ = self.circulating_currents[index]
+        vortices = [v for vs in self.model.vortices.values() for v in vs]
+        if self.vortex_nPhi0 is not None:
+            vortices = [
+                Vortex(x=v.x, y=v.y, film=v.film, nPhi0=float(a))
+                for v, a in zip(vortices, self.vortex_nPhi0[index])
+            ]
         return Solution(
             device=self.model.device,
             film_solutions=film_solutions,
@@ -526,7 +548,7 @@ class SweepResult:
             current_units=self.current_units,
             circulating_currents=circ,
             terminal_currents=self.model.terminal_currents,
-            vortices=[v for vs in self.model.vortices.values() for v in vs],
+            vortices=vortices,
             solver="superscreen_tpu.solve_many",
         )
 
@@ -554,6 +576,51 @@ def _strip_metadata(film_data):
         name: replace(d, name="film", hole_names=("h",) * len(d.hole_names))
         for name, d in film_data.items()
     }
+
+
+def _apply_vortex_amplitudes(model, film_data, vortex_nPhi0, B, dtype):
+    """Folds per-sweep-point vortex amplitudes into ``film_data`` (each
+    film's ``vortex_nphi0`` becomes ``(B, n_v)``).  Returns the updated
+    film_data and the flat ``(B, n_total)`` amplitude array (film order)."""
+    from dataclasses import replace
+
+    counts = {name: len(vs) for name, vs in model.vortices.items()}
+    if isinstance(vortex_nPhi0, dict):
+        per_film = {}
+        for name, n_v in counts.items():
+            arr = np.asarray(
+                vortex_nPhi0.get(name, np.zeros((B, 0))), dtype=dtype
+            )
+            if arr.shape != (B, n_v):
+                raise ValueError(
+                    f"vortex_nPhi0[{name!r}] must have shape ({B}, {n_v}), "
+                    f"got {arr.shape}."
+                )
+            per_film[name] = arr
+        unknown = set(vortex_nPhi0) - set(counts)
+        if unknown:
+            raise ValueError(f"vortex_nPhi0 names unknown films: {unknown}.")
+    else:
+        arr = np.asarray(vortex_nPhi0, dtype=dtype)
+        n_total = sum(counts.values())
+        if arr.shape != (B, n_total):
+            raise ValueError(
+                f"vortex_nPhi0 must have shape ({B}, {n_total}), got "
+                f"{arr.shape}."
+            )
+        per_film, offset = {}, 0
+        for name, n_v in counts.items():
+            per_film[name] = arr[:, offset : offset + n_v]
+            offset += n_v
+    out = dict(film_data)
+    for name, amps in per_film.items():
+        if not amps.shape[1]:
+            continue
+        out[name] = replace(out[name], vortex_nphi0=jnp.asarray(amps))
+    flat = np.concatenate(
+        [per_film[name] for name in counts], axis=1
+    ) if counts else np.zeros((B, 0))
+    return out, flat
 
 
 def _run_sweep_staged(
@@ -849,6 +916,7 @@ def solve_many(
     sharding: Optional["jax.sharding.Sharding"] = None,
     coupling: str = "exact",
     keep_history: bool = False,
+    vortex_nPhi0: Optional[Union[np.ndarray, Dict[str, np.ndarray]]] = None,
 ) -> Union[SweepResult, List[SweepResult]]:
     """Solves a batch of models that share one factorization.
 
@@ -866,7 +934,8 @@ def solve_many(
         applied_field_arrays: ``{film_name: (B, n)}`` applied fields.
         circulating_currents: Length-B sequence of
             ``{hole_name: current}``.
-        vortices: Vortices (fixed across the sweep).
+        vortices: Vortices (positions fixed across the sweep; amplitudes
+            may vary per point via ``vortex_nPhi0``).
         field_units: Units of the applied field.
         current_units: Units for currents.
         iterations: Self-consistent inter-film coupling rounds.
@@ -887,6 +956,14 @@ def solve_many(
             per iteration, each covering the whole batch) instead of just
             the final state.  The whole history is still ONE device
             program and one device-to-host transfer.
+        vortex_nPhi0: Per-sweep-point vortex amplitudes, overriding each
+            vortex's declared ``nPhi0``: a ``(B, n_vortices)`` array
+            ordered like the flattened ``vortices`` grouped by film (the
+            order of ``[v for vs in model.vortices.values() for v in
+            vs]``), or ``{film_name: (B, n_film_vortices)}``.  Rows of
+            one-hot amplitudes sweep the vortex POSITION over the
+            declared candidate sites in one batched solve (vortex
+            localization); integer rows sweep winding-number states.
 
     Returns:
         A :class:`SweepResult`, or a list of them if ``keep_history``.
@@ -1007,6 +1084,12 @@ def solve_many(
         .magnitude
     )
 
+    vortex_amps_flat = None
+    if vortex_nPhi0 is not None:
+        film_data, vortex_amps_flat = _apply_vortex_amplitudes(
+            model, film_data, vortex_nPhi0, B, dtype
+        )
+
     if sharding is not None:
         Hz_applied = {
             k: jax.device_put(v, sharding) for k, v in Hz_applied.items()
@@ -1039,6 +1122,7 @@ def solve_many(
                 current_units=current_units,
                 applied_field_funcs=applied_field_funcs,
                 circulating_currents=circ_dicts,
+                vortex_nPhi0=vortex_amps_flat,
             )
             for it in range(iterations + 1)
         ]
@@ -1067,4 +1151,5 @@ def solve_many(
         current_units=current_units,
         applied_field_funcs=applied_field_funcs,
         circulating_currents=circ_dicts,
+        vortex_nPhi0=vortex_amps_flat,
     )
