@@ -1,6 +1,10 @@
 from . import huber, hypres, ibm
 from .layers import hypres_squid_layers, ibm_squid_layers
-from .scanning import applied_field_maps, susceptibility_scan
+from .scanning import (
+    applied_field_maps,
+    build_scan_forward,
+    susceptibility_scan,
+)
 from .mutuals import (
     MAX_EDGE_LENGTHS,
     SQUID_LAYOUTS,

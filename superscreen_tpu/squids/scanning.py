@@ -421,6 +421,154 @@ def susceptibility_scan(
     return out
 
 
+def build_scan_forward(
+    sample_device: Device,
+    squid_solution: Solution,
+    positions: np.ndarray,
+    *,
+    squid_height: Union[float, np.ndarray],
+    pickup_loop: Union[str, np.ndarray],
+    I_fc: Union[str, float],
+    iterations: int = 0,
+    current_units: str = "mA",
+    units: str = "Phi_0 / A",
+    dtype=None,
+):
+    """A **differentiable** susceptibility-scan forward model.
+
+    Wraps :func:`superscreen_tpu.build_adjoint_model` with the scanning
+    geometry: the probe's applied-field maps and the pickup-loop readout
+    are precomputed (they are parameter-independent geometry), and the
+    returned function maps the adjoint parameter pytree to the ``(B,)``
+    susceptibility map in ``units`` -- fully ``jax.jit`` / ``jax.grad`` /
+    ``jax.vmap``-compatible.  Gradients flow to the sample's per-site
+    ``Lambda``, circulating currents, vortex amplitudes, and terminal
+    currents, enabling reconstruction of sample properties directly from
+    measured susceptibility *images*.
+
+    The scan is first-order (frozen probe currents), matching
+    :func:`susceptibility_scan` with ``back_action=0`` -- the two agree
+    to solver precision for the same inputs.
+
+    Args:
+        sample_device: The meshed sample.
+        squid_solution: The susceptometer solved standalone with its
+            field-coil drive.
+        positions: ``(B, 2)`` scan positions (sample length units).
+        squid_height: Scalar or ``(B,)`` probe heights.
+        pickup_loop: Polygon name in the SQUID device or ``(k, 2)``
+            contour (SQUID coordinates).
+        I_fc: The field-coil drive used for ``squid_solution`` (string
+            with units, or a float in amperes).
+        iterations: Inter-film coupling rounds for multi-film samples.
+        current_units: Working current units of the adjoint model.
+        units: Units of the returned map.
+        dtype: Adjoint model dtype (default: the device's solve dtype).
+
+    Returns:
+        ``(adjoint_model, scan_fn)`` where ``scan_fn(params) -> (B,)``;
+        get/edit ``params`` via ``adjoint_model.default_params()`` (its
+        ``"applied_field"`` entry is ignored -- the probe's field is part
+        of the scan geometry).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..adjoint import build_adjoint_model
+
+    device = sample_device
+    length_units = device.length_units
+    field_units = f"{current_units} / {length_units}"
+    model = build_adjoint_model(
+        device, field_units=field_units, current_units=current_units,
+        dtype=dtype,
+    )
+    positions = np.atleast_2d(np.asarray(positions, dtype=float))
+    B = positions.shape[0]
+
+    # Probe geometry (parameter-independent): applied maps + readout.
+    H_maps = applied_field_maps(
+        device,
+        squid_solution,
+        positions,
+        squid_height=squid_height,
+        current_units=current_units,
+    )
+    H_maps = {k: jnp.asarray(v, model.dtype) for k, v in H_maps.items()}
+
+    squid = squid_solution.device
+    lf = _length_factor(squid.length_units, length_units)
+    z_loop = 0.0
+    if isinstance(pickup_loop, str):
+        for group in (squid.holes, squid.films, squid.abstract_regions):
+            if pickup_loop in group:
+                poly = group[pickup_loop]
+                contour = poly.points
+                if poly.layer is not None:
+                    z_loop = float(squid.layers[poly.layer].z0) * lf
+                break
+        else:
+            raise KeyError(
+                f"Polygon {pickup_loop!r} not found in SQUID device "
+                f"{squid.name!r}."
+            )
+    else:
+        contour = np.asarray(pickup_loop, dtype=float)
+    contour = _ccw(contour) * lf
+    heights = np.broadcast_to(np.asarray(squid_height, dtype=float), (B,))
+    z_pl = heights + z_loop
+
+    # Per-vertex trapezoid weights of the closed contour: the flux
+    # Phi = sum_k 0.5 (A_k + A_{k+1}) . dl_k equals sum_k A_k . u_k with
+    # u_k = 0.5 (dl_{k-1} + dl_k) (cyclic; the duplicated closing vertex
+    # is dropped).
+    dl = np.diff(contour, axis=0)  # (k, 2)
+    u = 0.5 * (dl + np.roll(dl, 1, axis=0))  # (k, 2)
+    verts = contour[:-1]  # (k, 2)
+
+    # Readout tensors: Phi_b = sum_i R_b[i] . J_b[i] per film, with
+    # R_b[i] = w_i / (4 pi) * sum_k u_k / r(c_bk, site_i).
+    R = {}
+    for name, mesh in device.meshes.items():
+        z_s = float(device.layers[device.films[name].layer].z0)
+        sites = np.asarray(mesh.sites)
+        w = np.asarray(mesh.vertex_areas)
+        pts = verts[None, :, :] + positions[:, None, :]  # (B, k, 2)
+        d2 = (
+            (pts[:, :, None, 0] - sites[None, None, :, 0]) ** 2
+            + (pts[:, :, None, 1] - sites[None, None, :, 1]) ** 2
+            + ((z_pl - z_s) ** 2)[:, None, None]
+        )  # (B, k, n)
+        kern = 1.0 / (4 * np.pi * np.sqrt(d2))
+        R[name] = jnp.asarray(
+            np.einsum("bkn,kx->bnx", kern, u) * w[None, :, None],
+            model.dtype,
+        )  # (B, n, 2)
+
+    I_amp = (
+        _global_ureg(I_fc) if isinstance(I_fc, str) else I_fc * _global_ureg("A")
+    ).to("A")
+    factor = float(
+        (_global_ureg(f"1 mu_0 * {current_units} * {length_units}") / I_amp)
+        .to(units)
+        .magnitude
+    )
+    fwd = model.forward_fn(iterations)
+    order = model.film_order
+
+    def scan_fn(params):
+        def one(applied_b, R_b):
+            out = fwd({**params, "applied_field": applied_b})
+            flux = 0.0
+            for name in order:
+                flux = flux + jnp.sum(R_b[name] * out[name]["current_density"])
+            return flux
+
+        return factor * jax.vmap(one)(H_maps, R)
+
+    return model, scan_fn
+
+
 def _factorize_squid(squid_solution, current_units, field_units, coupling, iterations):
     """Factorize the SQUID with its drive (converted to ``current_units``)
     and solve its zero-applied-field base state through the same batched
