@@ -175,6 +175,7 @@ def susceptibility_scan(
     units: str = "Phi_0 / A",
     with_units: bool = False,
     batch_size: Optional[int] = None,
+    sharding=None,
 ) -> np.ndarray:
     """The sample-response susceptibility map of a scanning SQUID.
 
@@ -216,6 +217,9 @@ def susceptibility_scan(
         with_units: Return a Quantity array instead of floats.
         batch_size: Optional chunk size over scan positions to bound
             device memory (default: all positions in one sweep).
+        sharding: Optional ``jax.sharding.Sharding`` for the scan batch
+            axis, passed through to every batched solve (shard a big
+            raster across a device mesh).
 
     Returns:
         ``(B,)`` response mutual inductance ``Phi_pickup / I_fc`` in
@@ -345,6 +349,7 @@ def susceptibility_scan(
             current_units=current_units,
             iterations=iterations,
             coupling=coupling,
+            sharding=sharding,
         )
         squid_J = None
         for _ in range(back_action):
@@ -368,6 +373,7 @@ def susceptibility_scan(
                 current_units=current_units,
                 iterations=iterations,
                 coupling=coupling,
+                sharding=sharding,
             )
             squid_J = {
                 name: np.asarray(squid_result.current_densities[name])
@@ -389,6 +395,7 @@ def susceptibility_scan(
                 current_units=current_units,
                 iterations=iterations,
                 coupling=coupling,
+                sharding=sharding,
             )
 
         # Sample-current flux through the (shifted) pickup contour.
