@@ -95,7 +95,7 @@ _honor_platform_request()
 _enable_compile_cache()
 _pin_matmul_precision()
 
-from . import distance, fem, geometry, sources  # noqa: E402
+from . import distance, fem, geometry, imaging, sources  # noqa: E402
 from .about import version_dict, version_table
 from .adjoint import AdjointModel, build_adjoint_model
 from .device import Device, EdgeMesh, Layer, Mesh, MeshOperators, Polygon
