@@ -71,8 +71,12 @@ class FilmSweepData:
     # stream/effective-field offsets from the terminal currents, plus the
     # triangle data for the in-film Biot-Savart self-field.
     terminal: bool = False
-    g_offset: Optional[jnp.ndarray] = None  # (n,) transport stream
-    ha_offset: Optional[jnp.ndarray] = None  # (n,) boundary effective field
+    # Transport offsets: (n,) fixed across the sweep, or (B, n) for a
+    # per-sweep-point terminal-current sweep (solve_many(terminal_currents=
+    # [...])) -- the bootstrap is linear in the drive, so per-point offsets
+    # are combinations of per-terminal unit solutions.
+    g_offset: Optional[jnp.ndarray] = None  # (n,) or (B, n) transport stream
+    ha_offset: Optional[jnp.ndarray] = None  # (n,) or (B, n) boundary field
     tri_centroids: Optional[jnp.ndarray] = None  # (m, 2)
     tri_areas: Optional[jnp.ndarray] = None  # (m,)
     gtx_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (x)
@@ -200,8 +204,6 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
     terminal = film_name in device.terminals
     terminal_kwargs = {}
     if terminal:
-        from .geometry import close_curve, path_vectors
-        from .ops import kernels as _kernels
         from .solver.solve_film import solve_for_terminal_current_stream
 
         g_tr = np.asarray(
@@ -212,28 +214,7 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
                 info.terminal_currents or {},
             )
         )
-        points = mesh.sites
-        boundary_indices = info.boundary_indices
-        boundary_sites = points[boundary_indices]
-        boundary_stream = g_tr[boundary_indices]
-        boundary_centers = 0.5 * (
-            boundary_sites + np.roll(boundary_sites, -1, axis=0)
-        )
-        boundary_stream_mid = 0.5 * (
-            boundary_stream + np.roll(boundary_stream, -1, axis=0)
-        )
-        edge_lengths, boundary_normals = path_vectors(
-            close_curve(boundary_sites)
-        )
-        ha = np.asarray(
-            _kernels.boundary_effective_field(
-                points,
-                boundary_centers,
-                edge_lengths,
-                boundary_normals,
-                boundary_stream_mid,
-            )
-        )
+        ha = _terminal_boundary_ha(mesh.sites, info.boundary_indices, g_tr)
         gtx = mesh.operators.gradient_tri_x
         gty = mesh.operators.gradient_tri_y
         terminal_kwargs = dict(
@@ -333,9 +314,15 @@ def _solve_film_batch(
         g0 = jnp.zeros_like(Hz_total)
         Ha_eff = jnp.zeros_like(Hz_total)
     if data.g_offset is not None:
-        # Transport stream + its boundary effective field (fixed offsets).
-        g0 = g0 + data.g_offset[None, :]
-        Ha_eff = Ha_eff + data.ha_offset[None, :]
+        # Transport stream + its boundary effective field: fixed offsets
+        # (1-d, broadcast over B) or a per-point terminal-current sweep
+        # (2-d).
+        off_g = data.g_offset
+        off_h = data.ha_offset
+        if off_g.ndim == 1:
+            off_g, off_h = off_g[None, :], off_h[None, :]
+        g0 = g0 + off_g
+        Ha_eff = Ha_eff + off_h
     # The interior gather indices are zero-padded to the (shared)
     # factorization size; mask the padded RHS rows to zero.  The pad block
     # of the system is the identity, so padded solution rows stay exactly
@@ -487,6 +474,7 @@ class SweepResult:
         applied_field_funcs: Optional[Sequence[Callable]] = None,
         circulating_currents: Optional[Sequence[Dict[str, float]]] = None,
         vortex_nPhi0: Optional[np.ndarray] = None,
+        terminal_currents: Optional[Sequence[Dict[str, Dict[str, float]]]] = None,
     ):
         self.model = model
         self.streams = streams
@@ -500,6 +488,8 @@ class SweepResult:
         self.circulating_currents = circulating_currents
         # (B, n_vortices) per-point amplitudes (flat film order), or None.
         self.vortex_nPhi0 = vortex_nPhi0
+        # Length-B per-point transport drives, or None (model's drive).
+        self.terminal_currents = terminal_currents
 
     @property
     def num_solutions(self) -> int:
@@ -540,6 +530,9 @@ class SweepResult:
                 Vortex(x=v.x, y=v.y, film=v.film, nPhi0=float(a))
                 for v, a in zip(vortices, self.vortex_nPhi0[index])
             ]
+        terminal = self.model.terminal_currents
+        if self.terminal_currents is not None:
+            terminal = self.terminal_currents[index]
         return Solution(
             device=self.model.device,
             film_solutions=film_solutions,
@@ -547,7 +540,7 @@ class SweepResult:
             field_units=self.field_units,
             current_units=self.current_units,
             circulating_currents=circ,
-            terminal_currents=self.model.terminal_currents,
+            terminal_currents=terminal,
             vortices=vortices,
             solver="superscreen_tpu.solve_many",
         )
@@ -576,6 +569,108 @@ def _strip_metadata(film_data):
         name: replace(d, name="film", hole_names=("h",) * len(d.hole_names))
         for name, d in film_data.items()
     }
+
+
+def _terminal_boundary_ha(points, boundary_indices, g_tr):
+    """Effective applied field of a transport boundary stream
+    (reference ``solve_film.py:393-412``)."""
+    from .geometry import close_curve, path_vectors
+    from .ops import kernels as _kernels
+
+    boundary_sites = points[boundary_indices]
+    boundary_stream = g_tr[boundary_indices]
+    boundary_centers = 0.5 * (boundary_sites + np.roll(boundary_sites, -1, axis=0))
+    boundary_stream_mid = 0.5 * (
+        boundary_stream + np.roll(boundary_stream, -1, axis=0)
+    )
+    edge_lengths, boundary_normals = path_vectors(close_curve(boundary_sites))
+    return np.asarray(
+        _kernels.boundary_effective_field(
+            points,
+            boundary_centers,
+            edge_lengths,
+            boundary_normals,
+            boundary_stream_mid,
+        )
+    )
+
+
+def _apply_terminal_sweeps(
+    model, film_data, terminal_currents, B, dtype, current_units
+):
+    """Folds a length-B terminal-current sweep into ``film_data``: each
+    terminal film's ``g_offset``/``ha_offset`` become ``(B, n)`` built from
+    per-terminal UNIT bootstrap solutions (the three-step bootstrap is
+    linear in the drive).  Returns the updated film_data and the per-point
+    float dicts (for the materialized Solutions)."""
+    from dataclasses import replace
+
+    from .solver.solve_film import solve_for_terminal_current_stream
+    from .solver.utils import currents_to_floats
+
+    device = model.device
+    if len(terminal_currents) != B:
+        raise ValueError(
+            f"terminal_currents must have length B={B}, got "
+            f"{len(terminal_currents)}."
+        )
+    per_point = []
+    for tc in terminal_currents:
+        d = {}
+        for film, currents in (tc or {}).items():
+            if film not in device.terminals:
+                raise ValueError(f"Film {film!r} has no terminals.")
+            d[film] = currents_to_floats(currents, device.ureg, current_units)
+        per_point.append(d)
+
+    out = dict(film_data)
+    for film, terms in device.terminals.items():
+        names = [t.name for t in terms]
+        T = len(names)
+        I = np.zeros((B, T))
+        for b, d in enumerate(per_point):
+            cur = d.get(film, {})
+            unknown = set(cur) - set(names)
+            if unknown:
+                raise ValueError(
+                    f"Unknown terminals for film {film!r}: {sorted(unknown)}."
+                )
+            for j, nm in enumerate(names):
+                I[b, j] = cur.get(nm, 0.0)
+            total = I[b].sum()
+            if abs(total) > 1e-9 * max(1.0, np.abs(I[b]).max()):
+                raise ValueError(
+                    f"Terminal currents for film {film!r} at sweep point "
+                    f"{b} do not sum to zero (sum = {total:.3e})."
+                )
+        if T < 2:
+            raise ValueError(
+                f"Film {film!r} needs >= 2 terminals for a transport sweep."
+            )
+        info = model.film_info[film]
+        tsys = model.terminal_systems[film]
+        mesh = device.meshes[film]
+        units_g, units_h = [], []
+        for k in range(T - 1):
+            basis = {nm: 0.0 for nm in names}
+            basis[names[k]] = 1.0
+            basis[names[-1]] = -1.0
+            g_u = np.asarray(
+                solve_for_terminal_current_stream(device, info, tsys, basis)
+            )
+            units_g.append(g_u)
+            units_h.append(
+                _terminal_boundary_ha(mesh.sites, info.boundary_indices, g_u)
+            )
+        coeff = I[:, :-1]  # currents sum to zero -> T-1 independent basis
+        g_off = coeff @ np.stack(units_g)  # (B, n)
+        ha_off = coeff @ np.stack(units_h)
+        out[film] = replace(
+            out[film],
+            g_offset=jnp.asarray(g_off.astype(dtype)),
+            ha_offset=jnp.asarray(ha_off.astype(dtype)),
+        )
+    return out, per_point
 
 
 def _apply_vortex_amplitudes(model, film_data, vortex_nPhi0, B, dtype):
@@ -908,6 +1003,7 @@ def solve_many(
     applied_fields: Optional[Sequence[Callable]] = None,
     applied_field_arrays: Optional[Dict[str, np.ndarray]] = None,
     circulating_currents: Optional[Sequence[Dict[str, Union[float, str]]]] = None,
+    terminal_currents: Optional[Sequence[Dict[str, Dict[str, Union[float, str]]]]] = None,
     vortices: Optional[Sequence[Vortex]] = None,
     field_units: str = "mT",
     current_units: str = "uA",
@@ -934,6 +1030,13 @@ def solve_many(
         applied_field_arrays: ``{film_name: (B, n)}`` applied fields.
         circulating_currents: Length-B sequence of
             ``{hole_name: current}``.
+        terminal_currents: Length-B sequence of
+            ``{film_name: {terminal_name: current}}`` transport drives
+            (each summing to zero per film) -- an IV-style bias sweep.
+            The terminal bootstrap is linear in the drive, so the whole
+            sweep reuses ``n_terminals - 1`` unit bootstrap solutions per
+            film; when given, it replaces any drive baked into the model
+            at factorization.
         vortices: Vortices (positions fixed across the sweep; amplitudes
             may vary per point via ``vortex_nPhi0``).
         field_units: Units of the applied field.
@@ -1090,6 +1193,12 @@ def solve_many(
             model, film_data, vortex_nPhi0, B, dtype
         )
 
+    term_dicts = None
+    if terminal_currents is not None:
+        film_data, term_dicts = _apply_terminal_sweeps(
+            model, film_data, terminal_currents, B, dtype, current_units
+        )
+
     if sharding is not None:
         Hz_applied = {
             k: jax.device_put(v, sharding) for k, v in Hz_applied.items()
@@ -1123,6 +1232,7 @@ def solve_many(
                 applied_field_funcs=applied_field_funcs,
                 circulating_currents=circ_dicts,
                 vortex_nPhi0=vortex_amps_flat,
+                terminal_currents=term_dicts,
             )
             for it in range(iterations + 1)
         ]
@@ -1152,4 +1262,5 @@ def solve_many(
         applied_field_funcs=applied_field_funcs,
         circulating_currents=circ_dicts,
         vortex_nPhi0=vortex_amps_flat,
+        terminal_currents=term_dicts,
     )

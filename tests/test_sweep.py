@@ -213,6 +213,93 @@ def test_solve_many_with_terminals():
     assert np.abs(a - b).max() / np.abs(b).max() < 1e-9
 
 
+def test_solve_many_terminal_current_sweep():
+    """solve_many(terminal_currents=[...]) sweeps the transport drive in
+    one batched dispatch; each point matches a direct solve() of a model
+    factorized with that drive."""
+    layer = sc.Layer("base", Lambda=1)
+    film = sc.Polygon("strip", layer="base", points=geo.box(4, 2, points=40))
+    src = sc.Polygon("source", points=geo.box(0.2, 2, points=16, center=(-2, 0)))
+    drain = sc.Polygon("drain", points=geo.box(0.2, 2, points=16, center=(2, 0)))
+
+    def make_device():
+        dev = sc.Device(
+            "strip",
+            layers=[layer],
+            films=[film],
+            terminals={"strip": [src, drain]},
+            solve_dtype="float64",
+        )
+        dev.make_mesh(max_edge_length=0.5)
+        return dev
+
+    dev = make_device()
+    # Factorize with one drive; the sweep overrides it per point.
+    model = sc.factorize_model(
+        device=dev,
+        current_units="uA",
+        terminal_currents={"strip": {"source": 3.0, "drain": -3.0}},
+    )
+    drives = [
+        {"strip": {"source": 1.0, "drain": -1.0}},
+        {"strip": {"source": "-2 uA", "drain": "2 uA"}},
+        {},  # no drive at this point
+    ]
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(0.1)] * 3,
+        terminal_currents=drives,
+        field_units="mT",
+    )
+    for i, floats in enumerate([{"source": 1.0, "drain": -1.0},
+                                {"source": -2.0, "drain": 2.0},
+                                None]):
+        kwargs = {}
+        if floats is not None:
+            kwargs["terminal_currents"] = {"strip": floats}
+        ref_model = sc.factorize_model(
+            device=dev, current_units="uA", **kwargs
+        )
+        ref = sc.solve(
+            model=ref_model,
+            applied_field=sc.sources.ConstantField(0.1),
+            field_units="mT",
+            progress_bar=False,
+        )[-1]
+        sol = result.solution(i)
+        a = sol.film_solutions["strip"].stream
+        b = ref.film_solutions["strip"].stream
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-9, f"point {i}"
+        # The materialized Solution records the per-point drive,
+        # converted to floats in ``current_units``.
+        assert sol.terminal_currents == (
+            {"strip": floats} if floats is not None else {}
+        )
+
+    # Per-film currents must sum to zero at every sweep point.
+    with pytest.raises(ValueError, match="sum to zero"):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0.1)],
+            terminal_currents=[{"strip": {"source": 1.0, "drain": 0.0}}],
+        )
+    # Length must match the batch size.
+    with pytest.raises(ValueError, match="length"):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0.1)] * 2,
+            terminal_currents=drives,
+        )
+    # Unknown film / terminal names are rejected.
+    with pytest.raises(ValueError, match="terminals"):
+        solve_many(
+            model=model,
+            applied_fields=[sc.sources.ConstantField(0.1)],
+            terminal_currents=[{"nope": {"a": 1.0}}],
+        )
+
+
 def test_sharded_biot_savart_matches_unsharded():
     """The shard_map coupling kernel (dst rows over 'model', batch over
     'data') must match the single-device kernel exactly."""
