@@ -715,14 +715,71 @@ def solve_for_terminal_current_stream(
     With ``hp_system``, every matvec and solve runs at float64 accuracy
     (host effective-field blocks + f64-residual refinement around the f32
     factorizations; see :mod:`superscreen_tpu.solver.refine`).
+
+    The drive enters through an affine map: the raw boundary stream is
+    linear in the terminal currents (:func:`terminal_boundary_stream`),
+    the reference's centering shifts it by a drive-dependent SCALAR
+    (``-max + ptp/2`` over the raw array), and the remaining steps
+    (:func:`solve_from_boundary_stream`) are linear in the boundary
+    values.  ``sweep.solve_many(terminal_currents=...)`` exploits exactly
+    this decomposition.
     """
-    terminal_currents = terminal_currents.copy()
-    mesh = device.meshes[film_info.name]
-    points = mesh.sites
-    weights = mesh.operators.weights
-    npoints = len(points)
+    npoints = len(device.meshes[film_info.name].sites)
     if not any(terminal_currents.values()):
         return np.zeros(npoints)
+    g = terminal_boundary_stream(
+        device, film_info, terminal_systems, terminal_currents
+    )
+    # Center the boundary stream (reference solve_film.py:359).  The
+    # interior entries are still zero here, so max/ptp see them too.
+    g = g - np.max(g) + np.ptp(g) / 2
+    return solve_from_boundary_stream(
+        device, film_info, terminal_systems, g, hp_system=hp_system
+    )
+
+
+def terminal_boundary_stream(
+    device: Device,
+    film_info: FilmInfo,
+    terminal_systems: TerminalSystems,
+    terminal_currents: Dict[str, float],
+) -> np.ndarray:
+    """Raw (uncentered) boundary stream of a transport drive: ``(n,)``
+    with the boundary entries set and interior zeros.  Linear in the
+    terminal currents (reference ``solve_film.py:347-357``)."""
+    mesh = device.meshes[film_info.name]
+    points = mesh.sites
+    npoints = len(points)
+    boundary_indices = terminal_systems.boundary.indices
+    boundary_points = points[boundary_indices]
+    g = np.zeros(npoints)
+    for terminal in device.terminals[film_info.name]:
+        current = terminal_currents.get(terminal.name, 0.0)
+        ix_boundary = np.sort(
+            terminal.contains_points(boundary_points, index=True)
+        )
+        remaining_boundary = boundary_indices[ix_boundary[-1] :]
+        ix_terminal = boundary_indices[ix_boundary]
+        stream = stream_from_terminal_current(points[ix_terminal], -current)
+        g[ix_terminal[:-1]] += stream
+        g[remaining_boundary] += stream[-1]
+    return g
+
+
+def solve_from_boundary_stream(
+    device: Device,
+    film_info: FilmInfo,
+    terminal_systems: TerminalSystems,
+    g: np.ndarray,
+    hp_system=None,
+) -> np.ndarray:
+    """Bootstrap steps 2-3 given the (already centered) boundary stream:
+    solve the film interior ignoring holes, then pin each hole to its
+    weighted average and re-solve.  Linear in ``g``'s boundary values."""
+    mesh = device.meshes[film_info.name]
+    weights = mesh.operators.weights
+    npoints = len(mesh.sites)
+    g = np.array(g, dtype=float, copy=True)
 
     if hp_system is not None:
         from . import refine
@@ -743,24 +800,10 @@ def solve_for_terminal_current_stream(
         def _hole_eff(name, g_hole):
             return -(hp_system.hole_eff64[name] @ g_hole)
 
-    terminals = list(device.terminals[film_info.name])
     boundary_indices = terminal_systems.boundary.indices
-    boundary_points = points[boundary_indices]
 
-    # 1. Boundary stream + effective applied field.
-    g = np.zeros(npoints)
+    # Effective applied field of the boundary stream.
     Ha_eff = np.zeros(npoints)
-    for terminal in terminals:
-        current = terminal_currents[terminal.name]
-        ix_boundary = np.sort(
-            terminal.contains_points(boundary_points, index=True)
-        )
-        remaining_boundary = boundary_indices[ix_boundary[-1] :]
-        ix_terminal = boundary_indices[ix_boundary]
-        stream = stream_from_terminal_current(points[ix_terminal], -current)
-        g[ix_terminal[:-1]] += stream
-        g[remaining_boundary] += stream[-1]
-    g = g - np.max(g) + np.ptp(g) / 2
     if hp_system is not None:
         Ha_eff += _boundary_eff(g[boundary_indices])
     else:

@@ -507,6 +507,12 @@ def stream_from_terminal_current(points: np.ndarray, current: float) -> np.ndarr
     current perpendicular to the terminal (reference:
     ``superscreen/solver/utils.py:466-488``)."""
     edge_lengths, unit_normals = path_vectors(points)
+    if current == 0:
+        # Zero drive -> identically zero stream (the normalization below
+        # would be 0/0).  Reached for every undriven terminal, e.g. by the
+        # per-terminal unit basis of solve_many(terminal_currents=...).
+        # Length matches stream_from_current_density (one per edge).
+        return np.zeros(len(points) - 1)
     J = current * unit_normals / np.sum(edge_lengths)
     g = stream_from_current_density(points, J)
     return g * current / g[-1]

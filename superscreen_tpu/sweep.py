@@ -600,12 +600,23 @@ def _apply_terminal_sweeps(
 ):
     """Folds a length-B terminal-current sweep into ``film_data``: each
     terminal film's ``g_offset``/``ha_offset`` become ``(B, n)`` built from
-    per-terminal UNIT bootstrap solutions (the three-step bootstrap is
-    linear in the drive).  Returns the updated film_data and the per-point
-    float dicts (for the materialized Solutions)."""
+    per-terminal UNIT bootstrap solutions.
+
+    The bootstrap is AFFINE in the drive: the raw boundary stream is
+    linear in the terminal currents, the reference then shifts it by the
+    drive-dependent scalar ``c = -max + ptp/2`` (over the raw array,
+    interior zeros included), and the remaining solves are linear in the
+    boundary values.  So each sweep point is
+    ``sum_k coeff_k * S(b_k) + c * S(1_boundary)`` -- ``n_terminals``
+    solves per film total, independent of B.  Returns the updated
+    film_data and the per-point float dicts (for the materialized
+    Solutions)."""
     from dataclasses import replace
 
-    from .solver.solve_film import solve_for_terminal_current_stream
+    from .solver.solve_film import (
+        solve_from_boundary_stream,
+        terminal_boundary_stream,
+    )
     from .solver.utils import currents_to_floats
 
     device = model.device
@@ -650,19 +661,41 @@ def _apply_terminal_sweeps(
         info = model.film_info[film]
         tsys = model.terminal_systems[film]
         mesh = device.meshes[film]
-        units_g, units_h = [], []
+        # Raw (uncentered) boundary streams of the T-1 basis drives
+        # (e_k - e_last), their solved unit solutions, plus the solution
+        # for a CONSTANT unit boundary stream (the centering direction).
+        raw_b, units_g, units_h = [], [], []
         for k in range(T - 1):
             basis = {nm: 0.0 for nm in names}
             basis[names[k]] = 1.0
             basis[names[-1]] = -1.0
+            b_k = np.asarray(
+                terminal_boundary_stream(device, info, tsys, basis)
+            )
+            raw_b.append(b_k)
             g_u = np.asarray(
-                solve_for_terminal_current_stream(device, info, tsys, basis)
+                solve_from_boundary_stream(device, info, tsys, b_k)
             )
             units_g.append(g_u)
             units_h.append(
                 _terminal_boundary_ha(mesh.sites, info.boundary_indices, g_u)
             )
+        ones_b = np.zeros(len(mesh.sites))
+        ones_b[info.boundary_indices] = 1.0
+        g_c = np.asarray(solve_from_boundary_stream(device, info, tsys, ones_b))
+        units_g.append(g_c)
+        units_h.append(
+            _terminal_boundary_ha(mesh.sites, info.boundary_indices, g_c)
+        )
         coeff = I[:, :-1]  # currents sum to zero -> T-1 independent basis
+        # Per-point centering scalar c = -max + ptp/2 over the raw
+        # superposed array (interior zeros included), exactly as in
+        # solve_for_terminal_current_stream; c = 0 for a zero drive.
+        raw = coeff @ np.stack(raw_b)  # (B, n) raw boundary streams
+        c = -raw.max(axis=1) + np.ptp(raw, axis=1) / 2.0  # (B,)
+        zero_drive = np.all(coeff == 0.0, axis=1)
+        c = np.where(zero_drive, 0.0, c)
+        coeff = np.concatenate([coeff, c[:, None]], axis=1)  # (B, T)
         g_off = coeff @ np.stack(units_g)  # (B, n)
         ha_off = coeff @ np.stack(units_h)
         out[film] = replace(

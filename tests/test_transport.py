@@ -176,6 +176,38 @@ def test_multi_terminal_currents(plus_device, applied_field):
                           rtol=5e-2, atol=0.05)
 
 
+def test_multi_terminal_bias_sweep(plus_device):
+    """solve_many(terminal_currents=[...]) on a 4-terminal device: each
+    sweep point matches solve() with that drive (exercises the T-1 unit
+    bootstrap basis for T > 2)."""
+    from superscreen_tpu.sweep import solve_many
+
+    drives = [
+        {"plus": {"drain": -6.0, "source1": 1.0, "source2": 2.0, "source3": 3.0}},
+        {"plus": {"drain": 2.0, "source1": -5.0, "source2": 3.0, "source3": 0.0}},
+    ]
+    model = sc.factorize_model(device=plus_device, current_units="uA")
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(2.0)] * len(drives),
+        terminal_currents=drives,
+        field_units="uT",
+        current_units="uA",
+    )
+    for i, drive in enumerate(drives):
+        ref = sc.solve(
+            plus_device,
+            terminal_currents=drive,
+            applied_field=sc.sources.ConstantField(2.0),
+            current_units="uA",
+            field_units="uT",
+            progress_bar=False,
+        )[-1]
+        a = result.solution(i).film_solutions["plus"].stream
+        b = ref.film_solutions["plus"].stream
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-9, f"point {i}"
+
+
 def test_transport_solution_roundtrip(plus_device, tmp_path):
     terminal_currents = {
         "plus": {"drain": -6, "source1": 1, "source2": 2, "source3": 3}
