@@ -208,6 +208,41 @@ def test_multi_terminal_bias_sweep(plus_device):
         assert np.abs(a - b).max() / np.abs(b).max() < 1e-9, f"point {i}"
 
 
+def test_holey_bias_sweep_with_circulating(holey_device):
+    """Terminal-current sweep on a film WITH holes (exercises the hole
+    branch of the affine bootstrap decomposition), combined with a
+    per-point circulating-current sweep."""
+    from superscreen_tpu.sweep import solve_many
+
+    drives = [
+        {"film": {"source": 2.0, "drain": -2.0}},
+        {"film": {"source": -7.0, "drain": 7.0}},
+    ]
+    circs = [{"hole1": 5.0, "hole2": -1.0}, {"hole1": 0.0, "hole2": 3.0}]
+    model = sc.factorize_model(device=holey_device, current_units="uA")
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(1.0)] * 2,
+        terminal_currents=drives,
+        circulating_currents=circs,
+        field_units="uT",
+        current_units="uA",
+    )
+    for i in range(2):
+        ref = sc.solve(
+            holey_device,
+            terminal_currents=drives[i],
+            circulating_currents=circs[i],
+            applied_field=sc.sources.ConstantField(1.0),
+            current_units="uA",
+            field_units="uT",
+            progress_bar=False,
+        )[-1]
+        a = result.solution(i).film_solutions["film"].stream
+        b = ref.film_solutions["film"].stream
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-9, f"point {i}"
+
+
 def test_transport_solution_roundtrip(plus_device, tmp_path):
     terminal_currents = {
         "plus": {"drain": -6, "source1": 1, "source2": 2, "source3": 3}
