@@ -3,6 +3,7 @@ from .layers import hypres_squid_layers, ibm_squid_layers
 from .scanning import (
     applied_field_maps,
     build_scan_forward,
+    magnetometry_scan,
     susceptibility_scan,
 )
 from .mutuals import (

@@ -60,6 +60,65 @@ def _length_factor(from_units: str, to_units: str) -> float:
     return float(_global_ureg(f"1 {from_units}").to(to_units).magnitude)
 
 
+def _contour_flux(dev, Js, eval_pts, eval_z, dtype):
+    """Trapezoid-rule ``sum_films`` of ``(A / mu_0) . dl`` around per-batch
+    contours: ``eval_pts`` is ``(Bc, k, 2)``; ``Js[film]`` is ``(Bc, n, 2)``
+    (currents varying with the batch) or ``(n, 2)`` (one fixed current
+    distribution evaluated on every contour); ``eval_z`` is a scalar or
+    per-position ``(Bc,)`` heights."""
+    import jax
+
+    from ..ops import kernels
+
+    Bc, k = eval_pts.shape[0], eval_pts.shape[1]
+    zs = np.broadcast_to(
+        np.asarray(eval_z, dtype=dtype).reshape(-1, 1), (Bc, k)
+    )
+    zs = np.ascontiguousarray(zs)
+    dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
+    total = np.zeros(Bc, dtype=float)
+    for film_name, mesh in dev.meshes.items():
+        z_s = float(dev.layers[dev.films[film_name].layer].z0)
+        sites = np.asarray(mesh.sites, dtype=dtype)
+        areas = np.asarray(mesh.vertex_areas, dtype=dtype)
+        J = np.asarray(Js[film_name], dtype=dtype)
+        in_axes = (0, 0, None if J.ndim == 2 else 0)
+        A = np.asarray(
+            jax.vmap(
+                lambda p, z, j: kernels.vector_potential_2d(
+                    p, z, sites, z_s, areas, j
+                ),
+                in_axes=in_axes,
+            )(eval_pts, zs, J)
+        )  # (Bc, k, 2)
+        A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
+        total += np.einsum("bkx,bkx->b", A_mid, dl)
+    return total
+
+
+def _pickup_contour(squid, pickup_loop, length_units):
+    """Resolve a pickup-loop spec to a closed CCW contour in ``length_units``
+    plus the loop's layer height (0 for a bare coordinate array)."""
+    lf = _length_factor(squid.length_units, length_units)
+    z_loop = 0.0
+    if isinstance(pickup_loop, str):
+        for group in (squid.holes, squid.films, squid.abstract_regions):
+            if pickup_loop in group:
+                poly = group[pickup_loop]
+                contour = poly.points
+                if poly.layer is not None:
+                    z_loop = float(squid.layers[poly.layer].z0) * lf
+                break
+        else:
+            raise KeyError(
+                f"Polygon {pickup_loop!r} not found in SQUID device "
+                f"{squid.name!r}."
+            )
+    else:
+        contour = np.asarray(pickup_loop, dtype=float)
+    return _ccw(contour) * lf, z_loop
+
+
 def _gather_squid_sheets(
     squid_solution: Solution,
     length_units: str,
@@ -228,7 +287,6 @@ def susceptibility_scan(
         SQUID's own re-screened currents).  Diamagnetic (superconducting)
         samples give negative values.
     """
-    from ..ops import kernels
     from ..sweep import solve_many
 
     if (sample_device is None) == (sample_model is None):
@@ -256,24 +314,7 @@ def susceptibility_scan(
     # contour rides at its layer's height (or the SQUID z = 0 plane for a
     # bare coordinate array).
     squid = squid_solution.device
-    lf = _length_factor(squid.length_units, length_units)
-    z_loop = 0.0
-    if isinstance(pickup_loop, str):
-        for group in (squid.holes, squid.films, squid.abstract_regions):
-            if pickup_loop in group:
-                poly = group[pickup_loop]
-                contour = poly.points
-                if poly.layer is not None:
-                    z_loop = float(squid.layers[poly.layer].z0) * lf
-                break
-        else:
-            raise KeyError(
-                f"Polygon {pickup_loop!r} not found in SQUID device "
-                f"{squid.name!r}."
-            )
-    else:
-        contour = np.asarray(pickup_loop, dtype=float)
-    contour = _ccw(contour) * lf
+    contour, z_loop = _pickup_contour(squid, pickup_loop, length_units)
     heights = np.asarray(squid_height, dtype=float)
     if heights.ndim not in (0, 1) or (heights.ndim == 1 and heights.shape != (B,)):
         raise ValueError(
@@ -301,34 +342,6 @@ def susceptibility_scan(
         squid_model, squid_base_J = _factorize_squid(
             squid_solution, current_units, field_units, coupling, iterations
         )
-
-    import jax
-
-    def _contour_flux(dev, Js, eval_pts, eval_z):
-        """sum_films trapezoid of (A / mu_0) . dl; ``eval_pts`` ``(Bc, k, 2)``
-        and ``Js[film]`` ``(Bc, n, 2)`` vary together over the batch;
-        ``eval_z`` is a scalar or per-position ``(Bc,)`` heights."""
-        Bc, k = eval_pts.shape[0], eval_pts.shape[1]
-        zs = np.broadcast_to(
-            np.asarray(eval_z, dtype=dtype).reshape(-1, 1), (Bc, k)
-        )
-        zs = np.ascontiguousarray(zs)
-        dl = np.diff(eval_pts, axis=1)  # (Bc, k-1, 2)
-        total = np.zeros(Bc, dtype=float)
-        for film_name, mesh in dev.meshes.items():
-            z_s = float(dev.layers[dev.films[film_name].layer].z0)
-            sites = np.asarray(mesh.sites, dtype=dtype)
-            areas = np.asarray(mesh.vertex_areas, dtype=dtype)
-            A = np.asarray(
-                jax.vmap(
-                    lambda p, z, j: kernels.vector_potential_2d(
-                        p, z, sites, z_s, areas, j
-                    )
-                )(eval_pts, zs, np.asarray(Js[film_name], dtype=dtype))
-            )  # (Bc, k, 2)
-            A_mid = 0.5 * (A[:, :-1, :] + A[:, 1:, :])
-            total += np.einsum("bkx,bkx->b", A_mid, dl)
-        return total
 
     for start in range(0, B, batch_size or B):
         chunk = positions[start : start + (batch_size or B)]
@@ -405,6 +418,7 @@ def susceptibility_scan(
             {n: result.current_densities[n] for n in device.meshes},
             pts,
             z_chunk,
+            dtype,
         )
         if squid_J is not None:
             # Flux change from the SQUID's own re-screened currents; the
@@ -418,11 +432,177 @@ def susceptibility_scan(
                 contour.astype(dtype)[None], (Bc,) + contour.shape
             )
             flux = flux + _contour_flux(
-                squid, dJ, np.ascontiguousarray(pts_sq), z_loop
+                squid, dJ, np.ascontiguousarray(pts_sq), z_loop, dtype
             )
         # flux is (A/mu_0) . dl in current*length units.
         M = (flux * mu0_flux / I_amp).to(units)
         out[start : start + Bc] = M.magnitude
+    if with_units:
+        return out * _global_ureg(units)
+    return out
+
+
+def magnetometry_scan(
+    sample_solution: Solution,
+    *,
+    positions: np.ndarray,
+    squid_height: Union[float, np.ndarray],
+    pickup_loop: Union[str, np.ndarray],
+    squid_device: Optional[Device] = None,
+    screening: bool = False,
+    iterations: int = 0,
+    coupling: str = "auto",
+    units: str = "Phi_0",
+    with_units: bool = False,
+    batch_size: Optional[int] = None,
+    sharding=None,
+) -> np.ndarray:
+    """Scanning-SQUID **magnetometry** image of a solved sample.
+
+    Where :func:`susceptibility_scan` images the sample's *response* to the
+    field coil, magnetometry images the static field of the sample's own
+    sheet currents -- trapped (Pearl) vortices, circulating hole currents,
+    transport currents, and the screening currents of whatever applied
+    field the sample was solved under.  The readout is the flux threading
+    the pickup loop at every scan position, computed as the line integral
+    ``Phi = mu_0 \\oint (A / mu_0) . dl`` of the sample currents' vector
+    potential around the shifted contour -- ONE batched device dispatch per
+    (film, chunk), not a per-pixel loop.
+
+    With ``screening=True`` the superconducting SQUID body is not a passive
+    loop: its screening response to the sample's field is solved for every
+    position in one batched sweep (reusing a single factorization of the
+    undriven SQUID), and the flux of those screening currents through the
+    pickup loop is added.  This applies the SQUID's realistic point-spread
+    function to the image, which per-pixel workflows on the reference
+    package (reference ``docs/notebooks/scanning-squid.ipynb``) must
+    rebuild one ``solve`` at a time.
+
+    Args:
+        sample_solution: The solved sample whose currents are imaged.
+        positions: ``(B, 2)`` lateral positions of the SQUID origin over
+            the sample, in sample length units.
+        squid_height: Height of the SQUID's ``z = 0`` plane above the
+            sample's (sample length units); scalar or ``(B,)``.
+        pickup_loop: Polygon/hole name in ``squid_device``, or an explicit
+            ``(k, 2)`` contour.  A named loop is resolved in SQUID
+            coordinates (converted to sample length units, riding at its
+            layer height); an explicit contour with no ``squid_device`` is
+            interpreted directly in sample length units at the SQUID's
+            ``z = 0`` plane.
+        squid_device: The meshed SQUID device.  Required to resolve a
+            named ``pickup_loop`` and for ``screening=True``.
+        screening: Solve and include the SQUID body's screening response
+            (requires ``squid_device`` sharing the sample's length units).
+        iterations: Inter-film coupling rounds for the (multi-film) SQUID
+            screening solve.
+        coupling: Coupling operator for the screening sweep.
+        units: Output flux units (default ``Phi_0``).
+        with_units: Return a Quantity array instead of floats.
+        batch_size: Optional chunk size over scan positions.
+        sharding: Optional ``jax.sharding.Sharding`` for the batch axis of
+            the screening sweep.
+
+    Returns:
+        ``(B,)`` pickup-loop flux in ``units``.
+    """
+    from ..sweep import solve_many
+
+    device = sample_solution.device
+    length_units = device.length_units
+    current_units = sample_solution.current_units
+    dtype = device.solve_dtype
+    if batch_size is not None and batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}.")
+    if screening and squid_device is None:
+        raise ValueError("screening=True requires squid_device.")
+    if isinstance(pickup_loop, str) and squid_device is None:
+        raise ValueError(
+            "A named pickup_loop requires squid_device; otherwise pass an "
+            "explicit (k, 2) contour in sample length units."
+        )
+
+    positions = np.atleast_2d(np.asarray(positions, dtype=float))
+    B = positions.shape[0]
+    if squid_device is not None:
+        contour, z_loop = _pickup_contour(
+            squid_device, pickup_loop, length_units
+        )
+    else:
+        contour, z_loop = _ccw(np.asarray(pickup_loop, dtype=float)), 0.0
+    heights = np.asarray(squid_height, dtype=float)
+    if heights.ndim not in (0, 1) or (heights.ndim == 1 and heights.shape != (B,)):
+        raise ValueError(
+            f"squid_height must be a scalar or shape ({B},), got "
+            f"{np.shape(squid_height)}."
+        )
+    z_pl = heights + z_loop  # scalar or (B,)
+
+    sample_J = {
+        name: np.asarray(sample_solution.film_solutions[name].current_density)
+        for name in device.meshes
+    }
+    field_units = f"{current_units} / {length_units}"
+    mu0_flux = _global_ureg(f"1 mu_0 * {current_units} * {length_units}")
+
+    squid_model = None
+    if screening:
+        if squid_device.length_units != length_units:
+            raise ValueError(
+                "screening=True requires the SQUID and sample devices to "
+                f"share length units (got {squid_device.length_units!r} vs "
+                f"{length_units!r})."
+            )
+        squid_model = factorize_model(
+            device=squid_device, current_units=current_units
+        )
+
+    out = np.zeros(B, dtype=float)
+    for start in range(0, B, batch_size or B):
+        chunk = positions[start : start + (batch_size or B)]
+        Bc = chunk.shape[0]
+        h_chunk = heights if heights.ndim == 0 else heights[start : start + Bc]
+        z_chunk = z_pl if np.ndim(z_pl) == 0 else z_pl[start : start + Bc]
+
+        # Sample-current flux through the shifted contour.
+        pts = (contour[None, :, :] + chunk[:, None, :]).astype(dtype)
+        flux = _contour_flux(device, sample_J, pts, z_chunk, dtype)
+
+        if screening:
+            # Sample field at the shifted SQUID sites -> one batched
+            # screening solve of the undriven SQUID -> its currents' flux
+            # through the loop (fixed contour in the SQUID frame).
+            H_squid = _cross_field_maps(
+                src_dev=device,
+                src_Js=sample_J,
+                dst_dev=squid_device,
+                dst_z_offset=h_chunk,
+                shifts=chunk,
+                dtype=dtype,
+            )
+            squid_result = solve_many(
+                model=squid_model,
+                applied_field_arrays=H_squid,
+                field_units=field_units,
+                current_units=current_units,
+                iterations=iterations,
+                coupling=coupling,
+                sharding=sharding,
+            )
+            squid_J = {
+                name: np.asarray(squid_result.current_densities[name])
+                for name in squid_device.meshes
+            }
+            pts_sq = np.broadcast_to(
+                contour.astype(dtype)[None], (Bc,) + contour.shape
+            )
+            flux = flux + _contour_flux(
+                squid_device, squid_J, np.ascontiguousarray(pts_sq),
+                z_loop, dtype,
+            )
+
+        Phi = (flux * mu0_flux).to(units)
+        out[start : start + Bc] = Phi.magnitude
     if with_units:
         return out * _global_ureg(units)
     return out
@@ -504,24 +684,7 @@ def build_scan_forward(
     H_maps = {k: jnp.asarray(v, model.dtype) for k, v in H_maps.items()}
 
     squid = squid_solution.device
-    lf = _length_factor(squid.length_units, length_units)
-    z_loop = 0.0
-    if isinstance(pickup_loop, str):
-        for group in (squid.holes, squid.films, squid.abstract_regions):
-            if pickup_loop in group:
-                poly = group[pickup_loop]
-                contour = poly.points
-                if poly.layer is not None:
-                    z_loop = float(squid.layers[poly.layer].z0) * lf
-                break
-        else:
-            raise KeyError(
-                f"Polygon {pickup_loop!r} not found in SQUID device "
-                f"{squid.name!r}."
-            )
-    else:
-        contour = np.asarray(pickup_loop, dtype=float)
-    contour = _ccw(contour) * lf
+    contour, z_loop = _pickup_contour(squid, pickup_loop, length_units)
     heights = np.broadcast_to(np.asarray(squid_height, dtype=float), (B,))
     z_pl = heights + z_loop
 
@@ -631,9 +794,11 @@ def _cross_field_maps(
     dtype,
 ):
     """``{dst_film: (B, n_dst)}`` H_z at the destination device's sites from
-    per-position source currents, with the destination laterally shifted by
+    the source currents, with the destination laterally shifted by
     ``shifts[b]`` relative to the source frame.
 
+    ``src_Js[film]`` is ``(B, n_src, 2)`` (per-position currents) or
+    ``(n_src, 2)`` (one fixed distribution seen from every shift).
     ``dst_z_offset`` is the height of the destination device's ``z = 0``
     plane above the source device's (scalar or per-position ``(B,)``).
     Both devices must share length units.
@@ -665,7 +830,8 @@ def _cross_field_maps(
                 jax.vmap(
                     lambda p, j, d2: kernels.biot_savart_film_to_film_dz2(
                         sites, areas, j, p, d2
-                    )
+                    ),
+                    in_axes=(0, None if J.ndim == 2 else 0, 0),
                 )(eval_pts, J, dz2)
             )
             H = contrib if H is None else H + contrib

@@ -109,9 +109,10 @@ _UNIT_TABLE: Dict[str, Tuple[float, Dim, bool]] = {
     "mu_0": (1.25663706212e-06, (1, 1, -2, -2), False),
     "mu0": (1.25663706212e-06, (1, 1, -2, -2), False),
     "vacuum_permeability": (1.25663706212e-06, (1, 1, -2, -2), False),
-    # flux quantum Phi_0 = h / (2 e) [Wb]
-    "Phi_0": (2.067833848461929e-15, (2, 1, -2, -1), False),
-    "Phi0": (2.067833848461929e-15, (2, 1, -2, -1), False),
+    # flux quantum Phi_0 = h / (2 e) [Wb]; prefixable like pint's
+    # (mPhi_0/uPhi_0 readouts are standard in scanning-SQUID work)
+    "Phi_0": (2.067833848461929e-15, (2, 1, -2, -1), True),
+    "Phi0": (2.067833848461929e-15, (2, 1, -2, -1), True),
     # Bohr magneton [A m^2]
     "mu_B": (9.2740100783e-24, (2, 0, 0, 1), False),
     "bohr_magneton": (9.2740100783e-24, (2, 0, 0, 1), False),
