@@ -265,28 +265,37 @@ def cpu_baseline_measured(model, field_values, iterations):
     return factorize_s, sweep_s
 
 
-def _probe_tpu(timeout_s: float) -> bool:
+def _probe_tpu(timeout_s: float, attempts: int = 3, pause_s: float = 30.0) -> bool:
     """Check (in a subprocess, bounded) that the TPU backend initializes.
 
     The axon PJRT plugin tunnels to the chip; when the tunnel is wedged,
     backend init blocks indefinitely, which would hang the whole benchmark.
-    Probing in a killable child process keeps the parent safe.
+    Probing in a killable child process keeps the parent safe.  Wedges are
+    occasionally transient, so a failed probe is retried a few times before
+    giving up on the chip.
     """
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        _log(f"TPU probe timed out after {timeout_s:.0f}s")
-        return False
-    backend = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-    _log(f"TPU probe: rc={proc.returncode} backend={backend!r}")
-    return proc.returncode == 0 and backend not in ("", "cpu")
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"TPU probe {attempt}/{attempts} timed out after {timeout_s:.0f}s")
+            if attempt < attempts:
+                time.sleep(pause_s)
+            continue
+        backend = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        _log(f"TPU probe: rc={proc.returncode} backend={backend!r}")
+        if proc.returncode == 0 and backend not in ("", "cpu"):
+            return True
+        if attempt < attempts:
+            time.sleep(pause_s)
+    return False
 
 
 def main():

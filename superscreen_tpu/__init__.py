@@ -101,6 +101,7 @@ from .adjoint import AdjointModel, build_adjoint_model
 from .device import Device, EdgeMesh, Layer, Mesh, MeshOperators, Polygon
 from .device.mesh_generation import generate_mesh, smooth_mesh
 from .fluxoid import find_fluxoid_solution, make_fluxoid_polygons
+from .vortices import VortexLandscape, vortex_energy_landscape
 from .parameter import CompositeParameter, Constant, Parameter
 from .solution import FilmSolution, Fluxoid, Solution, Vortex
 from .solver import FactorizedModel, convert_field, factorize_model, solve

@@ -101,6 +101,10 @@ _UNIT_TABLE: Dict[str, Tuple[float, Dim, bool]] = {
     "henry": (1.0, (2, 1, -2, -2), False),
     # energy (occasionally useful)
     "J": (1.0, (2, 1, -2, 0), True),
+    "eV": (1.602176634e-19, (2, 1, -2, 0), True),
+    # force: N = kg m / s^2
+    "N": (1.0, (1, 1, -2, 0), True),
+    "newton": (1.0, (1, 1, -2, 0), False),
     # dimensionless helpers
     "dimensionless": (1.0, _DIMENSIONLESS, False),
     "pi": (_PI, _DIMENSIONLESS, False),
