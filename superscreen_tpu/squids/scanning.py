@@ -96,6 +96,20 @@ def _contour_flux(dev, Js, eval_pts, eval_z, dtype):
     return total
 
 
+def _resolve_heights(squid_height, B: int, dtype=float) -> np.ndarray:
+    """Validates a scalar-or-``(B,)`` scan-height spec and returns it as an
+    array (0-d for a scalar)."""
+    heights = np.asarray(squid_height, dtype=dtype)
+    if heights.ndim not in (0, 1) or (
+        heights.ndim == 1 and heights.shape != (B,)
+    ):
+        raise ValueError(
+            f"squid_height must be a scalar or shape ({B},), got "
+            f"{np.shape(squid_height)}."
+        )
+    return heights
+
+
 def _pickup_contour(squid, pickup_loop, length_units):
     """Resolve a pickup-loop spec to a closed CCW contour in ``length_units``
     plus the loop's layer height (0 for a bare coordinate array)."""
@@ -173,14 +187,7 @@ def applied_field_maps(
     positions = np.atleast_2d(np.asarray(positions, dtype=float))
     B = positions.shape[0]
     dtype = sample_device.solve_dtype
-    heights = np.asarray(squid_height, dtype=dtype)
-    if heights.ndim not in (0, 1) or (
-        heights.ndim == 1 and heights.shape != (B,)
-    ):
-        raise ValueError(
-            f"squid_height must be a scalar or shape ({B},), got "
-            f"{heights.shape}."
-        )
+    heights = _resolve_heights(squid_height, B, dtype)
     sheets = _gather_squid_sheets(
         squid_solution, sample_device.length_units, current_units
     )
@@ -315,12 +322,7 @@ def susceptibility_scan(
     # bare coordinate array).
     squid = squid_solution.device
     contour, z_loop = _pickup_contour(squid, pickup_loop, length_units)
-    heights = np.asarray(squid_height, dtype=float)
-    if heights.ndim not in (0, 1) or (heights.ndim == 1 and heights.shape != (B,)):
-        raise ValueError(
-            f"squid_height must be a scalar or shape ({B},), got "
-            f"{np.shape(squid_height)}."
-        )
+    heights = _resolve_heights(squid_height, B)
     z_pl = heights + z_loop  # scalar or (B,)
 
     field_units = f"{current_units} / {length_units}"
@@ -530,12 +532,7 @@ def magnetometry_scan(
         )
     else:
         contour, z_loop = _ccw(np.asarray(pickup_loop, dtype=float)), 0.0
-    heights = np.asarray(squid_height, dtype=float)
-    if heights.ndim not in (0, 1) or (heights.ndim == 1 and heights.shape != (B,)):
-        raise ValueError(
-            f"squid_height must be a scalar or shape ({B},), got "
-            f"{np.shape(squid_height)}."
-        )
+    heights = _resolve_heights(squid_height, B)
     z_pl = heights + z_loop  # scalar or (B,)
 
     sample_J = {

@@ -44,7 +44,6 @@ positive core stream (counter-clockwise currents, ``+z`` flux), and a
 probe is attracted toward the center of a screened film -- vortex trapping.
 """
 
-import logging
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Union
 
@@ -54,22 +53,12 @@ from .device import Device
 from .solution import Solution, Vortex
 from .units import ureg as _global_ureg
 
-logger = logging.getLogger("solve")
-
 __all__ = ["VortexLandscape", "vortex_energy_landscape"]
 
 
-def _response_diagonal(film_system, weights) -> np.ndarray:
-    """Per-site response ``g_self`` of a unit-flux probe, for every site of
-    the film system: ``d_j = -[(-A)^{-1}]_{jj}`` scaled by ``1 / w_j``.
-
-    Uses the same solve the vortex path of
-    :func:`superscreen_tpu.solver.solve_film.solve_film` uses, so the
-    landscape is exactly consistent with ``solve(vortices=[...])``.  With an
-    explicit-inverse factorization the diagonal is read off with no solve.
-    """
-    from .ops import linalg
-
+def _reject_matrix_free(film_system) -> None:
+    """Fails fast (before any background solve) for factorizations that
+    cannot produce a response diagonal."""
     lu_piv = film_system.lu_piv
     if lu_piv is None or (
         isinstance(lu_piv[0], str) and lu_piv[0] == "cg"
@@ -79,19 +68,48 @@ def _response_diagonal(film_system, weights) -> np.ndarray:
             "this film is in low-memory (matrix-free) mode. Lower the mesh "
             "size or raise SUPERSCREEN_TPU_MAX_MATERIALIZED_N."
         )
+
+
+def _response_diagonal(film_system, weights) -> np.ndarray:
+    """Per-site response ``g_self`` of a unit-flux probe, for every site of
+    the film system: ``d_j = -[(-A)^{-1}]_{jj}`` scaled by ``1 / w_j``.
+
+    Uses the same solve the vortex path of
+    :func:`superscreen_tpu.solver.solve_film.solve_film` uses, so the
+    landscape is exactly consistent with ``solve(vortices=[...])``.  With an
+    explicit-inverse factorization the diagonal is read on device (only
+    ``(n,)`` values cross the host link).  The result is drive-independent,
+    so it is cached on the film system: sweeps reusing one
+    :class:`FactorizedModel` pay for it once.
+    """
+    from .ops import linalg
+
+    _reject_matrix_free(film_system)
+    cached = getattr(film_system, "_response_diag", None)
+    if cached is not None:
+        return cached
+    lu_piv = film_system.lu_piv
     n = len(film_system.indices)
     if isinstance(lu_piv[0], str) and lu_piv[0] == "inv":
-        # x = M @ h solves (-A) x = h; the response column is -x.
-        diag = -np.asarray(np.diagonal(np.asarray(lu_piv[1])))[:n]
+        # x = M @ h solves (-A) x = h; the response column is -x.  Take the
+        # diagonal on device -- never materialize the (n, n) inverse on host.
+        import jax.numpy as jnp
+
+        diag = -np.asarray(jnp.diagonal(lu_piv[1]))[:n]
     else:
         # One batched identity solve (LU or Cholesky representation).
         diag = np.diagonal(
             -linalg.lu_solve(lu_piv, np.eye(n, dtype=np.asarray(weights).dtype))
         ).copy()
-    return diag / np.asarray(weights)[film_system.indices]
+    result = diag / np.asarray(weights)[film_system.indices]
+    try:
+        film_system._response_diag = result
+    except (AttributeError, TypeError):
+        pass
+    return result
 
 
-@dataclass
+@dataclass(eq=False)
 class VortexLandscape:
     """The free-energy landscape of a probe vortex in one film.
 
@@ -114,6 +132,8 @@ class VortexLandscape:
             background currents, in ``units``.
         units: Energy units of the stored arrays.
         background: The vortex-free background :class:`Solution`.
+        hole_indices: ``{hole_name: site indices}`` of the film's holes
+            (the landscape is undefined there).
     """
 
     film: str
@@ -123,6 +143,7 @@ class VortexLandscape:
     interaction: np.ndarray
     units: str
     background: Solution
+    hole_indices: Dict[str, np.ndarray] = field(default_factory=dict)
     _tri_index: object = field(default=None, repr=False)
 
     def total(self, nPhi0: float = 1.0) -> np.ndarray:
@@ -137,10 +158,8 @@ class VortexLandscape:
         plotting and as the input to :meth:`force`."""
         mesh = self.background.device.meshes[self.film]
         E = np.zeros(len(mesh.sites), dtype=float)
-        info = getattr(self, "_film_info", None)
-        if info is not None and len(info.hole_indices):
-            for idx in info.hole_indices.values():
-                E[idx] = np.nan
+        for idx in self.hole_indices.values():
+            E[idx] = np.nan
         E[self.indices] = self.total(nPhi0)
         return E
 
@@ -190,13 +209,9 @@ class VortexLandscape:
             dEdx = np.where(touched | bad, np.nan, dEdx)
             dEdy = np.where(touched | bad, np.nan, dEdy)
         if self._tri_index is None:
-            object.__setattr__(
-                self,
-                "_tri_index",
-                _interp.build_triangle_index(
-                    np.asarray(mesh.sites, dtype=float),
-                    np.asarray(mesh.elements),
-                ),
+            self._tri_index = _interp.build_triangle_index(
+                np.asarray(mesh.sites, dtype=float),
+                np.asarray(mesh.elements),
             )
         positions = np.atleast_2d(np.asarray(positions, dtype=float))
         Fx = -np.asarray(
@@ -296,6 +311,9 @@ def vortex_energy_landscape(
         film = film_names[0]
     if film not in film_names:
         raise KeyError(f"Film {film!r} not in device {device.name!r}.")
+    # Fail before paying for the background solve if the film cannot
+    # produce a response diagonal (matrix-free factorization).
+    _reject_matrix_free(model.film_systems[film])
 
     if applied_field is None:
         applied_field = ConstantField(0)
@@ -324,7 +342,7 @@ def vortex_energy_landscape(
 
     # E = Phi_0 * g, with g in current units.
     e_unit = _global_ureg(f"1 Phi_0 * {current_units}").to(units).magnitude
-    landscape = VortexLandscape(
+    return VortexLandscape(
         film=film,
         indices=indices,
         sites=sites,
@@ -332,6 +350,5 @@ def vortex_energy_landscape(
         interaction=e_unit * g_b,
         units=units,
         background=background,
+        hole_indices=dict(info.hole_indices),
     )
-    object.__setattr__(landscape, "_film_info", info)
-    return landscape

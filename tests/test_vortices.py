@@ -289,6 +289,52 @@ def test_transport_tilt():
     )
 
 
+def test_pinning_at_lambda_weak_spot(disk):
+    """The classic pinning-landscape use case: a defect with locally
+    suppressed superfluid density has an ENHANCED Lambda = lambda^2/d
+    (larger penetration depth), which lowers the probe's self-energy there
+    (thin-film vortex energy ~ Phi_0^2/Lambda): a pinning well."""
+    spot = (1.2, -0.8)
+
+    def weak_lambda(x, y, *, x0, y0):
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        bump = 1.5 * np.exp(-(((x - x0) ** 2 + (y - y0) ** 2) / (2 * 0.35**2)))
+        return 0.5 + bump
+
+    weak = sc.Device(
+        "weak",
+        layers=[
+            sc.Layer(
+                "L",
+                Lambda=sc.Parameter(weak_lambda, x0=spot[0], y0=spot[1]),
+                z0=0,
+            )
+        ],
+        films=[
+            sc.Polygon(
+                "disk", layer="L", points=sc.geometry.circle(4.0, points=120)
+            )
+        ],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    weak.make_mesh(min_points=1600, smooth=5)
+    ls = vortex_energy_landscape(weak, field_units="mT", current_units="mA")
+    d = np.linalg.norm(ls.sites - spot, axis=1)
+    at_spot = ls.self_energy[d < 0.25].mean()
+    ring = ls.self_energy[(d > 0.8) & (d < 1.2)].mean()
+    # The defect lowers the probe energy locally: a pinning well.
+    assert at_spot < 0.85 * ring
+    # The minimum energy site sits at the defect.
+    k_min_r = np.linalg.norm(
+        ls.sites[np.argmin(ls.self_energy + np.where(
+            np.linalg.norm(ls.sites, axis=1) > 3.0, np.inf, 0.0
+        ))] - spot
+    )
+    assert k_min_r < 0.3
+
+
 def test_validation(disk):
     with pytest.raises(ValueError, match="exactly one"):
         vortex_energy_landscape()
