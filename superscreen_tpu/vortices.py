@@ -151,6 +151,67 @@ class VortexLandscape:
         negative, e.g. ``-1`` for an antivortex)."""
         return nPhi0**2 * self.self_energy + nPhi0 * self.interaction
 
+    def to_hdf5(self, h5group) -> None:
+        """Saves the landscape (including its background Solution)."""
+        h5group.attrs["film"] = self.film
+        h5group.attrs["units"] = self.units
+        h5group["indices"] = np.asarray(self.indices)
+        h5group["sites"] = np.asarray(self.sites)
+        h5group["self_energy"] = np.asarray(self.self_energy)
+        h5group["interaction"] = np.asarray(self.interaction)
+        holes = h5group.create_group("hole_indices")
+        for name, idx in self.hole_indices.items():
+            holes[name] = np.asarray(idx)
+        self.background.to_hdf5(h5group.create_group("background"))
+
+    @classmethod
+    def from_hdf5(cls, h5group) -> "VortexLandscape":
+        return cls(
+            film=h5group.attrs["film"],
+            indices=np.asarray(h5group["indices"]),
+            sites=np.asarray(h5group["sites"]),
+            self_energy=np.asarray(h5group["self_energy"]),
+            interaction=np.asarray(h5group["interaction"]),
+            units=h5group.attrs["units"],
+            background=Solution.from_hdf5(h5group["background"]),
+            hole_indices={
+                name: np.asarray(idx)
+                for name, idx in h5group["hole_indices"].items()
+            },
+        )
+
+    def plot(self, nPhi0: float = 1.0, ax=None, cmap="viridis", **kwargs):
+        """Tripcolor plot of the total probe energy over the film.
+
+        Returns ``(fig, ax)`` like the package's other plot helpers.
+        """
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(constrained_layout=True)
+        else:
+            fig = ax.get_figure()
+        mesh = self.background.device.meshes[self.film]
+        E = self.energy_map(nPhi0)
+        tri = np.asarray(mesh.elements)
+        # Drop triangles touching hole sites (NaN energies).
+        keep = np.isfinite(E)[tri].all(axis=1)
+        pc = ax.tripcolor(
+            np.asarray(mesh.sites)[:, 0],
+            np.asarray(mesh.sites)[:, 1],
+            E,
+            triangles=tri[keep],
+            shading="gouraud",
+            cmap=cmap,
+            **kwargs,
+        )
+        cb = fig.colorbar(pc, ax=ax)
+        cb.set_label(f"probe vortex energy [{self.units}]")
+        ax.set_aspect("equal")
+        ax.set_xlabel(f"x [{self.background.device.length_units}]")
+        ax.set_ylabel(f"y [{self.background.device.length_units}]")
+        return fig, ax
+
     def energy_map(self, nPhi0: float = 1.0) -> np.ndarray:
         """Total energy on ALL mesh sites of the film: 0 on the film
         boundary (a vortex at the edge has left the film), NaN inside

@@ -335,6 +335,32 @@ def test_pinning_at_lambda_weak_spot(disk):
     assert k_min_r < 0.3
 
 
+def test_hdf5_roundtrip_and_plot(tmp_path, disk, zero_field_landscape):
+    import h5py
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from superscreen_tpu.vortices import VortexLandscape
+
+    ls = zero_field_landscape
+    path = tmp_path / "landscape.h5"
+    with h5py.File(path, "w") as f:
+        ls.to_hdf5(f.create_group("landscape"))
+    with h5py.File(path, "r") as f:
+        ls2 = VortexLandscape.from_hdf5(f["landscape"])
+    assert ls2.film == ls.film and ls2.units == ls.units
+    np.testing.assert_array_equal(ls2.indices, ls.indices)
+    np.testing.assert_allclose(ls2.self_energy, ls.self_energy)
+    np.testing.assert_allclose(ls2.interaction, ls.interaction)
+    # The restored landscape is fully functional (force path included).
+    F = ls2.force(np.array([[1.0, 0.5]]))
+    np.testing.assert_allclose(F, ls.force(np.array([[1.0, 0.5]])), rtol=1e-8)
+    fig, ax = ls2.plot()
+    plt.close(fig)
+
+
 def test_validation(disk):
     with pytest.raises(ValueError, match="exactly one"):
         vortex_energy_landscape()
