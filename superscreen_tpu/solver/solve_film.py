@@ -463,7 +463,14 @@ def factorize_linear_systems(
     pending_factorizations = []  # (film_name, neg_A, w_col)
     # Pad low-memory film systems to one common size so all films share a
     # single compiled factorization/solve on TPU (compile time dominates
-    # cold-start factorization otherwise).
+    # cold-start factorization otherwise).  Films that will route to the
+    # matrix-free CG path never materialize a system, so they must not
+    # inflate the shared pad size (one 80k CG film would otherwise blow a
+    # 20k film's system up to (80k, 80k) and OOM the chip).
+    lowmem_method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+    max_materialized = int(
+        os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
+    )
     lowmem_sizes = []
     for film_info in film_info_dict.values():
         if film_info.dense_kernel:
@@ -473,6 +480,8 @@ def factorize_linear_systems(
             ix = np.setdiff1d(
                 ix, np.concatenate(list(film_info.hole_indices.values()))
             )
+        if lowmem_method == "cg" or len(ix) > max_materialized:
+            continue
         lowmem_sizes.append(len(ix))
     pad_to = None
     if lowmem_sizes:
@@ -502,11 +511,10 @@ def factorize_linear_systems(
                     interior_indices,
                     np.concatenate(list(hole_indices.values())),
                 )
-            method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
-            max_materialized = int(
-                os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
-            )
-            if method == "cg" or len(interior_indices) > max_materialized:
+            if (
+                lowmem_method == "cg"
+                or len(interior_indices) > max_materialized
+            ):
                 # Matrix-free CG path: beyond ~65k interior sites even the
                 # (ni, ni) system / explicit inverse exceeds HBM; solves
                 # run as preconditioned CG with tiled kernel matvecs.
@@ -626,13 +634,24 @@ def factorize_linear_systems(
             )
 
         # The main film system: all sites in the film, not in a hole, and
-        # (for terminal films) not on the boundary.
+        # (for terminal films) not on the boundary.  For terminal films
+        # these index sets are exactly the terminal block's
+        # film_without_boundary(_or_holes) systems (interior_indices
+        # already excludes the boundary), so reuse that factorization
+        # instead of paying a duplicate O(n^3) factorization and holding a
+        # duplicate (n, n) system + inverse in HBM.
+        if film_name in device.terminals:
+            ts = terminal_systems[film_name]
+            film_systems[film_name] = (
+                ts.film_without_boundary_or_holes
+                if hole_indices
+                else ts.film_without_boundary
+            )
+            continue
         if hole_indices:
             interior_indices = np.setdiff1d(
                 interior_indices, np.concatenate(list(hole_indices.values()))
             )
-        if film_name in device.terminals:
-            interior_indices = np.setdiff1d(interior_indices, boundary_indices)
         A = make_system_2d(interior_indices)
         film_systems[film_name] = LinearSystem(
             A=A,

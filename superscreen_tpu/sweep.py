@@ -138,7 +138,13 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         if np.ndim(A_hole) == 1:
             hole_ha[k] = -np.asarray(A_hole)
         else:
-            hole_ha[k] = -(A_hole @ np.ones(len(idx), dtype=dtype))
+            # Precision-disciplined matvec: on TPU a plain `@` against a
+            # device-resident A_hole lowers to a single bf16 MXU pass.
+            from .solver.solve_film import _op_matvec
+
+            hole_ha[k] = -np.asarray(
+                _op_matvec(A_hole, np.ones(len(idx), dtype=dtype))
+            )
     # Vortex response columns (fixed vortex positions across the sweep;
     # amplitudes may still vary per sweep point via vortex_nphi0).
     vortex_cols = vortex_scales = vortex_nphi0 = None
@@ -348,13 +354,15 @@ def _solve_film_batch(
             return kernels._dot(data.fac_a, rhs)
     elif data.fac_kind == "chol":
         def solve(rhs):
+            # Same convention as ops/linalg._jax_chol_solve: L factors the
+            # SPD P with P diag(w) = A, so (-A) x = h => x = -cho_solve/w.
             # _widen_rhs: TPU TriangularSolve compiles pathologically for
             # RHS narrower than one sublane (ops/linalg._MIN_RHS_COLS).
             from .ops.linalg import _widen_rhs
 
             rhs, restore = _widen_rhs(rhs)
             y = restore(jax.scipy.linalg.cho_solve((data.fac_a, True), rhs))
-            return y / data.fac_b[:, None]
+            return -y / data.fac_b[:, None]
     else:
         def solve(rhs):
             from .ops.linalg import _widen_rhs
@@ -553,7 +561,6 @@ class SweepResult:
 _solve_film_batch_jit = partial(
     jax.jit, static_argnames=("refine_steps", "compute_self_field")
 )(_solve_film_batch)
-_film_to_film_batch_jit = jax.jit(_film_to_film_batch)
 _coupling_round_jit = partial(
     jax.jit, static_argnames=("films", "coupling")
 )(_coupling_round)
@@ -1080,10 +1087,12 @@ def solve_many(
         coupling: "exact" (O(n^2) pairwise Biot-Savart, the default),
             "fft" (analytic Fourier transfer on a shared grid,
             O(n + G^2 log G) per film pair; requires films on distinct
-            layer heights), or "auto" (picks "fft" when every film has at
-            least SUPERSCREEN_TPU_FFT_COUPLING_MIN_N sites -- default
-            64000, the measured v5e crossover, see docs/COUPLING.md --
-            and the layer heights are distinct; "exact" otherwise).
+            layer heights), or "auto" (a grid-aware per-round cost model
+            compares the two operators' work -- see
+            :func:`_resolve_auto_coupling` and docs/COUPLING.md; setting
+            SUPERSCREEN_TPU_FFT_COUPLING_MIN_N to a site count restores
+            plain threshold dispatch -- and falls back to "exact" when
+            layer heights coincide).
             Agreement between the two is limited by FFT wraparound
             (~7e-3 per application at the default padding) and the
             mesh's own quadrature error.
@@ -1112,6 +1121,11 @@ def solve_many(
             current_units=current_units,
             vortices=vortices,
         )
+    elif vortices is not None:
+        raise ValueError(
+            "If model is provided, vortices must be None -- bake them in "
+            "with factorize_model(vortices=...) or model.set_vortices(...)."
+        )
     device = model.device
     current_units = model.current_units
     dtype = device.solve_dtype
@@ -1136,7 +1150,16 @@ def solve_many(
                 "(the analytic transfer suppresses no wavenumbers at "
                 "dz=0); use coupling='exact'."
             )
-        grids = build_film_grid_data(device)
+        # The grid data depends only on the device geometry; cache it on
+        # the model so repeated solve_many calls skip the host-side
+        # trifinder/barycentric construction (seconds at large G).
+        grids = getattr(model, "_fft_grid_cache", None)
+        if grids is None:
+            grids = build_film_grid_data(device)
+            try:
+                model._fft_grid_cache = grids
+            except (AttributeError, TypeError):
+                pass
         film_data = {
             name: _replace(d, fft_grid=grids[name])
             for name, d in film_data.items()
@@ -1162,6 +1185,12 @@ def solve_many(
                     f"(B, {len(device.meshes[name].sites)}), got {arr.shape}."
                 )
             Hz_applied[name] = arr * field_conversion
+        batch_sizes = {name: a.shape[0] for name, a in Hz_applied.items()}
+        if len(set(batch_sizes.values())) > 1:
+            raise ValueError(
+                "applied_field_arrays must share one batch size across "
+                f"films, got {batch_sizes}."
+            )
         B = next(iter(Hz_applied.values())).shape[0]
         applied_field_funcs = None
     else:
@@ -1239,6 +1268,17 @@ def solve_many(
         I_circ = {k: jax.device_put(v, sharding) for k, v in I_circ.items()}
 
     if keep_history:
+        # History recording only exists as a fused single program; honor
+        # the user's intent behind SUPERSCREEN_TPU_FUSED_SWEEP=0 with a
+        # heads-up rather than silently compiling the big program.
+        import os
+
+        if os.environ.get("SUPERSCREEN_TPU_FUSED_SWEEP", "1") != "1":
+            logger.warning(
+                "keep_history=True always uses the fused single-program "
+                "runner (no staged history path); expect the one-time "
+                "fused compile despite SUPERSCREEN_TPU_FUSED_SWEEP=0."
+            )
         gs, Js_h, sfs, others_h = _run_sweep_history(
             film_data, Hz_applied, I_circ, vortex_flux, iterations,
             refine_steps, coupling,

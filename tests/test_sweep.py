@@ -567,3 +567,60 @@ def test_keep_history_matches_sequential_solve(two_rings):
             b = solution.film_solutions[name].stream
             scale = max(np.abs(b).max(), 1e-12)
             assert np.abs(a - b).max() < 1e-6 * scale, (it, name)
+
+
+def test_sweep_factorization_representations(two_rings):
+    """The batched sweep must solve identically through every factorization
+    representation: LAPACK/XLA LU, tagged Cholesky ('chol', L, w), and the
+    explicit inverse ('inv', M, w). Regression test for a sign error in the
+    chol branch of _solve_film_batch (the tagged representations only arise
+    on TPU for large films, so end-to-end tests never exercised them)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from superscreen_tpu.ops import linalg
+    from superscreen_tpu.sweep import _get_sweep_data
+
+    model = sc.factorize_model(device=two_rings, current_units="uA")
+    ref = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(0.5), sc.sources.ConstantField(2.0)],
+        field_units="mT",
+        iterations=1,
+    )
+    for kind in ("chol", "inv"):
+        swapped = dataclasses.replace(model)
+        swapped.film_systems = dict(model.film_systems)
+        for name, fs in model.film_systems.items():
+            A = jnp.asarray(np.asarray(fs.A, dtype=np.float64))
+            w = jnp.asarray(
+                np.asarray(model.film_info[name].weights, dtype=np.float64)[
+                    fs.indices
+                ]
+            )
+            if kind == "chol":
+                lu_piv = ("chol", linalg._jax_chol_factor(-A, w), w)
+            else:
+                lu_piv = ("inv", linalg._jax_chol_explicit_inverse(-A, w), w)
+            swapped.film_systems[name] = dataclasses.replace(
+                fs, lu_piv=lu_piv
+            )
+        # Bypass the per-model cache: sweep data is keyed on the model.
+        out = solve_many(
+            model=swapped,
+            applied_fields=[
+                sc.sources.ConstantField(0.5),
+                sc.sources.ConstantField(2.0),
+            ],
+            field_units="mT",
+            iterations=1,
+        )
+        for name in two_rings.films:
+            np.testing.assert_allclose(
+                np.asarray(out.streams[name]),
+                np.asarray(ref.streams[name]),
+                rtol=1e-5,
+                atol=1e-8 * np.abs(np.asarray(ref.streams[name])).max(),
+                err_msg=f"{kind} representation disagrees for {name}",
+            )
