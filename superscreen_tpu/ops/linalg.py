@@ -428,7 +428,7 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
         lu, piv = sla.lu_factor(np.asarray(neg_A))
         return lu, piv
     n = neg_A.shape[0]
-    method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+    method = _large_factor_method()
     if pad_to is not None and pad_to > n:
         # Pad to a common shape so multiple films share one compiled
         # factorization/solve; the pad block is the identity (decoupled).
@@ -444,19 +444,20 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
                 f"XLA TPU LU supports n <= {LU_MAX_N_TPU} (got {n}); pass "
                 "weights_col to enable the SPD inverse/Cholesky paths."
             )
-        if method == "chol":
-            L = _jax_chol_factor(jnp.asarray(neg_A), jnp.asarray(weights_col))
-            return ("chol", L, jnp.asarray(weights_col))
         from ..parallel import sharding as _psh
 
         factor_mesh = _psh.factorization_mesh()
         if factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1:
-            # GSPMD-sharded Schulz inverse: rows of P and X split over the
-            # model axis, collectives over ICI (set_factorization_mesh).
+            # An installed factorization mesh takes precedence over
+            # SUPERSCREEN_TPU_LARGE_FACTOR: GSPMD-sharded inverse, rows of
+            # P and X split over the model axis, collectives over ICI.
             M = _psh.sharded_spd_inverse(
                 factor_mesh, neg_A, jnp.asarray(weights_col)
             )
             return ("inv", M, jnp.asarray(weights_col))
+        if method == "chol":
+            L = _jax_chol_factor(jnp.asarray(neg_A), jnp.asarray(weights_col))
+            return ("chol", L, jnp.asarray(weights_col))
         if method == "schulz":
             M = _jax_spd_inverse(jnp.asarray(neg_A), jnp.asarray(weights_col))
         else:
@@ -468,6 +469,18 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
         return ("inv", M, jnp.asarray(weights_col))
     out = _jax_lu_factor(jnp.asarray(neg_A))
     return tuple(out)
+
+
+def _large_factor_method() -> str:
+    """Reads and validates SUPERSCREEN_TPU_LARGE_FACTOR (a typo would
+    otherwise silently select the default explicit inverse)."""
+    method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+    if method not in ("inv", "chol", "schulz", "cg"):
+        raise ValueError(
+            f"Unknown SUPERSCREEN_TPU_LARGE_FACTOR {method!r} "
+            "(expected 'inv', 'chol', 'schulz', or 'cg')."
+        )
+    return method
 
 def factor_system(A, weights_col):
     """Factorizes one film system given the system matrix ``A`` (solves
@@ -482,20 +495,22 @@ def factor_system(A, weights_col):
     if n <= LU_MAX_N_TPU:
         return tuple(_jax_lu_factor(-jnp.asarray(A)))
     w = jnp.asarray(weights_col)
-    method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
-    if method == "schulz":
-        return ("inv", _jax_spd_inverse(-jnp.asarray(A), w), w)
-    if method == "chol":
-        return ("chol", _jax_chol_factor(-jnp.asarray(A), w), w)
+    method = _large_factor_method()
     from ..parallel import sharding as _psh
 
     factor_mesh = _psh.factorization_mesh()
     if factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1:
+        # Same precedence as lu_factor: an installed factorization mesh
+        # wins over SUPERSCREEN_TPU_LARGE_FACTOR.
         return (
             "inv",
             _psh.sharded_spd_inverse(factor_mesh, -jnp.asarray(A), w),
             w,
         )
+    if method == "schulz":
+        return ("inv", _jax_spd_inverse(-jnp.asarray(A), w), w)
+    if method == "chol":
+        return ("chol", _jax_chol_factor(-jnp.asarray(A), w), w)
     return ("inv", _jax_chol_explicit_inverse_from_A(jnp.asarray(A), w), w)
 
 
@@ -581,13 +596,7 @@ def brandt_cg_solve(op, h, tol: float = 1e-6, maxiter: int = 1000):
         return brandt_matvec(op, v / w[:, None])
 
     # Jacobi preconditioner: diag(P) = diag(A) / w.
-    lam_diag = jax.ops.segment_sum(
-        jnp.where(op["lap_rows"] == op["lap_cols"], op["lap_vals"], 0.0),
-        op["lap_rows"],
-        num_segments=w.shape[0],
-    )
-    p_diag = op["diag"] - lam_diag / w
-    minv = jnp.where(jnp.abs(p_diag) > 0, 1.0 / p_diag, 1.0)[:, None]
+    minv = _jacobi_minv(op)
 
     b = -h
     bnorm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
@@ -673,7 +682,7 @@ def _warn_if_unconverged(res: float, tol: float, method: str) -> None:
         )
 
 
-def _bicgstab_state(op, minv, h):
+def _bicgstab_state(h):
     """Initial state for the right-preconditioned BiCGStab iteration on
     ``P z' = b`` with ``z = minv * z'`` implicit in the operator."""
     b = -h
@@ -729,7 +738,7 @@ def brandt_bicgstab_solve(op, h, tol: float = 1e-6, maxiter: int = 500):
     w = op["w_sub"]
     minv = _jacobi_minv(op)
     bnorm = jnp.maximum(jnp.linalg.norm(h, axis=0), 1e-30)
-    state0 = _bicgstab_state(op, minv, h)
+    state0 = _bicgstab_state(h)
 
     def cond(carry):
         st, k = carry
@@ -759,7 +768,7 @@ def brandt_bicgstab_solve_host(
     w = op["w_sub"]
     minv = _jacobi_minv(op)
     bnorm = jnp.maximum(jnp.linalg.norm(h, axis=0), 1e-30)
-    state = _bicgstab_state(op, minv, h)
+    state = _bicgstab_state(h)
     res = np.inf
     done = 0
     while done < maxiter:
@@ -790,13 +799,7 @@ def brandt_cg_solve_host(
     if squeeze:
         h = h[:, None]
     w = op["w_sub"]
-    lam_diag = jax.ops.segment_sum(
-        jnp.where(op["lap_rows"] == op["lap_cols"], op["lap_vals"], 0.0),
-        op["lap_rows"],
-        num_segments=w.shape[0],
-    )
-    p_diag = op["diag"] - lam_diag / w
-    minv = jnp.where(jnp.abs(p_diag) > 0, 1.0 / p_diag, 1.0)[:, None]
+    minv = _jacobi_minv(op)
     b = -h
     bnorm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
     x0 = jnp.zeros_like(b)

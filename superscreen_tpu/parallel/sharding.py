@@ -101,9 +101,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
-    """Places each film's sweep arrays on the mesh: the dense kernel ``Q``
-    and the system matrix ``A`` are sharded row-wise over ``model``;
-    everything else is replicated.
+    """Places each film's sweep arrays on the mesh: the dense kernel ``Q``,
+    the system matrix ``A`` (residual-refinement matvecs), and an
+    explicit-inverse factor ``fac_a`` are sharded row-wise over ``model``
+    (all matmul-only consumers, so GSPMD partitions them); LU/Cholesky
+    factors and everything else are replicated (triangular solves do not
+    partition row-wise).
 
     Args:
         film_data: ``{film_name: FilmSweepData}`` from
@@ -122,19 +125,25 @@ def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
         kwargs = {}
         for f in _FSD_STATIC_FIELDS:
             kwargs[f] = getattr(data, f)
+        # Row-shardable (n, n) operands: matmul-only consumers.  fac_a is
+        # only matmul-consumed for the explicit-inverse representation;
+        # LU/Cholesky factors feed triangular solves and stay replicated.
+        shardable = {"Q", "A"}
+        if data.fac_kind == "inv":
+            shardable.add("fac_a")
         for f in _FSD_ARRAY_FIELDS:
             val = getattr(data, f)
             if val is None:
                 kwargs[f] = None
                 continue
-            if f in ("Q",) and val.ndim == 2:
+            if f in shardable and val.ndim == 2 and val.shape[0] == val.shape[1]:
                 if val.shape[0] % mesh.shape["model"] == 0:
                     kwargs[f] = jax.device_put(val, row_sharded)
                 else:
                     logger.warning(
-                        f"Film {name!r}: Q has {val.shape[0]} rows, not "
+                        f"Film {name!r}: {f} has {val.shape[0]} rows, not "
                         f"divisible by the model axis "
-                        f"({mesh.shape['model']}); REPLICATING Q on every "
+                        f"({mesh.shape['model']}); REPLICATING {f} on every "
                         f"device ({val.nbytes / 1e9:.2f} GB each). Pad the "
                         f"mesh or change the model-axis size to shard it."
                     )
@@ -228,7 +237,6 @@ def self_field_diagonal(mesh, sites, weights):
     n = sites.shape[0]
     n_p = _round_up_div(n, mesh.shape["model"])
     sites_p = _pad_sites(sites, n_p - n)
-    w_p = jnp.pad(weights, (0, n_p - n))
     f = jax.shard_map(
         lambda s_shard, s_full, w_full: kernels.q_apply_rect(
             s_shard, s_full, w_full[:, None], use_pallas=True
@@ -332,15 +340,16 @@ def sharded_spd_inverse(mesh, neg_A, w_col, method: Optional[str] = None):
 
     if method is None:
         method = os.environ.get("SUPERSCREEN_TPU_SHARDED_FACTOR", "schur")
+    if method not in ("schur", "schulz"):
+        # Validate BEFORE the multi-GB device_put below.
+        raise ValueError(
+            f"Unknown sharded factorization method {method!r} "
+            "(expected 'schur' or 'schulz')."
+        )
     row = NamedSharding(mesh, P("model", None))
     replicated = NamedSharding(mesh, P())
     neg_A = jax.device_put(jnp.asarray(neg_A), row)
     w_col = jax.device_put(jnp.asarray(w_col), replicated)
     if method == "schulz":
         return linalg._jax_spd_inverse(neg_A, w_col)
-    if method != "schur":
-        raise ValueError(
-            f"Unknown sharded factorization method {method!r} "
-            "(expected 'schur' or 'schulz')."
-        )
     return linalg._jax_schur_explicit_inverse(neg_A, w_col)

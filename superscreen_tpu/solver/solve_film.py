@@ -467,7 +467,7 @@ def factorize_linear_systems(
     # matrix-free CG path never materialize a system, so they must not
     # inflate the shared pad size (one 80k CG film would otherwise blow a
     # 20k film's system up to (80k, 80k) and OOM the chip).
-    lowmem_method = os.environ.get("SUPERSCREEN_TPU_LARGE_FACTOR", "inv")
+    lowmem_method = linalg._large_factor_method()
     max_materialized = int(
         os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
     )
@@ -688,6 +688,23 @@ def _factorize_pending(film_systems, pending):
     budget = float(
         os.environ.get("SUPERSCREEN_TPU_FACTOR_BATCH_BYTES", 6e9)
     )
+    # The batched kernel is the single-device Cholesky explicit inverse;
+    # it cannot honor a non-default factorization method or a GSPMD
+    # factorization mesh, so fall back to per-film factor_system there
+    # rather than silently switching algorithms.
+    from ..parallel import sharding as _psh
+
+    factor_mesh = _psh.factorization_mesh()
+    mesh_active = (
+        factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1
+    )
+    if (
+        linalg._large_factor_method() != "inv"
+        or mesh_active
+    ):
+        for name, A, w_col in pending:
+            film_systems[name].lu_piv = linalg.factor_system(A, w_col)
+        return
     by_shape: Dict[tuple, list] = {}
     for entry in pending:
         by_shape.setdefault(entry[1].shape, []).append(entry)
@@ -1025,6 +1042,13 @@ def solve_film(
             scales[k] = vortex_flux * vortex.nPhi0 / weights[j_device]
         if hp_system is not None:
             K_cols = -refine.refined_solve(hp_system.A64, _precond, rhs)
+        elif A is not None:
+            # Refined like the main solve: the bf16 FACTOR_PRECISION
+            # default relies on solve-time refinement, and vortex response
+            # columns are physics outputs (streams, landscape energies).
+            K_cols = -linalg.lu_solve_refined(A, film_system.lu_piv, rhs)[
+                : len(indices)
+            ]
         else:
             K_cols = -linalg.lu_solve(film_system.lu_piv, rhs)[: len(indices)]
         g[indices] += K_cols @ scales

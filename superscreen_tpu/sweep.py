@@ -168,7 +168,14 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
             rhs[j_film, k] = 1.0
             scales[k] = 1.0 / info.weights[j_device]
             nphi0[k] = vortex.nPhi0
-        vortex_cols = jnp.asarray(-linalg.lu_solve(system.lu_piv, rhs))
+        if system.A is not None:
+            # Refined: vortex response columns feed physics outputs, and
+            # the bf16 FACTOR_PRECISION default counts on refinement.
+            vortex_cols = jnp.asarray(
+                -linalg.lu_solve_refined(system.A, system.lu_piv, rhs)
+            )
+        else:
+            vortex_cols = jnp.asarray(-linalg.lu_solve(system.lu_piv, rhs))
         vortex_scales = jnp.asarray(scales)
         vortex_nphi0 = jnp.asarray(nphi0)
     gx = mesh.operators.gradient_x

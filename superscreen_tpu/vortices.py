@@ -93,11 +93,26 @@ def _response_diagonal(film_system, weights) -> np.ndarray:
     if isinstance(lu_piv[0], str) and lu_piv[0] == "inv":
         # x = M @ h solves (-A) x = h; the response column is -x.  Take the
         # diagonal on device -- never materialize the (n, n) inverse on host.
+        # NOTE: with the default bf16 FACTOR_PRECISION the explicit inverse
+        # carries ~1e-3 relative error that normal solves remove by
+        # refinement; refining the full diagonal would cost more than the
+        # factorization itself, so landscape self-energies on large TPU
+        # films inherit that floor.  Set
+        # SUPERSCREEN_TPU_FACTOR_PRECISION=float32 before factorizing for
+        # ~1e-6-grade landscapes.
         import jax.numpy as jnp
 
         diag = -np.asarray(jnp.diagonal(lu_piv[1]))[:n]
+    elif film_system.A is not None:
+        # One batched refined identity solve (LU or Cholesky).
+        diag = np.diagonal(
+            -linalg.lu_solve_refined(
+                film_system.A,
+                lu_piv,
+                np.eye(n, dtype=np.asarray(weights).dtype),
+            )
+        ).copy()
     else:
-        # One batched identity solve (LU or Cholesky representation).
         diag = np.diagonal(
             -linalg.lu_solve(lu_piv, np.eye(n, dtype=np.asarray(weights).dtype))
         ).copy()
