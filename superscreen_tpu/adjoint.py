@@ -53,7 +53,6 @@ from .ops import kernels
 from .solver.utils import (
     field_conversion_factor,
     make_film_info,
-    stream_from_terminal_current,
 )
 from .solution import Vortex
 
@@ -325,9 +324,16 @@ class AdjointModel:
                 hz = np.zeros(data.n, dtype=self.dtype)
             else:
                 sites = np.asarray(data.sites)
+                # z as a per-site array: the solver convention every field
+                # source is written against (solver/solve.py passes
+                # np.full(len(sites), z0)).
                 hz = np.broadcast_to(
                     np.asarray(
-                        applied_field(sites[:, 0], sites[:, 1], data.z0),
+                        applied_field(
+                            sites[:, 0],
+                            sites[:, 1],
+                            np.full(data.n, data.z0),
+                        ),
                         dtype=self.dtype,
                     ),
                     (data.n,),
@@ -501,8 +507,6 @@ def build_adjoint_model(
         # Vortex sites snap to the nearest mesh site (same rule as
         # solve_film); rows index into the interior system.
         vortex_rows, vortex_sites = [], []
-        pos_in_ix = np.full(n, -1, dtype=np.int64)
-        pos_in_ix[ix] = np.arange(len(ix))
         for v in info.vortices:
             sites_ix = mesh.sites[ix]
             row = int(
@@ -517,23 +521,20 @@ def build_adjoint_model(
         # the boundary/triangle geometry used inside the trace.
         terminal_kwargs = {}
         if name in device.terminals:
+            from .solver.solve_film import boundary_stream_from_indices
+
             b_ix = np.asarray(info.boundary_indices, dtype=np.int64)
             boundary_points = mesh.sites[b_ix]
+            # Per-terminal unit streams through the solver's own boundary
+            # walk (single home of the index conventions).
             unit_streams = []
             terminal_names = []
             for terminal in device.terminals[name]:
-                ix_boundary = np.sort(
-                    terminal.contains_points(boundary_points, index=True)
+                unit_streams.append(
+                    boundary_stream_from_indices(
+                        device, name, b_ix, {terminal.name: 1.0}
+                    )
                 )
-                remaining_boundary = b_ix[ix_boundary[-1]:]
-                ix_terminal = b_ix[ix_boundary]
-                stream = stream_from_terminal_current(
-                    mesh.sites[ix_terminal], -1.0
-                )
-                u = np.zeros(n)
-                u[ix_terminal[:-1]] += stream
-                u[remaining_boundary] += stream[-1]
-                unit_streams.append(u)
                 terminal_names.append(terminal.name)
             centers = 0.5 * (boundary_points + np.roll(boundary_points, -1, axis=0))
             lengths, normals = path_vectors(close_curve(boundary_points))

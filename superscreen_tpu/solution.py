@@ -159,6 +159,8 @@ def _normalize_coordinates(positions, zs, dtype):
         if zs is not None:
             raise ValueError("zs cannot be given when positions are (m, 3).")
         return xy[:, :2], xy[:, 2]
+    if zs is None:
+        raise ValueError("zs must be provided when positions are (m, 2).")
     z = np.squeeze(np.asarray(zs))
     if z.ndim == 0:
         z = np.full(xy.shape[0], z.item(), dtype=dtype)
@@ -589,9 +591,10 @@ class Solution:
         for name, film in device.films.items():
             layer = device.layers[film.layer]
             result = np.zeros(out_shape, dtype=dtype)
-            coplanar = np.zeros(len(xy), dtype=bool)
-            if np.all(z == layer.z0):
-                coplanar = film.contains_points(xy)
+            # Per-point: a query AT the film plane and inside the film must
+            # use mesh interpolation (the dz=0 Biot-Savart sum is singular
+            # there); mixed-z batches get the mask applied pointwise.
+            coplanar = (z == layer.z0) & film.contains_points(xy)
             if coplanar.any():
                 sampled = self.interp_field(
                     xy[coplanar],
@@ -669,9 +672,9 @@ class Solution:
         applied = np.zeros(len(xy), dtype=dtype)
         covered = np.zeros(len(xy), dtype=bool)
         for name, film in device.films.items():
-            if not np.all(z == device.layers[film.layer].z0):
-                continue
-            inside = film.contains_points(xy)
+            inside = (z == device.layers[film.layer].z0) & film.contains_points(
+                xy
+            )
             covered |= inside
             if inside.any():
                 applied[inside] = self.interp_field(
@@ -734,9 +737,22 @@ class Solution:
         potentials = {}
         for name, film in device.films.items():
             layer = device.layers[film.layer]
-            if np.all(z == layer.z0) and film.contains_points(xy).all():
+            # The 1/|r - r'| kernel is singular for points ON the film.
+            # Match the reference contract (raise only when every point is
+            # in-film, reference solution.py:912-915) but warn loudly on
+            # partially-in-film batches, whose in-film rows are
+            # mesh-regularized at best.
+            in_film = (z == layer.z0) & film.contains_points(xy)
+            if in_film.all():
                 raise ValueError(
                     f"Cannot evaluate vector potential inside the film ({name!r})."
+                )
+            if in_film.any():
+                logger.warning(
+                    f"vector_potential_at_position: {int(in_film.sum())} "
+                    f"point(s) lie inside film {name!r} at its plane; their "
+                    "rows are mesh-regularized (the continuum integral is "
+                    "singular there)."
                 )
             mesh = device.meshes[name]
             # Blocked device kernel (the reference materializes the dense

@@ -155,10 +155,12 @@ class FactorizedModel:
             }
 
     def set_vortices(self, vortices: Sequence[Vortex]) -> None:
-        """Sets the vortices without re-factorizing."""
-        per_film = {name: [] for name in self.film_info}
-        for vortex in vortices:
-            per_film[vortex.film].append(vortex)
+        """Sets the vortices without re-factorizing (with the same
+        placement validation as :func:`factorize_model`)."""
+        from .utils import get_holes_and_vortices_by_film
+
+        # Validates film names, in-film placement, and not-in-hole.
+        per_film = get_holes_and_vortices_by_film(self.device, list(vortices))[1]
         for name, info in self.film_info.items():
             info.vortices = tuple(per_film[name])
         self.vortices = {
@@ -166,7 +168,21 @@ class FactorizedModel:
         }
 
     def copy(self) -> "FactorizedModel":
-        return copy.copy(self)
+        """A copy sharing the (immutable, expensive) factorizations but
+        with independent drive state, so ``set_circulating_currents`` /
+        ``set_vortices`` on the copy never mutate the original."""
+        new = copy.copy(self)
+        new.film_info = {
+            name: copy.copy(info) for name, info in self.film_info.items()
+        }
+        for info in new.film_info.values():
+            info.circulating_currents = dict(info.circulating_currents)
+        new.circulating_currents = dict(self.circulating_currents)
+        new.terminal_currents = {
+            k: dict(v) for k, v in self.terminal_currents.items()
+        }
+        new.vortices = dict(self.vortices)
+        return new
 
 
 def factorize_model(
@@ -197,8 +213,34 @@ def factorize_model(
         film_name: currents_to_floats(currents, ureg, current_units)
         for film_name, currents in (terminal_currents or {}).items()
     }
+    # Validate names up front: a misspelled hole/film/terminal key would
+    # otherwise be silently dropped by the .get(name, 0) lookups downstream
+    # and produce wrong physics with no error.
+    unknown_holes = set(circulating_currents) - set(device.holes)
+    if unknown_holes:
+        raise KeyError(
+            "circulating_currents contains keys not in device.holes: "
+            f"{sorted(unknown_holes)!r}"
+        )
     for film_name, currents in terminal_currents.items():
-        if sum(currents.values()):
+        if film_name not in device.terminals:
+            raise KeyError(
+                f"terminal_currents film {film_name!r} has no terminals "
+                f"(films with terminals: {sorted(device.terminals)!r})."
+            )
+        terminal_names = {t.name for t in device.terminals[film_name]}
+        unknown = set(currents) - terminal_names
+        if unknown:
+            raise KeyError(
+                f"terminal_currents[{film_name!r}] contains unknown "
+                f"terminals {sorted(unknown)!r} "
+                f"(have: {sorted(terminal_names)!r})."
+            )
+        # Conservation up to float rounding (an exact truth test rejects
+        # validly conserved multi-terminal drives like 0.1 + 0.2 - 0.3).
+        total = sum(currents.values())
+        scale = max((abs(c) for c in currents.values()), default=0.0)
+        if abs(total) > 1e-9 * max(1.0, scale):
             raise ValueError(
                 f"Terminal currents in film {film_name!r} are not conserved."
             )

@@ -783,13 +783,29 @@ def terminal_boundary_stream(
     """Raw (uncentered) boundary stream of a transport drive: ``(n,)``
     with the boundary entries set and interior zeros.  Linear in the
     terminal currents (reference ``solve_film.py:347-357``)."""
-    mesh = device.meshes[film_info.name]
+    return boundary_stream_from_indices(
+        device,
+        film_info.name,
+        np.asarray(terminal_systems.boundary.indices),
+        terminal_currents,
+    )
+
+
+def boundary_stream_from_indices(
+    device: Device,
+    film_name: str,
+    boundary_indices: np.ndarray,
+    terminal_currents: Dict[str, float],
+) -> np.ndarray:
+    """The terminal boundary walk given explicit CCW boundary indices (the
+    single home of the ``ix_terminal[:-1]`` / ``remaining_boundary``
+    conventions -- also reused by the adjoint model)."""
+    mesh = device.meshes[film_name]
     points = mesh.sites
     npoints = len(points)
-    boundary_indices = terminal_systems.boundary.indices
     boundary_points = points[boundary_indices]
     g = np.zeros(npoints)
-    for terminal in device.terminals[film_info.name]:
+    for terminal in device.terminals[film_name]:
         current = terminal_currents.get(terminal.name, 0.0)
         ix_boundary = np.sort(
             terminal.contains_points(boundary_points, index=True)

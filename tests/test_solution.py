@@ -246,3 +246,104 @@ def test_current_through_two_point_path(solution):
     )
     assert I2 != 0.0
     assert np.isclose(I2, Imany, rtol=0.1)
+
+
+def test_mixed_z_field_query(solution, device):
+    """A batch mixing an in-plane in-film point with an off-plane point
+    must treat each point by its own z (regression: the in-plane point
+    previously fell through to the singular dz=0 Biot-Savart sum)."""
+    mesh = device.meshes["disk"]
+    idx = mesh.closest_site((0.5, 0.5))
+    site = mesh.sites[idx]
+    mixed = np.array([[site[0], site[1], 0.0], [site[0], site[1], 2.0]])
+    B_mixed = np.asarray(solution.field_at_position(mixed, with_units=False))
+    B_plane = float(
+        np.squeeze(
+            solution.field_at_position(
+                np.atleast_2d(site), zs=0.0, with_units=False
+            )
+        )
+    )
+    B_above = float(
+        np.squeeze(
+            solution.field_at_position(
+                np.atleast_2d(site), zs=2.0, with_units=False
+            )
+        )
+    )
+    np.testing.assert_allclose(B_mixed, [B_plane, B_above], rtol=1e-10)
+
+
+def test_zs_required_for_2d_positions(solution):
+    with pytest.raises(ValueError, match="zs must be provided"):
+        solution.field_at_position(np.array([[0.0, 0.0]]))
+
+
+def test_factorized_model_validation_and_copy(device):
+    """Misspelled drive names raise instead of being silently dropped;
+    conservation tolerates float rounding; copy() is drive-independent."""
+    with pytest.raises(KeyError, match="not in device.holes"):
+        sc.factorize_model(
+            device=device, current_units="uA", circulating_currents={"typo": 1.0}
+        )
+    model = sc.factorize_model(
+        device=device,
+        current_units="uA",
+        circulating_currents={"ring_hole": 1.0},
+    )
+    m2 = model.copy()
+    m2.set_circulating_currents({"ring_hole": 5.0})
+    assert model.circulating_currents["ring_hole"] == 1.0
+    assert model.film_info["ring"].circulating_currents["ring_hole"] == 1.0
+    assert m2.film_info["ring"].circulating_currents["ring_hole"] == 5.0
+    # set_vortices on the copy validates placement and leaves the original.
+    with pytest.raises(ValueError):
+        m2.set_vortices([sc.Vortex(x=100.0, y=0.0, film="disk")])
+    m2.set_vortices([sc.Vortex(x=0.5, y=0.0, film="disk")])
+    assert len(model.film_info["disk"].vortices) == 0
+    assert len(m2.film_info["disk"].vortices) == 1
+
+
+def test_terminal_currents_validation():
+    strip = sc.Device(
+        "strip",
+        layers=[sc.Layer("L", Lambda=1.0, z0=0)],
+        films=[
+            sc.Polygon(
+                "strip", layer="L", points=geo.box(4.0, 8.0, points=201)
+            )
+        ],
+        terminals={
+            "strip": [
+                sc.Polygon("source", points=geo.box(4.0, 0.1, center=(0, 4.0))),
+                sc.Polygon("d1", points=geo.box(1.5, 0.1, center=(-1, -4.0))),
+                sc.Polygon("d2", points=geo.box(1.5, 0.1, center=(1, -4.0))),
+            ]
+        },
+        length_units="um",
+    )
+    strip.make_mesh(min_points=800, smooth=2, preserve_boundary=True)
+    with pytest.raises(KeyError, match="unknown terminals"):
+        sc.factorize_model(
+            device=strip,
+            current_units="mA",
+            terminal_currents={"strip": {"sourcee": 1.0, "d1": -1.0}},
+        )
+    with pytest.raises(KeyError, match="no terminals"):
+        sc.factorize_model(
+            device=strip,
+            current_units="mA",
+            terminal_currents={"stripp": {"source": 1.0, "d1": -1.0}},
+        )
+    with pytest.raises(ValueError, match="not conserved"):
+        sc.factorize_model(
+            device=strip,
+            current_units="mA",
+            terminal_currents={"strip": {"source": 1.0, "d1": -0.5}},
+        )
+    # Conserved up to float rounding: 0.1 + 0.2 - 0.3 != 0 exactly.
+    sc.factorize_model(
+        device=strip,
+        current_units="mA",
+        terminal_currents={"strip": {"source": 0.1, "d1": 0.2, "d2": -0.3}},
+    )
