@@ -87,7 +87,10 @@ def coo_matvec(coo: COO, x):
 def coo_to_dense(coo: COO, dtype=None, like: Literal["numpy", "jax"] = "numpy"):
     """Densify a COO matrix (duplicates summed)."""
     if like == "jax":
-        out = jnp.zeros(coo.shape, dtype=dtype or coo.vals.dtype)
+        # Canonicalize so an f64 request on an f32-only backend (x64
+        # disabled, e.g. TPU) downcasts silently instead of warning.
+        out_dtype = jax.dtypes.canonicalize_dtype(dtype or coo.vals.dtype)
+        out = jnp.zeros(coo.shape, dtype=out_dtype)
         return out.at[coo.rows, coo.cols].add(coo.vals.astype(out.dtype))
     out = np.zeros(coo.shape, dtype=dtype or coo.vals.dtype)
     np.add.at(out, (coo.rows, coo.cols), coo.vals.astype(out.dtype))
