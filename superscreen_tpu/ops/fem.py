@@ -85,7 +85,17 @@ def coo_matvec(coo: COO, x):
 
 
 def coo_to_dense(coo: COO, dtype=None, like: Literal["numpy", "jax"] = "numpy"):
-    """Densify a COO matrix (duplicates summed)."""
+    """Densify a COO matrix (duplicates summed).
+
+    .. note::
+       With ``like="jax"`` the requested ``dtype`` is canonicalized for the
+       active backend: if ``jax_enable_x64`` is OFF (the default on TPU), an
+       explicit ``float64`` request is **silently downcast to float32** — no
+       warning is emitted. Callers that genuinely need f64 device arrays must
+       enable x64 (``jax.config.update("jax_enable_x64", True)``), which
+       preserves the requested dtype. The ``like="numpy"`` path always honors
+       the dtype exactly.
+    """
     if like == "jax":
         # Canonicalize so an f64 request on an f32-only backend (x64
         # disabled, e.g. TPU) downcasts silently instead of warning.
