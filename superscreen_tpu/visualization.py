@@ -97,17 +97,17 @@ def auto_grid(
         kwargs: Passed to ``plt.subplots``.
 
     Returns:
-        ``(fig, axes)`` with axes a flat ndarray.
+        ``(fig, axes)`` with axes an ndarray.
     """
-    ncols = min(max_cols, num_plots)
-    nrows = int(np.ceil(num_plots / ncols))
+    num_plots = int(num_plots)
+    ncols = max(1, min(int(max_cols), num_plots))
+    nrows = -(-num_plots // ncols)  # ceil division
     fig, axes = plt.subplots(nrows, ncols, **kwargs)
-    if not isinstance(axes, (list, np.ndarray)):
-        axes = np.array([axes])
+    axes = np.atleast_1d(np.asarray(axes, dtype=object))
     if delaxes:
-        flat_axes = list(axes.flat)
-        for ax in flat_axes[num_plots:]:
-            fig.delaxes(ax)
+        # Trailing cells of the grid beyond num_plots are blank fill.
+        for unused in axes.flat[num_plots:]:
+            unused.remove()
     return fig, axes
 
 
@@ -138,35 +138,30 @@ def setup_color_limits(
     Returns:
         ``{name: (vmin, vmax)}``.
     """
-    if (vmin is not None and vmax is None) or (vmax is not None and vmin is None):
+    has_min, has_max = vmin is not None, vmax is not None
+    if has_min != has_max:
         raise ValueError("If either vmin or vmax is provided, both must be provided.")
-    if vmin is not None:
-        return {name: (vmin, vmax) for name in dict_of_arrays}
+    if has_min:
+        # Explicit limits override every other option.
+        return dict.fromkeys(dict_of_arrays, (vmin, vmax))
 
-    if auto_range_cutoff is None:
-        clims = {
-            name: (np.nanmin(array), np.nanmax(array))
-            for name, array in dict_of_arrays.items()
-        }
-    else:
-        clims = {
-            name: auto_range_iqr(array, cutoff_percentile=auto_range_cutoff)
-            for name, array in dict_of_arrays.items()
-        }
+    def one_array_limits(array: np.ndarray) -> Tuple[float, float]:
+        if auto_range_cutoff is not None:
+            return auto_range_iqr(array, cutoff_percentile=auto_range_cutoff)
+        array = np.asarray(array)
+        return float(np.nanmin(array)), float(np.nanmax(array))
 
-    if share_color_scale:
-        global_vmin = np.inf
-        global_vmax = -np.inf
-        for name, (lo, hi) in clims.items():
-            global_vmin = min(lo, global_vmin)
-            global_vmax = max(hi, global_vmax)
-        clims = {name: (global_vmin, global_vmax) for name in dict_of_arrays}
+    clims = {name: one_array_limits(arr) for name, arr in dict_of_arrays.items()}
+
+    if share_color_scale and clims:
+        lows, highs = zip(*clims.values())
+        clims = dict.fromkeys(clims, (min(lows), max(highs)))
 
     if symmetric_color_scale:
-        clims = {
-            name: (-np.max(np.abs(clim)), np.max(np.abs(clim)))
-            for name, clim in clims.items()
-        }
+        for name, (lo, hi) in clims.items():
+            bound = max(abs(lo), abs(hi))
+            clims[name] = (-bound, bound)
+
     return clims
 
 
@@ -446,20 +441,21 @@ def plot_fields(
 
     units = units or solution.field_units
 
+    dataset_attrs = {
+        "field": "total_field",
+        "self_field": "self_field",
+        "applied_field": "applied_field",
+        "field_from_other_films": "field_from_other_films",
+    }
+    if dataset not in dataset_attrs:
+        raise ValueError(f"Invalid dataset: {dataset!r}.")
+
     def get_array(name):
         fs = solution.film_solutions[name]
-        if dataset == "field":
-            field = fs.total_field
-        elif dataset == "self_field":
-            field = fs.self_field
-        elif dataset == "applied_field":
-            field = fs.applied_field
-        elif dataset == "field_from_other_films":
-            field = fs.field_from_other_films
-            if field is None:
-                field = np.zeros(len(solution.device.meshes[name].sites))
-        else:
-            raise ValueError(f"Invalid dataset: {dataset!r}.")
+        field = getattr(fs, dataset_attrs[dataset])
+        if field is None:
+            # Only field_from_other_films may be absent (single-film solve).
+            field = np.zeros(len(solution.device.meshes[name].sites))
         if normalize:
             return field / fs.applied_field
         return convert_field(
@@ -537,12 +533,12 @@ def plot_currents(
     """
     device = solution.device
     units = units or f"{solution.current_units} / {device.length_units}"
-    if films is None:
-        films = list(device.films)
     if isinstance(films, str):
         films = [films]
-    if isinstance(grid_shape, int):
-        grid_shape = (grid_shape, grid_shape)
+    films = list(device.films) if films is None else list(films)
+    grid_shape = (
+        (grid_shape, grid_shape) if isinstance(grid_shape, int) else tuple(grid_shape)
+    )
 
     def get_array(name):
         J = (
