@@ -100,7 +100,73 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
+def _pad_film_site_axis(data, n_model: int):
+    """Zero-pads a :class:`FilmSweepData`'s site axis so ``n`` divides the
+    ``model`` mesh axis, making the dense kernel ``Q`` row-shardable.
+
+    Padded sites are placed at distinct far-away dummy coordinates (so every
+    pairwise kernel stays finite) with unit vertex weight (the matrix-free
+    self-field divides by weights, so zero would NaN its padded rows); their
+    current density is exactly zero (the sparse gradients never scatter to
+    them), so they contribute nothing as Biot-Savart sources, and they are
+    never interior sites, so they contribute nothing to any solve.  Returns
+    a new ``FilmSweepData`` with ``n`` updated to the padded size (callers
+    build sweep inputs from the returned ``n``; :func:`shard_sweep_inputs`
+    pads pre-built inputs).
+    """
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    n = data.n
+    n_p = _round_up_div(n, n_model)
+    pad = n_p - n
+    if pad == 0:
+        return data
+    if data.fft_grid is not None:
+        # The FFT-coupling grid data indexes the unpadded sites; padding
+        # underneath it would corrupt the interpolation.  Replication of Q
+        # (the fallback below) is the safe behavior here.
+        logger.warning(
+            f"Film {data.name!r}: not padding the site axis because FFT "
+            "coupling grid data is attached; Q will be replicated."
+        )
+        return data
+
+    def zpad(arr, axis):
+        if arr is None:
+            return None
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(jnp.asarray(arr), widths)
+
+    weights = jnp.asarray(data.weights)
+    weights_p = jnp.concatenate(
+        [weights, jnp.ones(pad, dtype=weights.dtype)]
+    )
+    new = dict(
+        n=n_p,
+        sites=_pad_sites(jnp.asarray(data.sites), pad),
+        weights=weights_p,
+        Q=None if data.Q is None else zpad(zpad(data.Q, 0), 1),
+        hole_masks=zpad(data.hole_masks, 1),
+        hole_ha_vecs=zpad(data.hole_ha_vecs, 1),
+        g_offset=(
+            None
+            if data.g_offset is None
+            else zpad(data.g_offset, data.g_offset.ndim - 1)
+        ),
+        ha_offset=(
+            None
+            if data.ha_offset is None
+            else zpad(data.ha_offset, data.ha_offset.ndim - 1)
+        ),
+    )
+    return replace(data, **new)
+
+
+def sharded_film_data(
+    film_data: Dict[str, "object"], mesh: Mesh, pad_to_shardable: bool = True
+):
     """Places each film's sweep arrays on the mesh: the dense kernel ``Q``,
     the system matrix ``A`` (residual-refinement matvecs), and an
     explicit-inverse factor ``fac_a`` are sharded row-wise over ``model``
@@ -112,6 +178,11 @@ def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
         film_data: ``{film_name: FilmSweepData}`` from
             :mod:`superscreen_tpu.sweep`.
         mesh: The device mesh.
+        pad_to_shardable: Pad each film's site axis (far-away zero-weight
+            dummy sites) so ``n`` divides the ``model`` axis and ``Q``
+            row-shards instead of replicating.  Build sweep inputs from the
+            returned films' ``n`` (or pass the returned dict to
+            :func:`shard_sweep_inputs` to pad pre-built inputs).
 
     Returns:
         A new ``{film_name: FilmSweepData}`` with device-placed arrays.
@@ -120,8 +191,11 @@ def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
 
     row_sharded = NamedSharding(mesh, P("model", None))
     replicated = replicated_sharding(mesh)
+    n_model = mesh.shape["model"]
     out = {}
     for name, data in film_data.items():
+        if pad_to_shardable and n_model > 1:
+            data = _pad_film_site_axis(data, n_model)
         kwargs = {}
         for f in _FSD_STATIC_FIELDS:
             kwargs[f] = getattr(data, f)
@@ -137,13 +211,13 @@ def sharded_film_data(film_data: Dict[str, "object"], mesh: Mesh):
                 kwargs[f] = None
                 continue
             if f in shardable and val.ndim == 2 and val.shape[0] == val.shape[1]:
-                if val.shape[0] % mesh.shape["model"] == 0:
+                if val.shape[0] % n_model == 0:
                     kwargs[f] = jax.device_put(val, row_sharded)
                 else:
                     logger.warning(
                         f"Film {name!r}: {f} has {val.shape[0]} rows, not "
                         f"divisible by the model axis "
-                        f"({mesh.shape['model']}); REPLICATING {f} on every "
+                        f"({n_model}); REPLICATING {f} on every "
                         f"device ({val.nbytes / 1e9:.2f} GB each). Pad the "
                         f"mesh or change the model-axis size to shard it."
                     )
@@ -158,10 +232,23 @@ def shard_sweep_inputs(
     Hz_applied: Dict[str, np.ndarray],
     I_circ: Dict[str, np.ndarray],
     mesh: Mesh,
+    film_data: Optional[Dict[str, "object"]] = None,
 ) -> Tuple[Dict, Dict]:
-    """Shards the sweep right-hand sides over the ``data`` axis."""
+    """Shards the sweep right-hand sides over the ``data`` axis.
+
+    Pass ``film_data`` (the dict returned by :func:`sharded_film_data`) when
+    the applied fields were built against the UNPADDED meshes: each film's
+    ``Hz`` is zero-padded on the site axis to that film's (possibly padded)
+    ``n`` so shapes agree inside the sweep.  Padded sites are never interior
+    sites, so the pad values are inert.
+    """
     sh = NamedSharding(mesh, P("data", None))
-    Hz = {k: jax.device_put(np.asarray(v), sh) for k, v in Hz_applied.items()}
+    Hz = {}
+    for k, v in Hz_applied.items():
+        v = np.asarray(v)
+        if film_data is not None and film_data[k].n > v.shape[1]:
+            v = np.pad(v, ((0, 0), (0, film_data[k].n - v.shape[1])))
+        Hz[k] = jax.device_put(v, sh)
     Ic = {k: jax.device_put(np.asarray(v), sh) for k, v in I_circ.items()}
     return Hz, Ic
 

@@ -157,12 +157,22 @@ def test_sharded_sweep(two_rings, model):
     }
     ref = _run_sweep(film_data, Hz, I_circ, 1645.5, 1, 1)
     film_data_sharded = sharded_film_data(film_data, mesh)
-    Hz_s, I_s = shard_sweep_inputs(Hz, I_circ, mesh)
+    # The site axis is padded to divide the model axis so Q row-shards.
+    for name in films:
+        Q = film_data_sharded[name].Q
+        assert Q.shape[0] % mesh.shape["model"] == 0
+        assert not Q.sharding.is_fully_replicated
+    Hz_s, I_s = shard_sweep_inputs(
+        Hz, I_circ, mesh, film_data=film_data_sharded
+    )
     out = _run_sweep(film_data_sharded, Hz_s, I_s, 1645.5, 1, 1)
     for name in films:
+        n = film_data[name].n
         a = np.asarray(ref[0][name])
         b = np.asarray(out[0][name])
-        assert np.allclose(a, b, rtol=1e-10, atol=1e-12)
+        assert np.allclose(a, b[:, :n], rtol=1e-10, atol=1e-12)
+        # Padded sites carry exactly zero stream.
+        assert np.all(b[:, n:] == 0.0)
 
 
 def test_make_mesh_validation():
