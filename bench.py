@@ -149,7 +149,167 @@ def tpu_workload(model, B, iterations, field_values):
         jax.block_until_ready(out)
         return out
 
-    return run
+    return run, film_data, Hz
+
+
+def _solve_op(data):
+    """The film's device solution operator: ``x = solve(rhs)`` solves
+    ``(-A) x = rhs`` (same conventions as sweep._solve_film_batch)."""
+    import jax
+
+    if data.fac_kind == "inv":
+        return jax.jit(lambda rhs: data.fac_a @ rhs)
+    if data.fac_kind == "chol":
+        def chol(rhs):
+            import jax.scipy.linalg as jsla
+
+            from superscreen_tpu.ops.linalg import _widen_rhs
+
+            rhs, restore = _widen_rhs(rhs)
+            y = restore(jsla.cho_solve((data.fac_a, True), rhs))
+            return -y / data.fac_b[:, None]
+
+        return jax.jit(chol)
+
+    def lu(rhs):
+        import jax.scipy.linalg as jsla
+
+        from superscreen_tpu.ops.linalg import _widen_rhs
+
+        rhs, restore = _widen_rhs(rhs)
+        return restore(jsla.lu_solve((data.fac_a, data.fac_b), rhs))
+
+    return jax.jit(lu)
+
+
+def certify_accuracy(film_data, streams, others, Hz, refine_steps=3):
+    """Certifies solve accuracy at the benchmark config, float64 host-side.
+
+    This is the full-scale analog of the reference's runtime inversion
+    self-check (reference ``solver/solve_film.py:533-539``): for every film
+    and sweep point it computes the relative residual ``||A g + h|| / ||h||``
+    of the final self-consistent linear system in float64 against the SAME
+    device-resident system matrix the solver used.  It then runs float64
+    iterative refinement (f64 host residuals wrapped around the f32 device
+    factorization, the scheme of solver/refine.py) on that final system and
+    reports how far the f32 streams sit from the f64-refined ones.
+
+    Returns a dict of accuracy metrics:
+
+    * ``residual_rel_max`` / ``residual_rel_per_film``: f64 relative
+      residuals of the as-delivered f32 streams (max over sweep points).
+    * ``refined_stream_delta_max``: max over films of
+      ``||g_f32 - g_f64|| / ||g_f64||`` -- the actual forward error of the
+      f32 linear solves at this scale.
+    * ``refined_residual_rel_max``: residual after f64 refinement (the
+      attainable floor, for context).
+    """
+    out = {
+        "residual_rel_per_film": {},
+        "residual_rel_max": 0.0,
+        "refined_stream_delta_max": 0.0,
+        "refined_residual_rel_max": 0.0,
+    }
+    for name, data in film_data.items():
+        solve = _solve_op(data)
+        nip = data.interior.shape[0]
+        interior = np.asarray(data.interior)
+        n_valid = int(np.asarray(data.n_valid))
+        valid = np.arange(nip) < n_valid
+        # (B, nip) f64 gathers of the final streams and effective fields.
+        G = np.asarray(streams[name], dtype=np.float64)[:, interior]
+        G[:, ~valid] = 0.0
+        H_full = np.asarray(Hz[name], dtype=np.float64)
+        if others is not None and name in others:
+            H_full = H_full + np.asarray(others[name], dtype=np.float64)
+        H = H_full[:, interior]
+        H[:, ~valid] = 0.0
+        # Blocked f64 residual R = G @ A^T + H (A row blocks upcast on the
+        # fly; avoids a second full f64 copy of the (nip, nip) system).
+        A32 = np.asarray(data.A)
+
+        def residual(Gm):
+            R = H.copy()
+            blk = 4096
+            for i in range(0, nip, blk):
+                R[:, i : i + blk] += Gm @ A32[i : i + blk].T.astype(
+                    np.float64
+                )
+            return R
+
+        h_norms = np.linalg.norm(H, axis=1)
+        R = residual(G)
+        rel = np.linalg.norm(R, axis=1) / h_norms
+        out["residual_rel_per_film"][name] = [float(f"{v:.3e}") for v in rel]
+        out["residual_rel_max"] = max(out["residual_rel_max"], float(rel.max()))
+        # f64 iterative refinement of the same final systems: the f32
+        # device factorization preconditions f64 host residuals.
+        G_ref = G.copy()
+        for _ in range(refine_steps):
+            R = residual(G_ref)
+            dG = np.array(solve(np.asarray(R, dtype=A32.dtype).T)).T
+            dG[:, ~valid] = 0.0
+            G_ref = G_ref + dG
+        rel_ref = np.linalg.norm(residual(G_ref), axis=1) / h_norms
+        delta = np.linalg.norm(G - G_ref, axis=1) / np.linalg.norm(
+            G_ref, axis=1
+        )
+        out["refined_stream_delta_max"] = max(
+            out["refined_stream_delta_max"], float(delta.max())
+        )
+        out["refined_residual_rel_max"] = max(
+            out["refined_residual_rel_max"], float(rel_ref.max())
+        )
+        del A32
+    return out
+
+
+def certify_coupling(film_data, streams, Js, Hz, n_sample=512, point=-1):
+    """Float64 spot-check of the inter-film Biot-Savart coupling operator.
+
+    Applies the sweep's own device coupling operator (one
+    ``_coupling_round``, exact mode) to the FINAL currents -- the sweep's
+    recorded ``others`` lags ``Js`` by one self-consistency iteration, so
+    comparing against it would measure convergence, not operator accuracy
+    -- then recomputes the total field-from-other-films at ``n_sample``
+    randomly sampled destination sites as full f64 pairwise sums over
+    every source site of every other film, for one sweep point.  Returns
+    the max relative error over destination films (norm over the sample).
+    """
+    from superscreen_tpu.sweep import _coupling_round
+
+    films = list(film_data)
+    others = _coupling_round(film_data, films, streams, Js, Hz, "exact")
+    rng = np.random.default_rng(42)
+    sites64 = {
+        f: np.asarray(film_data[f].sites, dtype=np.float64) for f in films
+    }
+    w64 = {
+        f: np.asarray(film_data[f].weights, dtype=np.float64) for f in films
+    }
+    z064 = {f: float(np.asarray(film_data[f].z0)) for f in films}
+    worst = 0.0
+    for dst in films:
+        n_dst = film_data[dst].n
+        sample = rng.choice(n_dst, size=min(n_sample, n_dst), replace=False)
+        P = sites64[dst][sample]
+        total = np.zeros(len(sample))
+        for src in films:
+            if src == dst:
+                continue
+            J = np.asarray(Js[src][point], dtype=np.float64)  # (n_src, 2)
+            s = sites64[src]
+            dz2 = (z064[dst] - z064[src]) ** 2
+            dx = P[:, 0:1] - s[None, :, 0]
+            dy = P[:, 1:2] - s[None, :, 1]
+            r3 = (dx * dx + dy * dy + dz2) ** -1.5
+            total += (
+                w64[src][None, :] * (J[:, 0][None, :] * dy - J[:, 1][None, :] * dx) * r3
+            ).sum(axis=1) / (4 * np.pi)
+        got = np.asarray(others[dst][point], dtype=np.float64)[sample]
+        err = np.linalg.norm(got - total) / max(np.linalg.norm(total), 1e-300)
+        worst = max(worst, float(err))
+    return worst
 
 
 def _coupling_flops(sizes, iterations):
@@ -265,6 +425,169 @@ def cpu_baseline_measured(model, field_values, iterations):
     return factorize_s, sweep_s
 
 
+def fresh_process_factorize(config: str, dtype: str, timeout_s: float = 900):
+    """Measures the one-shot factorize wall in a FRESH process (new PID)
+    with the persistent XLA compilation cache as-is on disk.  This is what
+    a user's second-ever run of the same config pays: compile costs are
+    served from the disk cache, so the number should sit near the in-process
+    warm time rather than the cold (compile-everything) time.
+
+    Returns the child's measured factorize seconds, or None on failure.
+    """
+    import subprocess
+
+    child = (
+        "import sys, time, json; sys.path.insert(0, %r); "
+        "import jax; "
+        "jax.config.update('jax_compilation_cache_dir', %r); "
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0); "
+        "import bench; "
+        "device = bench.build_two_layer(float(__import__('os').environ.get('BENCH_MAX_EDGE', '0.4')), %r) "
+        "if %r == 'two_layer' else bench.build_large(%r); "
+        "t0 = time.perf_counter(); "
+        "model, wall, stats = bench.factorize_blocked(device); "
+        "print(json.dumps({'factorize_s': wall}))"
+    ) % (
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+        dtype,
+        config,
+        dtype,
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        _log("fresh-process factorize timed out")
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["factorize_s"])
+        except (ValueError, KeyError):
+            continue
+    _log(f"fresh-process factorize failed rc={proc.returncode}: {proc.stderr[-500:]}")
+    return None
+
+
+def fft_coupling_payoff(sites_per_film: int = 66000, B: int = 8):
+    """Head-to-head timing of one inter-film coupling round at >=64k
+    sites/film: the exact O(n_src * n_dst) pairwise Biot-Savart operator
+    vs the FFT analytic-transfer operator (docs/COUPLING.md), on a freshly
+    meshed two-film device.  No factorization -- this isolates the
+    coupling operators that dominate large self-consistent sweeps.
+
+    Returns a detail dict with both warm round times and their agreement.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import superscreen_tpu as sc
+    from superscreen_tpu.ops import kernels
+    from superscreen_tpu.ops.fft_coupling import (
+        build_film_grid_data,
+        fft_coupling_field,
+        fft_source_spectrum,
+    )
+
+    layers = [
+        sc.Layer("layer0", Lambda=1.0, z0=0),
+        sc.Layer("layer1", Lambda=0.5, z0=1),
+    ]
+    films = [
+        sc.Polygon("f0", layer="layer0", points=sc.geometry.circle(7.5, points=120)),
+        sc.Polygon("f1", layer="layer1", points=sc.geometry.circle(6.0, points=110)),
+    ]
+    device = sc.Device("fftpair", layers=layers, films=films)
+    t0 = time.perf_counter()
+    device.make_mesh(min_points=sites_per_film)
+    mesh_s = time.perf_counter() - t0
+    names = list(device.meshes)
+    sizes = {k: len(m.sites) for k, m in device.meshes.items()}
+    dtype = device.solve_dtype
+    data = {}
+    for name in names:
+        mesh = device.meshes[name]
+        rng = np.random.default_rng(7)
+        data[name] = dict(
+            sites=jnp.asarray(mesh.sites.astype(dtype)),
+            w=jnp.asarray(mesh.vertex_areas.astype(dtype)),
+            J=jnp.asarray(
+                rng.standard_normal((B, len(mesh.sites), 2)).astype(dtype)
+            ),
+            z0=device.layers[device.films[name].layer].z0,
+        )
+
+    a, b = names
+    dz2 = jnp.asarray((data[a]["z0"] - data[b]["z0"]) ** 2, dtype=dtype)
+
+    @jax.jit
+    def exact_round(Ja, Jb):
+        out_b = kernels.biot_savart_film_to_film_dz2(
+            data[a]["sites"], data[a]["w"], Ja, data[b]["sites"], dz2
+        )
+        out_a = kernels.biot_savart_film_to_film_dz2(
+            data[b]["sites"], data[b]["w"], Jb, data[a]["sites"], dz2
+        )
+        return out_a, out_b
+
+    t0 = time.perf_counter()
+    grids = build_film_grid_data(device)
+    grid_build_s = time.perf_counter() - t0
+    G = int(grids[a].kmag.shape[0])
+    dz = jnp.asarray(abs(data[a]["z0"] - data[b]["z0"]), dtype=dtype)
+
+    # FFT coupling consumes stream functions, not currents; for a pure
+    # operator timing, use random streams of the same shape.
+    rng = np.random.default_rng(3)
+    g_streams = {
+        name: jnp.asarray(
+            rng.standard_normal((B, sizes[name])).astype(dtype)
+        )
+        for name in names
+    }
+
+    @jax.jit
+    def fft_round(ga, gb):
+        sa = fft_source_spectrum(grids[a], ga)
+        sb = fft_source_spectrum(grids[b], gb)
+        return (
+            fft_coupling_field(grids[b], grids[a], sb, dz),
+            fft_coupling_field(grids[a], grids[b], sa, dz),
+        )
+
+    def best_of(fn, args, k=3):
+        fn(*args)[0].block_until_ready()  # compile + first run
+        times = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    exact_s = best_of(exact_round, (data[a]["J"], data[b]["J"]))
+    fft_s = best_of(fft_round, (g_streams[a], g_streams[b]))
+    return {
+        "sites_per_film": sizes,
+        "B": B,
+        "grid_G": G,
+        "grid_build_s": round(grid_build_s, 3),
+        "mesh_s": round(mesh_s, 2),
+        "exact_round_s": round(exact_s, 4),
+        "fft_round_s": round(fft_s, 4),
+        "fft_speedup": round(exact_s / fft_s, 2),
+        "note": (
+            "one full inter-film coupling round (both directions, B sweep "
+            "points) at >=64k sites/film: exact O(n^2) pairwise kernel vs "
+            "FFT analytic transfer; coupling='auto' picks per the cost "
+            "model in docs/COUPLING.md"
+        ),
+    }
+
+
 def _probe_tpu(timeout_s: float, attempts: int = 3, pause_s: float = 30.0) -> bool:
     """Check (in a subprocess, bounded) that the TPU backend initializes.
 
@@ -371,7 +694,7 @@ def main():
     )
     interiors = {k: len(s.indices) for k, s in model.film_systems.items()}
 
-    run = tpu_workload(model, B, iterations, field_values)
+    run, film_data, Hz_bench = tpu_workload(model, B, iterations, field_values)
     t0 = time.perf_counter()
     run()
     compile_and_first_s = time.perf_counter() - t0
@@ -379,12 +702,37 @@ def main():
     # Best of 3: the tunneled TPU is time-shared, so single warm runs can
     # wobble by 10-20%; the minimum is the honest device-capability number.
     warm_runs = []
+    final = None
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        final = run()
         warm_runs.append(time.perf_counter() - t0)
     warm_s = min(warm_runs)
     _log(f"sweep warm {warm_s:.3f}s (runs: {[round(t, 3) for t in warm_runs]})")
+
+    # Accuracy certification at THIS config (not a smaller stand-in): f64
+    # residuals of the final linear systems, the f32-vs-f64-refined stream
+    # delta, and an f64 spot-check of the coupling operator.  Timed but
+    # excluded from the headline (it is a check, not the workload).
+    accuracy = None
+    if os.environ.get("BENCH_CERTIFY", "1") == "1":
+        t0 = time.perf_counter()
+        streams_f, _Js_f, _sf_f, others_f = final
+        accuracy = certify_accuracy(film_data, streams_f, others_f, Hz_bench)
+        accuracy["coupling_f64_sample_rel_err"] = certify_coupling(
+            film_data, streams_f, _Js_f, Hz_bench
+        )
+        accuracy["certify_s"] = round(time.perf_counter() - t0, 2)
+        accuracy["note"] = (
+            "f64 host checks at the full benchmark config: residual_rel_* "
+            "is ||A g + h||/||h|| per film/sweep-point against the solver's "
+            "own system (reference solve_film.py:533-539 analog); "
+            "refined_stream_delta_max is ||g_f32 - g_f64||/||g_f64|| after "
+            "f64 iterative refinement of the same final systems; "
+            "coupling_f64_sample_rel_err spot-checks the inter-film "
+            "Biot-Savart field at 512 sampled sites in f64."
+        )
+        _log(f"accuracy: {accuracy}")
 
     # The honest one-shot number: factorize (compute) + full B-point sweep.
     end_to_end_s = factorize_warm_s + warm_s
@@ -431,6 +779,39 @@ def main():
     )
     cpu_total = cpu_factor_extrap + cpu_sweep_extrap
 
+    # Large-scale extras (TPU only; both env-gated): the FFT-coupling payoff
+    # at >=64k sites/film and the fresh-process factorize (new PID, warm
+    # disk compile cache -- what a user's SECOND-ever run of this config
+    # pays).  Both run after the flagship model is dropped: the large
+    # config nearly fills one chip's 16 GB HBM, and the axon TPU admits
+    # concurrent clients (verified), so the child can attach while this
+    # process keeps its backend alive.
+    fft_payoff = None
+    fresh_process_s = None
+    if not tpu_unavailable:
+        import gc
+
+        del run, final, film_data, Hz_bench, model
+        gc.collect()
+        if os.environ.get("BENCH_FFT_PAYOFF", "1") == "1":
+            try:
+                t0 = time.perf_counter()
+                fft_payoff = fft_coupling_payoff()
+                _log(
+                    f"fft payoff ({time.perf_counter() - t0:.1f}s total): "
+                    f"{fft_payoff}"
+                )
+            except Exception as exc:  # bench must still print its JSON line
+                _log(f"fft payoff failed: {exc!r}")
+                fft_payoff = {"error": repr(exc)}
+        if os.environ.get("BENCH_FRESH_PROCESS", "1") == "1":
+            t0 = time.perf_counter()
+            fresh_process_s = fresh_process_factorize(config, dtype)
+            _log(
+                f"fresh-process factorize: {fresh_process_s}s "
+                f"(stage wall {time.perf_counter() - t0:.1f}s incl. meshing)"
+            )
+
     backend_tag = backend + (" FALLBACK, tpu unavailable" if tpu_unavailable else "")
     result = {
         "metric": (
@@ -463,6 +844,11 @@ def main():
                 f"factorization, measured at {len(cpu_measured)} mesh sizes, "
                 "extrapolated by exact flop counts using the largest "
                 "measured config's throughputs (conservative)"
+            ),
+            "accuracy": accuracy,
+            "fft_coupling_payoff": fft_payoff,
+            "fresh_process_factorize_s": (
+                round(fresh_process_s, 3) if fresh_process_s else None
             ),
             "backend": backend,
             "tpu_unavailable": tpu_unavailable,

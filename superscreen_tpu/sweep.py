@@ -1057,7 +1057,7 @@ def solve_many(
     iterations: int = 0,
     refine_steps: int = 2,
     sharding: Optional["jax.sharding.Sharding"] = None,
-    coupling: str = "exact",
+    coupling: str = "auto",
     keep_history: bool = False,
     vortex_nPhi0: Optional[Union[np.ndarray, Dict[str, np.ndarray]]] = None,
 ) -> Union[SweepResult, List[SweepResult]]:
@@ -1091,11 +1091,12 @@ def solve_many(
         iterations: Self-consistent inter-film coupling rounds.
         refine_steps: Iterative-refinement rounds per solve.
         sharding: Optional sharding for the batch axis.
-        coupling: "exact" (O(n^2) pairwise Biot-Savart, the default),
-            "fft" (analytic Fourier transfer on a shared grid,
-            O(n + G^2 log G) per film pair; requires films on distinct
-            layer heights), or "auto" (a grid-aware per-round cost model
-            compares the two operators' work -- see
+        coupling: "auto" (the default: a grid-aware per-round cost model
+            picks the cheaper operator per call), "exact" (O(n^2)
+            pairwise Biot-Savart), or "fft" (analytic Fourier transfer
+            on a shared grid, O(n + G^2 log G) per film pair; requires
+            films on distinct layer heights).  The cost model is
+            documented at :func:`_resolve_auto_coupling` (see
             :func:`_resolve_auto_coupling` and docs/COUPLING.md; setting
             SUPERSCREEN_TPU_FFT_COUPLING_MIN_N to a site count restores
             plain threshold dispatch -- and falls back to "exact" when
