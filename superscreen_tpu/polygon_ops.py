@@ -31,6 +31,7 @@ __all__ = [
     "points_in_polygon",
     "remove_collinear",
     "boolean_op",
+    "boolean_pieces",
     "buffer_polygon",
     "resample_polygon",
     "polygon_boundary_distance",
@@ -496,7 +497,45 @@ def boolean_op(subject: np.ndarray, clip: np.ndarray, op: str) -> np.ndarray:
 
     Raises:
         PolygonOpError: If the result is empty, multiple polygons, or not
-            simply connected.
+            simply connected.  Use :func:`boolean_pieces` when a
+            multi-piece result (e.g. a difference that splits the subject)
+            is acceptable.
+    """
+    results = boolean_pieces(subject, clip, op)
+    if len(results) > 1:
+        raise PolygonOpError(
+            f"The {op} of the two polygons is not a single polygon "
+            f"(got {len(results)} parts)."
+        )
+    return results[0]
+
+
+def boolean_pieces(
+    subject: np.ndarray, clip: np.ndarray, op: str
+) -> List[np.ndarray]:
+    """Boolean operation returning EVERY resulting piece.
+
+    Like :func:`boolean_op` but multi-polygon aware: a difference that
+    splits the subject (or a union/intersection producing several
+    components) returns one CCW open ring per piece instead of raising.
+    This is the engine's analog of the reference's shapely MultiPolygon
+    results (reference ``superscreen/device/polygon.py:302-435``, which
+    raises on multi-part results just like :func:`boolean_op`).
+
+    Args:
+        subject: Shape ``(n, 2)`` vertices of the subject polygon.
+        clip: Shape ``(m, 2)`` vertices of the clip polygon.
+        op: One of ``"union"``, ``"intersection"``, ``"difference"``.
+
+    Returns:
+        A non-empty list of ``(k, 2)`` piece vertices (CCW, open rings),
+        largest piece first.
+
+    Raises:
+        PolygonOpError: If the result is empty, contains a hole (a
+            difference with the clip strictly inside the subject -- not
+            representable as simple rings), the union is disjoint, or the
+            inputs are not simple polygons.
     """
     if op == "symmetric_difference":
         raise PolygonOpError(
@@ -561,14 +600,10 @@ def boolean_op(subject: np.ndarray, clip: np.ndarray, op: str) -> np.ndarray:
             areas = [polygon_area(r) for r in results]
             amax = max(areas)
             results = [r for r, a in zip(results, areas) if a > 1e-9 * amax]
-            if len(results) > 1:
-                raise PolygonOpError(
-                    f"The {op} of the two polygons is not a single polygon "
-                    f"(got {len(results)} parts)."
-                )
-        out = orient_ccw(results[0])
-        if len(out) < 3:
+        out = [orient_ccw(r) for r in results if len(r) >= 3]
+        if not out:
             raise PolygonOpError(f"The {op} of the two polygons is degenerate.")
+        out.sort(key=polygon_area, reverse=True)
         return out
     raise PolygonOpError(
         f"Polygon {op} failed due to persistent degeneracies."

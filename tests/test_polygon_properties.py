@@ -3,10 +3,13 @@
 replaces the reference's shapely/GEOS dependency,
 reference ``superscreen/device/polygon.py:302-435``).
 
-The engine's contract (like the reference's) is that results must be single
-simple polygons; it raises :class:`PolygonOpError` otherwise. So identities
-are checked on families where simplicity is guaranteed (overlapping convex
-polygons) plus star-shaped pairs where non-simple results are skipped:
+The engine's contract (like the reference's) is that :func:`boolean_op`
+results must be single simple polygons; it raises :class:`PolygonOpError`
+otherwise, and :func:`boolean_pieces` returns every piece of a multi-part
+result.  Identities are checked on families where simplicity is guaranteed
+(overlapping convex polygons) plus star-shaped pairs; split differences are
+asserted piece-wise rather than skipped (the only remaining skip is a
+star-pair boolean whose result is legitimately non-simple):
 
 - inclusion-exclusion: area(A) + area(B) = area(A u B) + area(A n B)
 - difference: area(A - B) = area(A) - area(A n B)
@@ -98,14 +101,28 @@ def test_inclusion_exclusion_star(idx):
 
 @pytest.mark.parametrize("idx", range(len(CONVEX_PAIRS)))
 def test_difference_area_convex(idx):
+    """area(A - B) identity; a difference that splits A is NOT skipped:
+    boolean_op must raise by contract and boolean_pieces must return
+    simple pieces whose areas still satisfy the identity."""
     a, b = CONVEX_PAIRS[idx]
     inter = po.boolean_op(a, b, "intersection")
-    try:
-        diff = po.boolean_op(a, b, "difference")
-    except PolygonOpError:
-        pytest.skip("difference splits the polygon (allowed by contract)")
+    if po.points_in_polygon(a, b).all():
+        # B strictly inside A: the difference has a hole, which is not
+        # representable as simple rings -- both APIs must refuse.
+        for fn in (po.boolean_op, po.boolean_pieces):
+            with pytest.raises(PolygonOpError, match="hole"):
+                fn(a, b, "difference")
+        return
+    pieces = po.boolean_pieces(a, b, "difference")
+    if len(pieces) > 1:
+        with pytest.raises(PolygonOpError, match="not a single polygon"):
+            po.boolean_op(a, b, "difference")
+    else:
+        assert np.allclose(po.boolean_op(a, b, "difference"), pieces[0])
+    for piece in pieces:
+        assert po.is_simple_polygon(piece)
     assert np.isclose(
-        po.polygon_area(diff),
+        sum(po.polygon_area(p) for p in pieces),
         po.polygon_area(a) - po.polygon_area(inter),
         rtol=1e-9,
         atol=1e-12,
@@ -156,6 +173,20 @@ def test_buffer_monotone_and_resample(idx):
     assert np.isclose(po.polygon_area(res), po.polygon_area(a), rtol=2e-2)
     seglen = np.linalg.norm(np.diff(np.vstack([res, res[:1]]), axis=0), axis=1)
     assert seglen.std() / seglen.mean() < 0.2
+
+
+def test_boolean_pieces_split_difference():
+    """Deterministic split: a bar cut through a rectangle leaves exactly
+    two pieces whose areas are exact; boolean_op refuses the same input."""
+    rect = np.array([[-2.0, -1.0], [2.0, -1.0], [2.0, 1.0], [-2.0, 1.0]])
+    bar = np.array([[-0.5, -3.0], [0.5, -3.0], [0.5, 3.0], [-0.5, 3.0]])
+    with pytest.raises(PolygonOpError, match="not a single polygon"):
+        po.boolean_op(rect, bar, "difference")
+    pieces = po.boolean_pieces(rect, bar, "difference")
+    assert len(pieces) == 2
+    for piece in pieces:
+        assert po.is_simple_polygon(piece)
+        assert np.isclose(po.polygon_area(piece), 3.0, rtol=1e-9)
 
 
 def test_disjoint_raises_and_nested_identities():
