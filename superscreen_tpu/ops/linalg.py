@@ -14,7 +14,7 @@ refinement can never make an answer worse.
 import logging
 import os
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -482,11 +482,34 @@ def _large_factor_method() -> str:
         )
     return method
 
-def factor_system(A, weights_col):
+def factor_system(A, weights_col, force_sharded: bool = False):
     """Factorizes one film system given the system matrix ``A`` (solves
     are against ``-A``; the negation stays fused on TPU so no extra (n, n)
     buffer is allocated).  Honors SUPERSCREEN_TPU_LARGE_FACTOR like
-    :func:`lu_factor`."""
+    :func:`lu_factor`.
+
+    ``force_sharded`` marks a film that exceeds the single-device dense
+    ceiling and stayed dense only because a factorization mesh is
+    installed (``solve_film._sharded_dense_ceiling``): the GSPMD-sharded
+    inverse is then mandatory on EVERY backend -- including CPU, where the
+    scipy shortcut would otherwise hide the partitioned program from
+    virtual-device validation runs."""
+    if force_sharded:
+        from ..parallel import sharding as _psh
+
+        factor_mesh = _psh.factorization_mesh()
+        if factor_mesh is None or factor_mesh.shape.get("model", 1) <= 1:
+            raise ValueError(
+                "force_sharded factorization requires an installed "
+                "factorization mesh with a model axis > 1 "
+                "(parallel.set_factorization_mesh)."
+            )
+        w = jnp.asarray(weights_col)
+        return (
+            "inv",
+            _psh.sharded_spd_inverse(factor_mesh, -jnp.asarray(A), w),
+            w,
+        )
     if _on_cpu():
         import scipy.linalg as sla
 
@@ -906,3 +929,124 @@ def lu_solve_refined(A, lu_piv: Tuple, h, refine_steps: int = 2):
             jnp.asarray(A), lu, piv, jnp.asarray(h), refine_steps=refine_steps
         )
     )
+
+
+def _probing_colors(sites, separation: float) -> np.ndarray:
+    """Spatial distance-coloring of ``sites`` for inverse-diagonal probing.
+
+    Sites sharing a color are guaranteed to be at least ``separation``
+    apart: sites are binned into square cells of side ``separation``, cells
+    are classed by their coordinates modulo a 2x2 stride (same-class cells
+    are >= ``separation`` apart edge-to-edge), and sites *within* one cell
+    get distinct occupancy sub-indices.  The number of colors is therefore
+    ``4 * max_cell_occupancy`` -- independent of n for a fixed mesh
+    density, which is what makes probing cheaper than n exact solves.
+
+    Returns:
+        ``(n,)`` int colors in ``[0, n_colors)``, densely renumbered.
+    """
+    sites = np.asarray(sites, dtype=float)
+    cell = np.floor(sites / float(separation)).astype(np.int64)
+    cell -= cell.min(axis=0)  # non-negative for flat keys
+    cls = (cell[:, 0] % 2) * 2 + (cell[:, 1] % 2)
+    flat = cell[:, 0] * (cell[:, 1].max() + 1) + cell[:, 1]
+    order = np.argsort(flat, kind="stable")
+    occ = np.empty(len(sites), dtype=np.int64)
+    sorted_flat = flat[order]
+    # Occupancy rank within each cell: position since the cell's first site.
+    starts = np.r_[0, np.flatnonzero(np.diff(sorted_flat)) + 1]
+    ranks = np.arange(len(sites)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(sites)])
+    )
+    occ[order] = ranks
+    colors = cls * (occ.max() + 1) + occ
+    # Dense renumbering (drop unused (class, occupancy) combinations).
+    _, dense = np.unique(colors, return_inverse=True)
+    return dense
+
+
+def matrix_free_response_diagonal(
+    op,
+    *,
+    method: str = "auto",
+    separation: Optional[float] = None,
+    repeats: int = 4,
+    chunk: int = 512,
+    seed: int = 0,
+) -> np.ndarray:
+    """Diagonal of ``(-A)^{-1}`` for a matrix-free (CG/BiCGStab) film
+    factorization -- the response of a unit probe vortex at its own core,
+    per site, without ever materializing the (n, n) inverse.
+
+    Methods:
+
+    - ``"exact"``: solves ``(-A) X = I`` in ``chunk``-column blocks of
+      one-hot right-hand sides (n/chunk batched matrix-free solves).
+      Exact to the iterative solver's tolerance, cost O(n/chunk) solves --
+      use for moderate n or when accuracy is paramount.
+    - ``"probing"``: colored-Hutchinson estimator.  Sites are
+      distance-colored (:func:`_probing_colors`) so same-color sites are
+      >= ``separation`` apart; each repeat draws Rademacher signs ``s``,
+      solves one batched system with ``n_colors`` right-hand sides
+      ``V[:, c] = s * 1[color == c]``, and reads
+      ``d_j ~= s_j * X[j, color_j]``.  The one-repeat estimator is
+      *unbiased* with per-site standard deviation
+      ``sqrt(sum_{k != j, color_k == color_j} K_jk^2)`` where
+      ``K = (-A)^{-1}``; same-color sites are >= ``separation`` apart, so
+      this is bounded by the response-column magnitude at that distance
+      (the screened vortex stream decays ~1/r beyond the Pearl length) and
+      shrinks a further ``1/sqrt(repeats)``.  Widen ``separation`` /
+      raise ``repeats`` to tighten.
+    - ``"auto"``: ``"exact"`` when n <= 8192, else ``"probing"``.
+
+    Args:
+        op: Matrix-free operator pieces (see :func:`brandt_matvec`).
+        method: ``"auto"`` | ``"exact"`` | ``"probing"``.
+        separation: Probing color separation in device length units
+            (default: 16x the median site spacing).
+        repeats: Independent sign draws averaged in probing mode.
+        chunk: Columns per batched solve in exact mode.
+        seed: RNG seed for the probing signs (deterministic by default).
+
+    Returns:
+        ``(n,)`` float64 diagonal of ``(-A)^{-1}``.
+    """
+    sites = np.asarray(op["sub_sites"], dtype=float)
+    n = sites.shape[0]
+    if method == "auto":
+        method = "exact" if n <= 8192 else "probing"
+    if method == "exact":
+        diag = np.empty(n, dtype=float)
+        eye_dtype = np.asarray(op["w_sub"]).dtype
+        for start in range(0, n, chunk):
+            cols = np.arange(start, min(start + chunk, n))
+            E = np.zeros((n, len(cols)), dtype=eye_dtype)
+            E[cols, np.arange(len(cols))] = 1.0
+            X = np.asarray(_matrix_free_solve_host(op, jnp.asarray(E)))
+            diag[cols] = X[cols, np.arange(len(cols))]
+        return diag
+    if method != "probing":
+        raise ValueError(f"Unknown diagonal method {method!r}.")
+    if separation is None:
+        # Median nearest-neighbor spacing from a cheap k-d tree query.
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(sites).query(sites, k=2)
+        separation = 16.0 * float(np.median(d[:, 1]))
+    colors = _probing_colors(sites, separation)
+    n_colors = int(colors.max()) + 1
+    logger.info(
+        "probing response diagonal: n=%d, %d colors, %d repeats",
+        n, n_colors, repeats,
+    )
+    rng = np.random.default_rng(seed)
+    est = np.zeros(n, dtype=float)
+    eye_dtype = np.asarray(op["w_sub"]).dtype
+    rows = np.arange(n)
+    for _ in range(repeats):
+        signs = rng.choice(np.array([-1.0, 1.0], dtype=eye_dtype), size=n)
+        V = np.zeros((n, n_colors), dtype=eye_dtype)
+        V[rows, colors] = signs
+        X = np.asarray(_matrix_free_solve_host(op, jnp.asarray(V)))
+        est += signs * X[rows, colors]
+    return est / repeats

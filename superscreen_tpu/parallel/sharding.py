@@ -60,6 +60,19 @@ def factorization_mesh() -> Optional[Mesh]:
     return _FACTOR_MESH
 
 
+def factorization_row_sharding() -> Optional[NamedSharding]:
+    """Row sharding (``P("model", None)``) over the installed factorization
+    mesh, or None when no mesh with a model axis > 1 is installed.  This is
+    the layout shared by the distributed system assembly
+    (``solver.solve_film._assemble_lowmem_A``) and the sharded inverse
+    (:func:`sharded_spd_inverse`) -- assembling directly into it means the
+    (n, n) system transfers zero bytes between the two stages."""
+    mesh = _FACTOR_MESH
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    return NamedSharding(mesh, P("model", None))
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
@@ -437,6 +450,13 @@ def sharded_spd_inverse(mesh, neg_A, w_col, method: Optional[str] = None):
     replicated = NamedSharding(mesh, P())
     neg_A = jax.device_put(jnp.asarray(neg_A), row)
     w_col = jax.device_put(jnp.asarray(w_col), replicated)
-    if method == "schulz":
-        return linalg._jax_spd_inverse(neg_A, w_col)
-    return linalg._jax_schur_explicit_inverse(neg_A, w_col)
+    # One jitted program with the OUTPUT pinned row-sharded: eager op-by-op
+    # execution (or an unconstrained jit) lets XLA hand back a replicated
+    # M, which would put the full (n, n) inverse on every device and defeat
+    # the point of the model axis.
+    body = (
+        linalg._jax_spd_inverse
+        if method == "schulz"
+        else linalg._jax_schur_explicit_inverse
+    )
+    return jax.jit(body, out_shardings=row)(neg_A, w_col)

@@ -19,6 +19,7 @@ import logging
 import os
 import time
 from dataclasses import dataclass
+from functools import lru_cache, partial
 from typing import Dict, Optional, Tuple, Union
 
 import h5py
@@ -230,7 +231,49 @@ def _build_system_2d(
     )
 
 
-def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
+def _assemble_lowmem_A_body(
+    sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni, constrain
+):
+    """Traced body of the low-memory film-system assembly (see
+    :func:`_assemble_lowmem_A`).  ``constrain`` pins the sharding of the
+    (nip, nip) intermediates when the system is assembled distributed."""
+    import jax.numpy as jnp
+
+    nip = sub_sites.shape[0]
+    q_sub = constrain(kernels.q_matrix(sub_sites, dtype=sub_sites.dtype))
+    eye = jnp.eye(nip, dtype=bool)
+    A = constrain(jnp.where(eye, diag[:, None], -q_sub) * w_sub[None, :])
+    A = constrain(A.at[rows, cols].add(-lam_scaled_vals))
+    idx = jnp.arange(nip)
+    valid = idx < ni
+    valid2d = valid[:, None] & valid[None, :]
+    # Pad block = +I so that A_pad / w stays positive definite (the
+    # Cholesky path factors P = -(-A_pad)/w); the padded equations
+    # read (-I) x = 0 -> x = 0.
+    pad_block = jnp.where(eye, jnp.asarray(1.0, A.dtype), 0.0)
+    return jnp.where(valid2d, A, pad_block)
+
+
+@lru_cache(maxsize=8)
+def _assemble_lowmem_A_jit(out_sharding):
+    """One compiled assembly program per output sharding (``None`` =
+    single-device).  Module-level cache so repeated factorize calls in one
+    process re-trace nothing."""
+    import jax
+
+    if out_sharding is None:
+        constrain = lambda x: x  # noqa: E731
+        return jax.jit(partial(_assemble_lowmem_A_body, constrain=constrain))
+    constrain = partial(jax.lax.with_sharding_constraint, shardings=out_sharding)
+    return jax.jit(
+        partial(_assemble_lowmem_A_body, constrain=constrain),
+        out_shardings=out_sharding,
+    )
+
+
+def _assemble_lowmem_A(
+    sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni, out_sharding=None
+):
     """Fused on-device assembly of the low-memory film system:
     ``A = (-q(sub) + diag(d)) * w - scatter(Lambda_j * L_ij)``, padded to a
     shared shape with an identity block (``A_pad = blockdiag(A, -I)``).
@@ -240,35 +283,26 @@ def _assemble_lowmem_A(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
     Keeping the whole chain in one jit also lets XLA reuse the (nip, nip)
     buffers -- eager assembly holds ~6 live copies and exhausts HBM at
     large n.
+
+    ``out_sharding`` (a ``NamedSharding``, typically row-sharded over the
+    factorization mesh's ``model`` axis) assembles the system DISTRIBUTED:
+    the output and every (nip, nip) intermediate (q block, scatter target)
+    are sharding-constrained, so a film beyond one device's HBM never
+    materializes whole anywhere -- each device builds only its row slab.
     """
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni):
-        nip = sub_sites.shape[0]
-        q_sub = kernels.q_matrix(sub_sites, dtype=sub_sites.dtype)
-        eye = jnp.eye(nip, dtype=bool)
-        A = jnp.where(eye, diag[:, None], -q_sub) * w_sub[None, :]
-        A = A.at[rows, cols].add(-lam_scaled_vals)
-        idx = jnp.arange(nip)
-        valid = idx < ni
-        valid2d = valid[:, None] & valid[None, :]
-        # Pad block = +I so that A_pad / w stays positive definite (the
-        # Cholesky path factors P = -(-A_pad)/w); the padded equations
-        # read (-I) x = 0 -> x = 0.
-        pad_block = jnp.where(eye, jnp.asarray(1.0, A.dtype), 0.0)
-        return jnp.where(valid2d, A, pad_block)
-
-    return body(sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni)
+    return _assemble_lowmem_A_jit(out_sharding)(
+        sub_sites, diag, w_sub, lam_scaled_vals, rows, cols, ni
+    )
 
 
-def _build_system_2d_lowmem(film_info, ix, pad_to=None):
+def _build_system_2d_lowmem(film_info, ix, pad_to=None, out_sharding=None):
     """The stream-function system for a large film without materializing the
     full Brandt kernel: the off-diagonal q-block is assembled directly from
     the gathered sites; the diagonal needs the full row sums ``q @ w`` and
     the boundary vector ``C``, both computed matrix-free.  The result is
-    padded to ``pad_to`` with an identity block (decoupled)."""
+    padded to ``pad_to`` with an identity block (decoupled).  With
+    ``out_sharding`` the (n, n) system is assembled distributed (see
+    :func:`_assemble_lowmem_A`)."""
     import jax.numpy as jnp
 
     sites = jnp.asarray(film_info.sites)
@@ -337,6 +371,7 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None):
         jnp.asarray(rows),
         jnp.asarray(cols),
         jnp.asarray(ni),
+        out_sharding=out_sharding,
     )
 
 
@@ -468,9 +503,10 @@ def factorize_linear_systems(
     # inflate the shared pad size (one 80k CG film would otherwise blow a
     # 20k film's system up to (80k, 80k) and OOM the chip).
     lowmem_method = linalg._large_factor_method()
-    max_materialized = int(
+    single_device_max = int(
         os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
     )
+    max_materialized = _sharded_dense_ceiling(single_device_max)
     lowmem_sizes = []
     for film_info in film_info_dict.values():
         if film_info.dense_kernel:
@@ -528,8 +564,19 @@ def factorize_linear_systems(
                     grad_Lambda_term=0,
                 )
                 continue
-            A = _build_system_2d_lowmem(film_info, interior_indices, pad_to)
             ni = len(interior_indices)
+            # Films beyond the single-device dense ceiling exist only
+            # because an installed factorization mesh raised it: assemble
+            # their system DISTRIBUTED (row-sharded over the mesh's model
+            # axis) so the full (n, n) never lands on one device.
+            out_sharding = None
+            if ni > single_device_max:
+                from ..parallel import sharding as _psh
+
+                out_sharding = _psh.factorization_row_sharding()
+            A = _build_system_2d_lowmem(
+                film_info, interior_indices, pad_to, out_sharding=out_sharding
+            )
             w_col = np.concatenate(
                 [
                     film_info.weights[interior_indices],
@@ -544,8 +591,13 @@ def factorize_linear_systems(
             )
             # The SAME device buffer already referenced by the LinearSystem
             # (no negation here -- factor_system fuses the sign flip so no
-            # extra (n, n) buffer is allocated).
-            pending_factorizations.append((film_name, A, w_col))
+            # extra (n, n) buffer is allocated).  Films beyond the
+            # single-device dense ceiling are only here because an
+            # installed factorization mesh raised it -- flag them so the
+            # factorization MUST run GSPMD-sharded (on any backend).
+            pending_factorizations.append(
+                (film_name, A, w_col, ni > single_device_max)
+            )
             continue
         if inhomogeneous:
             grad = film_info.gradient
@@ -675,6 +727,24 @@ def factorize_linear_systems(
     return film_systems, hole_systems, terminal_systems
 
 
+def _sharded_dense_ceiling(single_device_max: int) -> int:
+    """The dense-path site ceiling, raised when a GSPMD factorization mesh
+    is installed: the explicit inverse is stored row-sharded over the
+    mesh's ``model`` axis, so per-device bytes scale as ``n^2 / n_model``
+    and the largest film the *slice* holds densely grows by
+    ``sqrt(n_model)``.  This makes :func:`set_factorization_mesh`
+    automatic dispatch (VERDICT r2 item 9): films that would fall to the
+    matrix-free CG path on one chip stay dense *because* the shards
+    together fit what one device cannot."""
+    from ..parallel import sharding as _psh
+
+    mesh = _psh.factorization_mesh()
+    n_model = 1 if mesh is None else int(mesh.shape.get("model", 1))
+    if n_model <= 1:
+        return single_device_max
+    return int(single_device_max * n_model**0.5)
+
+
 def _factorize_pending(film_systems, pending):
     """Factorize the deferred (equally padded) low-memory systems, batching
     same-shape films into single vmapped device programs subject to an HBM
@@ -702,8 +772,10 @@ def _factorize_pending(film_systems, pending):
         linalg._large_factor_method() != "inv"
         or mesh_active
     ):
-        for name, A, w_col in pending:
-            film_systems[name].lu_piv = linalg.factor_system(A, w_col)
+        for name, A, w_col, force_sharded in pending:
+            film_systems[name].lu_piv = linalg.factor_system(
+                A, w_col, force_sharded=force_sharded
+            )
         return
     by_shape: Dict[tuple, list] = {}
     for entry in pending:
@@ -716,7 +788,7 @@ def _factorize_pending(film_systems, pending):
         for lo in range(0, len(group), chunk_size):
             chunk = group[lo : lo + chunk_size]
             if len(chunk) == 1:
-                name, A, w_col = chunk[0]
+                name, A, w_col, _ = chunk[0]
                 film_systems[name].lu_piv = linalg.factor_system(A, w_col)
                 continue
             import jax.numpy as jnp

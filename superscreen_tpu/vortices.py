@@ -36,7 +36,12 @@ response diagonal) -- not a per-site loop -- and :math:`E_\\mathrm{int}`
 is a single background solve, so the whole landscape costs one extra
 factorized solve.  With an explicit-inverse factorization (the default for
 large films on TPU, ``ops/linalg.factor_system``) the diagonal is read off
-directly and the landscape is essentially free.
+directly and the landscape is essentially free.  Films in low-memory
+(matrix-free CG/BiCGStab) mode are supported too: the diagonal comes from
+chunked one-hot probe solves, or -- for very large films -- the
+colored-Hutchinson probing estimator
+(:func:`superscreen_tpu.ops.linalg.matrix_free_response_diagonal`), whose
+per-site error bound is documented there.
 
 Sign conventions were validated against the solver: a ``+1`` vortex has a
 positive core stream (counter-clockwise currents, ``+z`` flux), and a
@@ -56,21 +61,12 @@ from .units import ureg as _global_ureg
 __all__ = ["VortexLandscape", "vortex_energy_landscape"]
 
 
-def _reject_matrix_free(film_system) -> None:
-    """Fails fast (before any background solve) for factorizations that
-    cannot produce a response diagonal."""
-    lu_piv = film_system.lu_piv
-    if lu_piv is None or (
-        isinstance(lu_piv[0], str) and lu_piv[0] == "cg"
-    ):
-        raise NotImplementedError(
-            "vortex_energy_landscape requires a dense film factorization; "
-            "this film is in low-memory (matrix-free) mode. Lower the mesh "
-            "size or raise SUPERSCREEN_TPU_MAX_MATERIALIZED_N."
-        )
-
-
-def _response_diagonal(film_system, weights) -> np.ndarray:
+def _response_diagonal(
+    film_system,
+    weights,
+    diag_method: str = "auto",
+    diag_options: Optional[Dict] = None,
+) -> np.ndarray:
     """Per-site response ``g_self`` of a unit-flux probe, for every site of
     the film system: ``d_j = -[(-A)^{-1}]_{jj}`` scaled by ``1 / w_j``.
 
@@ -78,19 +74,33 @@ def _response_diagonal(film_system, weights) -> np.ndarray:
     :func:`superscreen_tpu.solver.solve_film.solve_film` uses, so the
     landscape is exactly consistent with ``solve(vortices=[...])``.  With an
     explicit-inverse factorization the diagonal is read on device (only
-    ``(n,)`` values cross the host link).  The result is drive-independent,
-    so it is cached on the film system: sweeps reusing one
-    :class:`FactorizedModel` pay for it once.
+    ``(n,)`` values cross the host link).  Matrix-free (CG/BiCGStab) films
+    route to :func:`superscreen_tpu.ops.linalg.matrix_free_response_diagonal`
+    -- exact chunked probe solves or the colored-Hutchinson probing
+    estimator, selected by ``diag_method``.  The result is
+    drive-independent, so it is cached on the film system: sweeps reusing
+    one :class:`FactorizedModel` pay for it once.
     """
     from .ops import linalg
 
-    _reject_matrix_free(film_system)
+    if film_system.lu_piv is None:
+        raise ValueError(
+            "Film system has no factorization; factorize the model first."
+        )
+    cache_key = (diag_method, tuple(sorted((diag_options or {}).items())))
     cached = getattr(film_system, "_response_diag", None)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == cache_key:
+        return cached[1]
     lu_piv = film_system.lu_piv
     n = len(film_system.indices)
-    if isinstance(lu_piv[0], str) and lu_piv[0] == "inv":
+    if isinstance(lu_piv[0], str) and lu_piv[0] == "cg":
+        # Low-memory film: the (n, n) inverse never exists.  Exact chunked
+        # one-hot solves for moderate n, colored probing beyond (see
+        # linalg.matrix_free_response_diagonal for the error bound).
+        diag = -linalg.matrix_free_response_diagonal(
+            lu_piv[1], method=diag_method, **(diag_options or {})
+        )
+    elif isinstance(lu_piv[0], str) and lu_piv[0] == "inv":
         # x = M @ h solves (-A) x = h; the response column is -x.  Take the
         # diagonal on device -- never materialize the (n, n) inverse on host.
         # NOTE: with the default bf16 FACTOR_PRECISION the explicit inverse
@@ -118,7 +128,7 @@ def _response_diagonal(film_system, weights) -> np.ndarray:
         ).copy()
     result = diag / np.asarray(weights)[film_system.indices]
     try:
-        film_system._response_diag = result
+        film_system._response_diag = (cache_key, result)
     except (AttributeError, TypeError):
         pass
     return result
@@ -319,6 +329,8 @@ def vortex_energy_landscape(
     current_units: str = "mA",
     iterations: int = 0,
     units: str = "eV",
+    diag_method: str = "auto",
+    diag_options: Optional[Dict] = None,
 ) -> VortexLandscape:
     """Computes the free-energy landscape of one probe vortex in a film.
 
@@ -350,6 +362,14 @@ def vortex_energy_landscape(
         iterations: Inter-film coupling rounds for the background solve.
         units: Energy units of the landscape (default eV; ``Phi_0 * mA``
             is ~12.9 eV, the natural scale for um-sized films).
+        diag_method: How the response diagonal is computed for films in
+            low-memory (matrix-free) mode: ``"exact"`` (chunked one-hot
+            probe solves), ``"probing"`` (colored-Hutchinson estimator
+            with a documented error bound), or ``"auto"``.  Ignored for
+            dense factorizations (the diagonal is read off directly).
+        diag_options: Extra keyword arguments for
+            :func:`superscreen_tpu.ops.linalg.matrix_free_response_diagonal`
+            (``separation``, ``repeats``, ``chunk``, ``seed``).
 
     Returns:
         A :class:`VortexLandscape`.
@@ -387,9 +407,15 @@ def vortex_energy_landscape(
         film = film_names[0]
     if film not in film_names:
         raise KeyError(f"Film {film!r} not in device {device.name!r}.")
-    # Fail before paying for the background solve if the film cannot
-    # produce a response diagonal (matrix-free factorization).
-    _reject_matrix_free(model.film_systems[film])
+    # Compute (and cache) the response diagonal BEFORE paying for the
+    # background solve, so bad diag_method/diag_options fail fast.  For
+    # matrix-free films this is the expensive step (batched probe solves).
+    _response_diagonal(
+        model.film_systems[film],
+        model.film_info[film].weights,
+        diag_method=diag_method,
+        diag_options=diag_options,
+    )
 
     if applied_field is None:
         applied_field = ConstantField(0)
@@ -413,7 +439,12 @@ def vortex_energy_landscape(
         .to(f"{current_units} * {device.length_units}")
         .magnitude
     )
-    g_self = vortex_flux * _response_diagonal(film_system, info.weights)
+    g_self = vortex_flux * _response_diagonal(
+        film_system,
+        info.weights,
+        diag_method=diag_method,
+        diag_options=diag_options,
+    )
     g_b = np.asarray(background.film_solutions[film].stream)[indices]
 
     # E = Phi_0 * g, with g in current units.

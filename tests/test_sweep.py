@@ -141,8 +141,8 @@ def test_solve_many_validation(two_rings, model):
 def test_sharded_sweep(two_rings, model):
     """The sharded batched solve matches the unsharded one."""
     n_dev = len(jax.devices())
-    if n_dev < 2:
-        pytest.skip("needs multiple devices")
+    # Never skip under the 8-virtual-device conftest (VERDICT r2 item 8).
+    assert n_dev >= 2, "conftest must provide the 8-virtual-device mesh"
     mesh = make_mesh(n_data=n_dev // 2, n_model=2)
     films = list(two_rings.films)
     film_data = {name: _film_sweep_data(model, name) for name in films}
@@ -317,8 +317,8 @@ def test_sharded_biot_savart_matches_unsharded():
     from superscreen_tpu.parallel import make_mesh, sharded_biot_savart
 
     n_dev = len(jax.devices())
-    if n_dev < 2:
-        pytest.skip("needs multiple devices")
+    # Never skip under the 8-virtual-device conftest (VERDICT r2 item 8).
+    assert n_dev >= 2, "conftest must provide the 8-virtual-device mesh"
     mesh = make_mesh(n_data=n_dev // 2, n_model=2)
     rng = np.random.default_rng(0)
     n1, n2, B = 501, 643, mesh.shape["data"] * 2 + 1  # non-divisible shapes
@@ -340,8 +340,8 @@ def test_sharded_self_field_matches_unsharded(two_rings, model):
     from superscreen_tpu.parallel import make_mesh, sharded_self_field
 
     n_dev = len(jax.devices())
-    if n_dev < 2:
-        pytest.skip("needs multiple devices")
+    # Never skip under the 8-virtual-device conftest (VERDICT r2 item 8).
+    assert n_dev >= 2, "conftest must provide the 8-virtual-device mesh"
     mesh = make_mesh(n_data=n_dev // 2, n_model=2)
     m = two_rings.meshes["big_ring"]
     sites = m.sites
@@ -361,8 +361,8 @@ def test_solve_many_sharding_arg(two_rings, model):
     from superscreen_tpu.parallel import batch_sharding, make_mesh
 
     n_dev = len(jax.devices())
-    if n_dev < 2:
-        pytest.skip("needs multiple devices")
+    # Never skip under the 8-virtual-device conftest (VERDICT r2 item 8).
+    assert n_dev >= 2, "conftest must provide the 8-virtual-device mesh"
     mesh = make_mesh(n_data=n_dev, n_model=1)
     fields = [sc.sources.ConstantField(v) for v in np.linspace(0.2, 1.0, n_dev)]
     ref = solve_many(model=model, applied_fields=fields, field_units="mT",
@@ -634,3 +634,67 @@ def test_sweep_factorization_representations(two_rings):
                 atol=1e-8 * np.abs(np.asarray(ref.streams[name])).max(),
                 err_msg=f"{kind} representation disagrees for {name}",
             )
+
+
+def test_auto_sharded_dense_dispatch(monkeypatch):
+    """VERDICT r2 item 9: a film whose interior exceeds the SINGLE-device
+    dense ceiling stays on the DENSE path (not matrix-free CG) when a
+    factorization mesh is installed -- the explicit inverse is genuinely
+    row-sharded, so the shards together fit what one device cannot."""
+    from superscreen_tpu.parallel import set_factorization_mesh
+    from superscreen_tpu.solver import utils as solver_utils
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest must provide the 8-virtual-device mesh"
+    dev = sc.Device(
+        "disk",
+        layers=[sc.Layer("L", Lambda=1.0, z0=0)],
+        films=[
+            sc.Polygon(
+                "disk", layer="L", points=geo.circle(4.0, points=80)
+            )
+        ],
+        solve_dtype="float64",
+    )
+    dev.make_mesh(min_points=600, smooth=3)
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    # Interior size from a plain (dense low-memory) factorization.
+    ref_model = sc.factorize_model(device=dev, current_units="mA")
+    ni = len(ref_model.film_systems["disk"].indices)
+    # Ceiling below ni: one device alone must fall off the dense path...
+    ceiling = int(0.8 * ni)
+    monkeypatch.setenv("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", str(ceiling))
+    cg_model = sc.factorize_model(device=dev, current_units="mA")
+    assert cg_model.film_systems["disk"].lu_piv[0] == "cg"
+    # ...but 2 model shards raise the ceiling by sqrt(2) >= ni.
+    mesh = make_mesh(n_data=n_dev // 2, n_model=2)
+    set_factorization_mesh(mesh)
+    try:
+        assert ni <= int(ceiling * 2**0.5)
+        sharded_model = sc.factorize_model(device=dev, current_units="mA")
+        lu_piv = sharded_model.film_systems["disk"].lu_piv
+        assert lu_piv[0] == "inv", "dense-sharded dispatch not taken"
+        M = lu_piv[1]
+        assert not M.sharding.is_fully_replicated
+        per_dev = M.addressable_shards[0].data.nbytes
+        assert per_dev < M.nbytes, "per-device bytes not below replicated"
+        # The system itself was ASSEMBLED distributed (row-sharded): the
+        # full (n, n) never lands whole on one device at any stage.
+        A = sharded_model.film_systems["disk"].A
+        assert not A.sharding.is_fully_replicated, "A assembled replicated"
+        assert A.addressable_shards[0].data.nbytes < A.nbytes
+        # The sharded-dense solve matches the plain dense solve.
+        field = sc.sources.ConstantField(0.5)
+        ref = sc.solve(
+            model=ref_model, applied_field=field, field_units="mT",
+            progress_bar=False,
+        )[-1]
+        out = sc.solve(
+            model=sharded_model, applied_field=field, field_units="mT",
+            progress_bar=False,
+        )[-1]
+        a = ref.film_solutions["disk"].stream
+        b = out.film_solutions["disk"].stream
+        assert np.abs(a - b).max() < 1e-8 * np.abs(a).max()
+    finally:
+        set_factorization_mesh(None)

@@ -378,3 +378,70 @@ def test_validation(disk):
         )
     with pytest.raises(KeyError, match="not in device"):
         vortex_energy_landscape(disk, film="nope")
+
+
+@pytest.fixture(scope="module")
+def small_disk():
+    """A coarse disk so the matrix-free exact diagonal (one probe solve
+    per site) stays cheap."""
+    dev = sc.Device(
+        "small_disk",
+        layers=[sc.Layer("L", Lambda=0.5, z0=0)],
+        films=[
+            sc.Polygon(
+                "disk", layer="L", points=sc.geometry.circle(4.0, points=60)
+            )
+        ],
+        length_units="um",
+        solve_dtype="float64",
+    )
+    dev.make_mesh(min_points=400, smooth=5)
+    return dev
+
+
+def test_matrix_free_landscape_matches_dense(small_disk, monkeypatch):
+    """VERDICT r2 item 7: the landscape works for films in low-memory
+    (matrix-free) mode and matches the dense result on a small control."""
+    from superscreen_tpu.solver import utils as solver_utils
+
+    field = sc.sources.ConstantField(0.5)
+    dense = vortex_energy_landscape(
+        small_disk, applied_field=field, field_units="mT"
+    )
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    monkeypatch.setenv("SUPERSCREEN_TPU_LARGE_FACTOR", "cg")
+    model = sc.factorize_model(device=small_disk, current_units="mA")
+    assert model.film_systems["disk"].lu_piv[0] == "cg"
+    mf = vortex_energy_landscape(
+        model=model, applied_field=field, field_units="mT",
+        diag_method="exact",
+    )
+    assert np.array_equal(dense.indices, mf.indices)
+    scale = np.abs(dense.self_energy).max()
+    assert np.abs(dense.self_energy - mf.self_energy).max() < 1e-5 * scale
+    i_scale = np.abs(dense.interaction).max()
+    assert np.abs(dense.interaction - mf.interaction).max() < 1e-5 * i_scale
+
+
+def test_matrix_free_landscape_probing_estimator(small_disk, monkeypatch):
+    """The colored-Hutchinson probing diagonal is unbiased: with enough
+    repeats and a wide separation it tracks the exact diagonal site-wise
+    to a few percent on this small control."""
+    from superscreen_tpu.solver import utils as solver_utils
+
+    dense = vortex_energy_landscape(small_disk, field_units="mT")
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    monkeypatch.setenv("SUPERSCREEN_TPU_LARGE_FACTOR", "cg")
+    probe = vortex_energy_landscape(
+        small_disk,
+        field_units="mT",
+        diag_method="probing",
+        diag_options={"separation": 2.0, "repeats": 8, "seed": 1},
+    )
+    rel = np.abs(probe.self_energy - dense.self_energy) / np.abs(
+        dense.self_energy
+    )
+    # Unbiased estimator: median site error small, worst site bounded by
+    # the documented same-color response bound.
+    assert np.median(rel) < 0.05
+    assert rel.max() < 0.35
