@@ -460,6 +460,11 @@ def fresh_process_factorize(config: str, dtype: str, timeout_s: float = 900):
             capture_output=True,
             text=True,
             timeout=timeout_s,
+            # No tunnel warmup in the child: factorization itself performs
+            # no device->host readback, so the channel cost never enters
+            # this measurement -- and a daemon readback still in flight at
+            # child exit could wedge process teardown on the tunnel client.
+            env=dict(os.environ, SUPERSCREEN_TPU_TUNNEL_WARMUP="0"),
         )
     except subprocess.TimeoutExpired:
         _log("fresh-process factorize timed out")
@@ -659,6 +664,18 @@ def main():
     field_values = np.linspace(0.1, 1.0, B)
     _log(f"backend={backend} config={config} B={B} iters={iterations}")
 
+    # Establish the device->host transfer channel concurrently with meshing
+    # and report its cost as its own line item: on the tunneled, time-shared
+    # TPU of this bench host the process's FIRST readback pays a one-time
+    # channel-establishment cost measured anywhere from ~25 s to ~370 s --
+    # an environment artifact (absent on a directly-attached TPU VM) that
+    # would otherwise land inside the first factorize and masquerade as
+    # compile time (round 2 recorded it as an ~80 s "cold assembly wall";
+    # the actual XLA compiles total ~16 s and hit the persistent cache).
+    from superscreen_tpu.utils.tunnel import warm_transfer_channel
+
+    warm_transfer_channel()
+
     if config == "two_layer":
         max_edge = float(os.environ.get("BENCH_MAX_EDGE", "0.4"))
         device = build_two_layer(max_edge, dtype)
@@ -667,6 +684,14 @@ def main():
     sizes = {k: len(m.sites) for k, m in device.meshes.items()}
     n_total = sum(sizes.values())
     _log(f"meshed: {sizes} (n_total={n_total})")
+
+    t0 = time.perf_counter()
+    tunnel_first_readback_s = warm_transfer_channel(block=True)
+    tunnel_wait_s = time.perf_counter() - t0
+    _log(
+        f"transfer channel: first readback {tunnel_first_readback_s}s "
+        f"(waited {tunnel_wait_s:.1f}s after meshing)"
+    )
 
     # Cold factorize (may include XLA compiles unless the persistent cache
     # is warm), then a second factorize measuring pure device compute.
@@ -849,6 +874,18 @@ def main():
             "fft_coupling_payoff": fft_payoff,
             "fresh_process_factorize_s": (
                 round(fresh_process_s, 3) if fresh_process_s else None
+            ),
+            "tunnel_first_readback_s": (
+                round(tunnel_first_readback_s, 3)
+                if tunnel_first_readback_s is not None
+                else None
+            ),
+            "tunnel_note": (
+                "one-time per-process device->host channel establishment "
+                "on this tunneled TPU host (25-370 s observed, contention-"
+                "dependent); overlapped with meshing by utils/tunnel.py and "
+                "excluded from factorize/sweep timings -- a directly-"
+                "attached TPU VM does not pay it"
             ),
             "backend": backend,
             "tpu_unavailable": tpu_unavailable,

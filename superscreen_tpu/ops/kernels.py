@@ -30,6 +30,7 @@ __all__ = [
     "biot_savart_film_to_film_dz2",
     "q_matrix",
     "C_vector",
+    "C_vector_masked",
     "Q_matrix",
     "q_apply",
     "Q_apply",
@@ -126,6 +127,34 @@ def C_vector(points, dtype=None):
     y = points[:, 1] - jnp.mean(points[:, 1])
     a = (jnp.max(x) - jnp.min(x)) / 2
     b = (jnp.max(y) - jnp.min(y)) / 2
+    C = jnp.zeros_like(x)
+    for p in (-1.0, 1.0):
+        for q in (-1.0, 1.0):
+            C = C + jnp.sqrt((a - p * x) ** -2 + (b - q * y) ** -2)
+    C = jnp.where(jnp.isfinite(C), C, 1e30)
+    return C * _ONE_OVER_4PI
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def C_vector_masked(points, mask, n_valid, dtype=None):
+    """:func:`C_vector` over the first ``n_valid`` rows of a shape-padded
+    point set: the statistics (centroid, bounding half-widths) are computed
+    over ``mask``-selected rows only, so ONE compilation serves every film
+    padded to a shared shape (the cold-start compile wall of per-film
+    shapes otherwise dominates first-run factorization).  Entries at
+    masked-out rows are unspecified.
+    """
+    points = jnp.asarray(points, dtype=dtype)
+    dt = points.dtype
+    mask = jnp.asarray(mask)
+    nf = jnp.asarray(n_valid, dt)
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    xs = points[:, 0]
+    ys = points[:, 1]
+    x = xs - jnp.sum(jnp.where(mask, xs, 0)) / nf
+    y = ys - jnp.sum(jnp.where(mask, ys, 0)) / nf
+    a = (jnp.max(jnp.where(mask, x, -big)) - jnp.min(jnp.where(mask, x, big))) / 2
+    b = (jnp.max(jnp.where(mask, y, -big)) - jnp.min(jnp.where(mask, y, big))) / 2
     C = jnp.zeros_like(x)
     for p in (-1.0, 1.0):
         for q in (-1.0, 1.0):

@@ -224,6 +224,84 @@ def _blocked_tril_inverse(L, b: int):
     return jnp.block([[columns[j][i] for j in range(nb)] for i in range(nb)])
 
 
+def _blocked_cholesky_loop(P, b: int):
+    """Lower Cholesky factor of an SPD matrix by uniform-shape left-looking
+    block columns: a ``fori_loop`` whose body is one ``(n, n) @ (n, b)``
+    masked panel update, one ``(b, b)`` Cholesky, and one ``(b, b)``
+    right-side TriangularSolve against the ``(n, b)`` panel.
+
+    The XLA TPU lowering of a full-size ``jnp.linalg.cholesky`` takes
+    ~39 s to COMPILE at n = 18k (measured, single-core host) and dominates
+    cold-start factorization; this loop emits a handful of fixed-shape ops
+    instead.  The price is multiplying against the not-yet-computed (zero)
+    block columns of ``L``: ~2 n^3 flops versus n^3/3 -- MXU matmul time,
+    negligible against the compile saved on any cache-cold run.  Panel
+    updates run at the disciplined f32 matmul precision (the factor seeds
+    solve-time refinement, whose contraction factor tracks the factor's
+    accuracy).  ``P.shape[0]`` must be a multiple of ``b``.
+    """
+    n = P.shape[0]
+    nb = n // b
+    row_idx = jnp.arange(n)
+
+    def body(i, L):
+        A_col = jax.lax.dynamic_slice(P, (0, i * b), (n, b))
+        L_row = jax.lax.dynamic_slice(L, (i * b, 0), (b, n))
+        # S = A[:, ci] - sum_{k<i} L[:, ck] @ L[ci, ck]^T; block columns
+        # >= i of L are still zero, so the full-width product adds nothing.
+        S = A_col - kernels._dot(L, L_row.T)
+        D = jax.lax.dynamic_slice(S, (i * b, 0), (b, b))
+        Ld = jnp.linalg.cholesky(D)
+        # Panel = S @ Ld^{-T}; at the diagonal block this is exactly Ld.
+        col = jax.lax.linalg.triangular_solve(
+            Ld, S, left_side=False, lower=True, transpose_a=True
+        )
+        col = jnp.where(row_idx[:, None] >= i * b, col, 0.0)
+        return jax.lax.dynamic_update_slice(L, col, (0, i * b))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(P))
+
+
+def _tril_inverse_loop(L, b: int):
+    """Inverse of a lower-triangular matrix by UNIFORM-SHAPE block forward
+    substitution: a ``fori_loop`` whose body is one ``(b, n) @ (n, n)``
+    matmul plus one ``(b, b)`` TriangularSolve with ``n`` right-hand sides.
+
+    Compared with :func:`_blocked_tril_inverse` (an unrolled pyramid of
+    ~nb^2/2 distinctly-shaped matmuls), the compiled program is a few ops
+    regardless of ``n`` -- XLA compile time drops from 22.5 s to 7.5 s at
+    n = 18k on a single-core host (measured), and cold-start factorization
+    is compile-bound.  The price is multiplying against the
+    not-yet-computed (zero) rows of ``X``: ~2 n^3 flops versus ~2/3 n^3 --
+    MXU matmul time at :data:`FACTOR_PRECISION`, a few hundred ms at
+    n = 18k, recouped many times over on any cache-cold run.
+    ``L.shape[0]`` must be a multiple of ``b``.
+    """
+    n = L.shape[0]
+    nb = n // b
+    eye_b = jnp.eye(b, dtype=L.dtype)
+
+    def body(i, X):
+        row = jax.lax.dynamic_slice(L, (i * b, 0), (b, n))  # L[i, :]
+        # S = sum_{k<i} L[i,k] X[k,:]; rows >= i*b of X are still zero, so
+        # the full-width matmul adds nothing spurious.
+        S = _fdot(row, X)
+        # rhs = -S, with the identity added at block column i.
+        rhs = jax.lax.dynamic_update_slice(
+            -S,
+            eye_b - jax.lax.dynamic_slice(S, (0, i * b), (b, b)),
+            (0, i * b),
+        )
+        L_ii = jax.lax.dynamic_slice(L, (i * b, i * b), (b, b))
+        Xi = jax.lax.linalg.triangular_solve(
+            L_ii, rhs, left_side=True, lower=True
+        )
+        return jax.lax.dynamic_update_slice(X, Xi, (i * b, 0))
+
+    X0 = jnp.zeros((n, n), dtype=L.dtype)
+    return jax.lax.fori_loop(0, nb, body, X0)
+
+
 def _chol_inverse_body(P, w_col, block: int):
     """Shared body: SPD ``P`` -> solution operator ``-P^{-1}/w`` via
     Cholesky + blocked matmul-only triangular inverse
@@ -237,8 +315,8 @@ def _chol_inverse_body(P, w_col, block: int):
         # blockdiag(chol/inv(P), I).
         padded = jnp.eye(n_pad, dtype=P.dtype)
         P = padded.at[:n, :n].set(P)
-    L = jnp.linalg.cholesky(P)
-    L_inv = _blocked_tril_inverse(L, b)
+    L = _blocked_cholesky_loop(P, b)
+    L_inv = _tril_inverse_loop(L, b)
     P_inv = _fdot(L_inv.T, L_inv)[:n, :n]
     return -(P_inv / w_col[:, None])
 
@@ -335,6 +413,72 @@ def _jax_schur_explicit_inverse(neg_A, w_col, leaf: int = 2048):
         P = padded.at[:n, :n].set(P)
     P_inv = _schur_recursive_inverse(P, b)[:n, :n]
     return -(P_inv / w_col[:, None])
+
+
+#: AOT-compiled large-film factorization executables, keyed by
+#: ``(n, dtype_name)`` -- filled by :func:`prewarm_factorization` (a
+#: background-thread compile overlapped with system assembly) and consumed
+#: by :func:`factor_system`.
+_PREWARMED_FACTOR = {}
+_PREWARM_THREADS = {}
+
+
+def prewarm_factorization(n: int, dtype) -> None:
+    """Starts compiling the default large-film factorization program
+    (:func:`_jax_chol_explicit_inverse_from_A` at shape ``(n, n)``) in a
+    daemon thread.
+
+    Cold-start factorization is compile-bound: on TPU the blocked
+    triangular inverse takes an order of magnitude longer to compile than
+    the multi-film system assembly it follows.  XLA compilation releases
+    the GIL, so kicking it off as soon as the shared pad size is known
+    overlaps the compile with host prep, transfers, and the assembly
+    programs.  :func:`factor_system` joins the thread and calls the AOT
+    executable directly (also skipping any jit re-trace).
+
+    No-op when the prewarmed path would not be taken (CPU backend, LU-size
+    systems, a non-default method, or an installed factorization mesh), or
+    when disabled with ``SUPERSCREEN_TPU_PREWARM_FACTOR=0`` (the overlap
+    only pays on multi-core hosts; on a single-core host the background
+    compile time-slices against the assembly compiles for no net win).
+    """
+    if os.environ.get("SUPERSCREEN_TPU_PREWARM_FACTOR", "1") == "0":
+        return
+    key = (int(n), jnp.dtype(dtype).name)
+    if key in _PREWARMED_FACTOR or key in _PREWARM_THREADS:
+        return
+    if _on_cpu() or n <= LU_MAX_N_TPU or _large_factor_method() != "inv":
+        return
+    from ..parallel import sharding as _psh
+
+    mesh = _psh.factorization_mesh()
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        return
+    import threading
+
+    def compile_it():
+        try:
+            sds_A = jax.ShapeDtypeStruct((n, n), jnp.dtype(dtype))
+            sds_w = jax.ShapeDtypeStruct((n,), jnp.dtype(dtype))
+            _PREWARMED_FACTOR[key] = (
+                _jax_chol_explicit_inverse_from_A.lower(sds_A, sds_w).compile()
+            )
+        except Exception as exc:  # pragma: no cover - fall back to jit
+            logger.info(f"factorization prewarm failed (falling back): {exc!r}")
+
+    t = threading.Thread(target=compile_it, daemon=True)
+    _PREWARM_THREADS[key] = t
+    t.start()
+
+
+def _prewarmed_executable(n: int, dtype):
+    """The AOT factorization executable for ``(n, dtype)``, joining an
+    in-flight prewarm thread first; None if never prewarmed."""
+    key = (int(n), jnp.dtype(dtype).name)
+    t = _PREWARM_THREADS.pop(key, None)
+    if t is not None:
+        t.join()
+    return _PREWARMED_FACTOR.get(key)
 
 
 @jax.jit
@@ -534,6 +678,9 @@ def factor_system(A, weights_col, force_sharded: bool = False):
         return ("inv", _jax_spd_inverse(-jnp.asarray(A), w), w)
     if method == "chol":
         return ("chol", _jax_chol_factor(-jnp.asarray(A), w), w)
+    exe = _prewarmed_executable(n, w.dtype)
+    if exe is not None:
+        return ("inv", exe(jnp.asarray(A), w), w)
     return ("inv", _jax_chol_explicit_inverse_from_A(jnp.asarray(A), w), w)
 
 

@@ -205,6 +205,13 @@ def factorize_model(
             ``current_units``, or strings/Quantities with units).
         vortices: Vortices in the device.
     """
+    # Establish the device->host transfer channel NOW, in a background
+    # thread: on tunneled TPU backends the process's first readback pays a
+    # large one-time channel-setup cost (see utils/tunnel.py); starting it
+    # here overlaps it with film-info construction and system assembly.
+    from ..utils.tunnel import warm_transfer_channel
+
+    warm_transfer_channel()
     ureg = device.ureg
     circulating_currents = currents_to_floats(
         circulating_currents or {}, ureg, current_units

@@ -295,24 +295,174 @@ def _assemble_lowmem_A(
     )
 
 
-def _build_system_2d_lowmem(film_info, ix, pad_to=None, out_sharding=None):
+def _assemble_lowmem_fused_body(
+    sites_pad, w_pad, n, ixp, lam_scaled_vals, rows, cols, ni
+):
+    """Single-program assembly of the low-memory film system from the
+    shape-padded FULL site set: the Brandt boundary vector ``C``, the
+    matrix-free row sums ``q @ w``, the diagonal, the interior gather, the
+    q-block, and the Laplacian scatter all trace into ONE jit.
+
+    Compared with :func:`_assemble_lowmem_A` (which takes pre-gathered
+    inputs and needs separate per-film-shape ``C_vector`` / ``q_apply``
+    dispatches), every input here is padded to sizes SHARED across films,
+    so the whole multi-film assembly costs one compilation and one device
+    dispatch per film -- the dominant cost of both cold (compile wall) and
+    warm (tunnel round-trip latency) factorization.
+
+    Gather pad slots of ``ixp`` point at site 0; the coincident-point rule
+    of the q kernel keeps those entries finite and the ``valid2d`` mask
+    replaces the whole pad block with the identity regardless.
+    """
+    import jax.numpy as jnp
+
+    n_pad = sites_pad.shape[0]
+    nip = ixp.shape[0]
+    dtype = w_pad.dtype
+    mask = jnp.arange(n_pad) < n
+    w_m = jnp.where(mask, w_pad, jnp.asarray(0.0, dtype))
+    C = kernels.C_vector_masked(sites_pad, mask, n)
+    q_row_w = kernels.q_apply(sites_pad, w_m)
+    diag_full = (C + q_row_w) / jnp.where(mask, w_pad, jnp.asarray(1.0, dtype))
+    sub_sites = sites_pad[ixp]
+    diag = diag_full[ixp]
+    valid = jnp.arange(nip) < ni
+    w_sub = jnp.where(valid, w_pad[ixp], jnp.asarray(1.0, dtype))
+    q_sub = kernels.q_matrix(sub_sites, dtype=dtype)
+    eye = jnp.eye(nip, dtype=bool)
+    A = jnp.where(eye, diag[:, None], -q_sub) * w_sub[None, :]
+    A = A.at[rows, cols].add(-lam_scaled_vals)
+    valid2d = valid[:, None] & valid[None, :]
+    # Pad block = +I so that A_pad / w stays positive definite (the
+    # Cholesky path factors P = -(-A_pad)/w); the padded equations
+    # read (-I) x = 0 -> x = 0.
+    pad_block = jnp.where(eye, jnp.asarray(1.0, A.dtype), 0.0)
+    return jnp.where(valid2d, A, pad_block)
+
+
+@lru_cache(maxsize=1)
+def _assemble_lowmem_fused_jit():
+    import jax
+
+    return jax.jit(_assemble_lowmem_fused_body)
+
+
+@lru_cache(maxsize=1)
+def _assemble_lowmem_sliced_jit():
+    """The fused assembly taking the STACKED multi-film inputs plus a film
+    index: the per-film gather happens in-program, so the batch loop emits
+    no eager slice ops (each would cost its own cold compile and a warm
+    dispatch)."""
+    import jax
+
+    def sliced(
+        i, sites_stack, w_stack, n_arr, ixp_stack, vals_stack, rows_stack,
+        cols_stack, ni_arr,
+    ):
+        return _assemble_lowmem_fused_body(
+            sites_stack[i],
+            w_stack[i],
+            n_arr[i],
+            ixp_stack[i],
+            vals_stack[i],
+            rows_stack[i],
+            cols_stack[i],
+            ni_arr[i],
+        )
+
+    return jax.jit(sliced)
+
+
+def _padded_film_arrays(film_info, pad_n, dtype):
+    """Full film sites/weights zero/one-padded to the shared size ``pad_n``
+    (pad sites sit at the origin; every consumer masks them out)."""
+    sites_np = np.asarray(film_info.sites, dtype=dtype)
+    n = sites_np.shape[0]
+    sites_pad = np.zeros((pad_n, 2), dtype=dtype)
+    sites_pad[:n] = sites_np
+    w_pad = np.ones(pad_n, dtype=dtype)
+    w_pad[:n] = np.asarray(film_info.weights, dtype=dtype)
+    return sites_pad, w_pad, n
+
+
+def _restricted_lambda_triplets(film_info, ix, dtype, bucket=None):
+    """Scatter triplets of the Lambda terms restricted to ``ix`` (in
+    restricted numbering): the Lambda-column-scaled Laplacian plus, for
+    inhomogeneous films, the (grad Lambda . grad) term.  ``bucket`` pads
+    the triplet count to a shared multiple (zero-valued adds at (0, 0)) so
+    same-bucket films share one compiled scatter."""
+    ni = len(ix)
+    Lambda = np.asarray(film_info.lambda_info.Lambda)
+    lap = film_info.laplacian  # COO
+    pos = np.full(lap.shape[0], -1, dtype=np.int64)
+    pos[ix] = np.arange(ni)
+    keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
+    rows = pos[lap.rows[keep]]
+    cols = pos[lap.cols[keep]]
+    lam_scaled_vals = (
+        lap.vals[keep] * Lambda[lap.cols[keep], 0]
+    ).astype(dtype)
+    if film_info.lambda_info.inhomogeneous:
+        # Inhomogeneous Lambda: the (grad Lambda . grad) term enters the
+        # same scatter (both terms are subtracted from A).
+        g_rows, g_cols, g_vals = _lowmem_grad_lambda_triplets(film_info, ix)
+        rows = np.concatenate([rows, g_rows])
+        cols = np.concatenate([cols, g_cols])
+        lam_scaled_vals = np.concatenate(
+            [lam_scaled_vals, g_vals.astype(dtype)]
+        )
+    if bucket is not None:
+        nnz_pad = -(-len(rows) // bucket) * bucket
+        pad = nnz_pad - len(rows)
+        rows = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)])
+        lam_scaled_vals = np.concatenate(
+            [lam_scaled_vals, np.zeros(pad, dtype=dtype)]
+        )
+    return rows, cols, lam_scaled_vals
+
+
+def _build_system_2d_lowmem(
+    film_info, ix, pad_to=None, out_sharding=None, pad_n=None
+):
     """The stream-function system for a large film without materializing the
     full Brandt kernel: the off-diagonal q-block is assembled directly from
     the gathered sites; the diagonal needs the full row sums ``q @ w`` and
     the boundary vector ``C``, both computed matrix-free.  The result is
-    padded to ``pad_to`` with an identity block (decoupled).  With
-    ``out_sharding`` the (n, n) system is assembled distributed (see
+    padded to ``pad_to`` with an identity block (decoupled).
+
+    With ``pad_n`` (the shared full-site pad size) on a single device, the
+    ENTIRE assembly -- C vector, row sums, diagonal, gather, q-block,
+    scatter -- runs as one jitted program whose input shapes are shared by
+    every film (:func:`_assemble_lowmem_fused_body`): one compile for the
+    whole device, one dispatch per film.  With ``out_sharding`` the (n, n)
+    system is instead assembled distributed (see
     :func:`_assemble_lowmem_A`)."""
     import jax.numpy as jnp
 
-    sites = jnp.asarray(film_info.sites)
-    w = jnp.asarray(film_info.weights)
-    Lambda = np.asarray(film_info.lambda_info.Lambda)
-    C = kernels.C_vector(sites, dtype=sites.dtype)
-    q_row_w = kernels.q_apply(sites, w)
     ni = len(ix)
     nip = pad_to or ni
     dtype = np.asarray(film_info.weights).dtype
+    rows, cols, lam_scaled_vals = _restricted_lambda_triplets(
+        film_info, ix, dtype, bucket=65536 if pad_to is not None else None
+    )
+    if out_sharding is None and pad_n is not None:
+        sites_pad, w_pad, n = _padded_film_arrays(film_info, pad_n, dtype)
+        ixp = np.concatenate([ix, np.zeros(nip - ni, dtype=ix.dtype)])
+        return _assemble_lowmem_fused_jit()(
+            jnp.asarray(sites_pad),
+            jnp.asarray(w_pad),
+            jnp.asarray(n),
+            jnp.asarray(ixp),
+            jnp.asarray(lam_scaled_vals),
+            jnp.asarray(rows),
+            jnp.asarray(cols),
+            jnp.asarray(ni),
+        )
+    sites = jnp.asarray(film_info.sites)
+    w = jnp.asarray(film_info.weights)
+    C = kernels.C_vector(sites, dtype=sites.dtype)
+    q_row_w = kernels.q_apply(sites, w)
     # Padded gather indices: pad slots point at far-away dummy coordinates
     # (distinct, so the q kernel stays finite) and are overwritten with the
     # identity block inside the assembly.
@@ -334,35 +484,6 @@ def _build_system_2d_lowmem(film_info, ix, pad_to=None, out_sharding=None):
             np.full(nip - ni, 1.0, dtype=dtype),
         ]
     ).astype(dtype)
-    # Restrict the sparse Laplacian to ix, with the reference's column
-    # scaling by Lambda (A -= Lambda_j * L[:, j]).
-    lap = film_info.laplacian  # COO
-    pos = np.full(lap.shape[0], -1, dtype=np.int64)
-    pos[ix] = np.arange(ni)
-    keep = (pos[lap.rows] >= 0) & (pos[lap.cols] >= 0)
-    rows = pos[lap.rows[keep]]
-    cols = pos[lap.cols[keep]]
-    lam_scaled_vals = (
-        lap.vals[keep] * Lambda[lap.cols[keep], 0]
-    ).astype(dtype)
-    if film_info.lambda_info.inhomogeneous:
-        # Inhomogeneous Lambda: the (grad Lambda . grad) term enters the
-        # same scatter (both terms are subtracted from A).
-        g_rows, g_cols, g_vals = _lowmem_grad_lambda_triplets(film_info, ix)
-        rows = np.concatenate([rows, g_rows])
-        cols = np.concatenate([cols, g_cols])
-        lam_scaled_vals = np.concatenate(
-            [lam_scaled_vals, g_vals.astype(dtype)]
-        )
-    # Pad the scatter triplets to a shared count (zero-valued adds at (0,0)).
-    if pad_to is not None:
-        nnz_pad = -(-len(rows) // 65536) * 65536
-        pad = nnz_pad - len(rows)
-        rows = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)])
-        cols = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)])
-        lam_scaled_vals = np.concatenate(
-            [lam_scaled_vals, np.zeros(pad, dtype=dtype)]
-        )
     return _assemble_lowmem_A(
         jnp.asarray(sub_sites),
         jnp.asarray(diag),
@@ -449,24 +570,170 @@ def _lowmem_operator_pieces(film_info, ix):
     }
 
 
+def _coo_matvec_host(op, x):
+    """Host (numpy) COO matvec.  Used where the result is consumed on the
+    host and the work is O(nnz): on a tunneled TPU a device round-trip
+    (two ~20-30 ms transfers) costs far more than the arithmetic."""
+    rows = np.asarray(op.rows)
+    vals = np.asarray(op.vals)
+    cols = np.asarray(op.cols)
+    return np.bincount(
+        rows, weights=vals * np.asarray(x, dtype=float)[cols],
+        minlength=op.shape[0],
+    )
+
+
+def _hole_host_part(film_info, mask):
+    """Host-side terms of a hole's effective-field vector (subtracted from
+    the device Q term): the Lambda-masked Laplacian matvec plus, for
+    inhomogeneous films, the (grad Lambda . grad) corrections -- all
+    O(nnz) sparse work."""
+    Lambda = np.asarray(film_info.lambda_info.Lambda)[:, 0]
+    out = _coo_matvec_host(film_info.laplacian, Lambda * mask)
+    if film_info.lambda_info.inhomogeneous and film_info.gradient_coo is not None:
+        gx, gy = film_info.gradient_coo
+        out = out + _coo_matvec_host(gx, Lambda) * _coo_matvec_host(gx, mask)
+        out = out + _coo_matvec_host(gy, Lambda) * _coo_matvec_host(gy, mask)
+    return out
+
+
+def _hole_Q_fused_body(sites_pad, w_pad, n, vec_mask):
+    """Device part of a hole's effective-field vector on the shape-padded
+    full site set: ``Q @ (w * vec_mask)`` with the Brandt diagonal built
+    in-program (the row sums ``q @ w`` ride along as an extra q column).
+    The sparse Laplacian/gradient terms are host work
+    (:func:`_hole_host_part`)."""
+    import jax.numpy as jnp
+
+    n_pad = sites_pad.shape[0]
+    dtype = w_pad.dtype
+    mask = jnp.arange(n_pad) < n
+    w_m = jnp.where(mask, w_pad, jnp.asarray(0.0, dtype))
+    vec = w_m * vec_mask
+    qV = kernels.q_apply(sites_pad, jnp.stack([vec, w_m], axis=1))
+    C = kernels.C_vector_masked(sites_pad, mask, n)
+    diag = (C + qV[:, 1]) / jnp.where(mask, w_pad, jnp.asarray(1.0, dtype))
+    return jnp.where(mask, -qV[:, 0] + diag * vec, jnp.asarray(0.0, dtype))
+
+
+@lru_cache(maxsize=1)
+def _holes_Q_batched_jit():
+    """All holes of all films in ONE scanned program: each step gathers its
+    film's padded sites/weights from the stacked inputs, so one compile and
+    one dispatch cover every hole (results stay on device -- factorization
+    performs no device->host readback)."""
+    import jax
+
+    def batched(sites_stack, w_stack, n_arr, fidx, vec_masks):
+        def one(args):
+            f, vm = args
+            return _hole_Q_fused_body(sites_stack[f], w_stack[f], n_arr[f], vm)
+
+        return jax.lax.map(one, (fidx, vec_masks))
+
+    return jax.jit(batched)
+
+
 def _hole_effective_field_vector_lowmem(film_info, ix):
     """Effective-field vector for unit circulating current in a hole:
     ``(Q[:, ix] w[ix] - Lambda[ix] L[:, ix] - GL[:, ix]) @ 1``, computed
-    matrix-free as ``Q @ (w mask) - L @ (Lambda mask) - GL @ mask``."""
+    matrix-free as ``Q @ (w mask) - L @ (Lambda mask) - GL @ mask``.
+
+    Eager path (used by matrix-free CG films and distributed-assembly
+    films); materializing films batch the device part through
+    :func:`_assemble_lowmem_batch` instead."""
     n = len(film_info.weights)
     mask = np.zeros(n, dtype=film_info.weights.dtype)
     mask[ix] = 1.0
     Qv = kernels.Q_apply(
         film_info.sites, film_info.weights, film_info.weights * mask
     )
-    Lambda = np.asarray(film_info.lambda_info.Lambda)[:, 0]
-    Lv = film_info.laplacian.matvec(Lambda * mask)
-    out = np.asarray(Qv) - np.asarray(Lv)
-    if film_info.lambda_info.inhomogeneous and film_info.gradient_coo is not None:
-        gx, gy = film_info.gradient_coo
-        out -= np.asarray(gx.matvec(Lambda)) * np.asarray(gx.matvec(mask))
-        out -= np.asarray(gy.matvec(Lambda)) * np.asarray(gy.matvec(mask))
-    return out
+    return np.asarray(Qv) - _hole_host_part(film_info, mask)
+
+
+def _assemble_lowmem_batch(
+    batch, film_systems, hole_systems, pending, pad_to
+):
+    """Device phase of the low-memory factorization for all materializing
+    films at once.
+
+    The tunneled-TPU cost model dictates the shape of this function: every
+    host->device transfer pays ~20-30 ms of latency on top of low
+    bandwidth, so the per-film inputs (padded sites/weights, gather
+    indices, scatter triplets, hole masks) are stacked on the host and
+    shipped as ONE transfer per input kind.  Per-film dispatches then
+    slice the stacks on device (free), all films share the one compiled
+    assembly program (:func:`_assemble_lowmem_fused_body`), and every hole
+    of every film runs as one scanned program with a single readback
+    (:func:`_holes_Q_batched_jit`).
+    """
+    if not batch:
+        return
+    import jax.numpy as jnp
+
+    nnz_pad = max(-(-len(e["vals"]) // 65536) * 65536 for e in batch)
+    dtype = batch[0]["w_pad"].dtype
+    idx_dtype = np.int32
+
+    def stacked(key, width, dt):
+        out = np.zeros((len(batch), width), dtype=dt)
+        for i, e in enumerate(batch):
+            out[i, : len(e[key])] = e[key]
+        return jnp.asarray(out)
+
+    sites_stack = jnp.asarray(np.stack([e["sites_pad"] for e in batch]))
+    w_stack = jnp.asarray(np.stack([e["w_pad"] for e in batch]))
+    n_arr = jnp.asarray(np.array([e["n"] for e in batch], dtype=idx_dtype))
+    # Gather pad slots index site 0 (the zero fill); the assembly masks
+    # the whole pad block to the identity regardless.
+    ixp_stack = stacked("ix", pad_to, idx_dtype)
+    rows_stack = stacked("rows", nnz_pad, idx_dtype)
+    cols_stack = stacked("cols", nnz_pad, idx_dtype)
+    vals_stack = stacked("vals", nnz_pad, dtype)
+    ni_arr = jnp.asarray(np.array([e["ni"] for e in batch], dtype=idx_dtype))
+    fuse = _assemble_lowmem_sliced_jit()
+    for i, e in enumerate(batch):
+        A = fuse(
+            np.int32(i),
+            sites_stack,
+            w_stack,
+            n_arr,
+            ixp_stack,
+            vals_stack,
+            rows_stack,
+            cols_stack,
+            ni_arr,
+        )
+        film_systems[e["film"]] = LinearSystem(
+            A=A, indices=e["ix"], lu_piv=None, grad_Lambda_term=0
+        )
+        # The SAME device buffer already referenced by the LinearSystem (no
+        # negation here -- factor_system fuses the sign flip so no extra
+        # (n, n) buffer is allocated).
+        pending.append((e["film"], A, e["w_col"], False))
+    holes = [
+        (i, hole_name, h)
+        for i, e in enumerate(batch)
+        for hole_name, h in e["holes"].items()
+    ]
+    if not holes:
+        return
+    fidx = jnp.asarray(np.array([h[0] for h in holes], dtype=idx_dtype))
+    vec_masks = jnp.asarray(np.stack([h[2]["vec_mask"] for h in holes]))
+    Qvs = _holes_Q_batched_jit()(sites_stack, w_stack, n_arr, fidx, vec_masks)
+    # The hole vectors STAY on device (sliced lazily, host part subtracted
+    # as a tiny h2d transfer): factorization then completes with ZERO
+    # device->host readbacks, which matters on tunneled TPU backends where
+    # the process's first readback pays the channel-establishment cost
+    # (utils/tunnel.py) -- a readback here would serialize factorization
+    # behind it.  Consumers np.asarray() the vector when they need it.
+    for k, (i, hole_name, h) in enumerate(holes):
+        e = batch[i]
+        hole_systems[e["film"]][hole_name] = LinearSystem(
+            A=Qvs[k, : e["n"]] - jnp.asarray(h["host_part"], dtype=dtype),
+            indices=h["indices"],
+            grad_Lambda_term=0,
+        )
 
 
 #: Stage timings of the most recent :func:`factorize_linear_systems` call
@@ -496,6 +763,9 @@ def factorize_linear_systems(
     # Low-memory films defer factorization: equally-shaped systems are
     # batch-factorized in ONE device program after assembly.
     pending_factorizations = []  # (film_name, neg_A, w_col)
+    # Host-prepped low-memory films whose device assembly runs batched
+    # (stacked single transfers) after the loop.
+    lowmem_batch = []
     # Pad low-memory film systems to one common size so all films share a
     # single compiled factorization/solve on TPU (compile time dominates
     # cold-start factorization otherwise).  Films that will route to the
@@ -508,6 +778,8 @@ def factorize_linear_systems(
     )
     max_materialized = _sharded_dense_ceiling(single_device_max)
     lowmem_sizes = []
+    lowmem_full_sizes = []
+    lowmem_dtype = None
     for film_info in film_info_dict.values():
         if film_info.dense_kernel:
             continue
@@ -519,9 +791,21 @@ def factorize_linear_systems(
         if lowmem_method == "cg" or len(ix) > max_materialized:
             continue
         lowmem_sizes.append(len(ix))
+        lowmem_full_sizes.append(len(film_info.weights))
+        lowmem_dtype = np.asarray(film_info.weights).dtype
     pad_to = None
+    pad_n = None
     if lowmem_sizes:
         pad_to = -(-max(lowmem_sizes) // 2048) * 2048
+        # Shared pad size for the FULL site set: lets every per-film device
+        # program of the assembly (C vector, row sums, hole vectors) share
+        # one compilation across films (cold-start compile wall).
+        pad_n = -(-max(lowmem_full_sizes) // 2048) * 2048
+        # Start compiling the (pad_to, pad_to) factorization program NOW in
+        # a background thread: its compile dwarfs the assembly's, and XLA
+        # compilation releases the GIL, so it overlaps with all the host
+        # prep, transfers, and assembly below.
+        linalg.prewarm_factorization(pad_to, lowmem_dtype)
     for film_name, film_info in film_info_dict.items():
         hole_systems[film_name] = {}
         interior_indices = film_info.interior_indices
@@ -536,21 +820,37 @@ def factorize_linear_systems(
             # term folds into the sparse scatter/segment-sum triplets, and
             # matrix-free solves switch from CG to BiCGStab (the operator
             # is then mildly non-symmetric).
-            for hole_name, indices in hole_indices.items():
-                hole_systems[film_name][hole_name] = LinearSystem(
-                    A=_hole_effective_field_vector_lowmem(film_info, indices),
-                    indices=indices,
-                    grad_Lambda_term=0,
-                )
             if hole_indices:
                 interior_indices = np.setdiff1d(
                     interior_indices,
                     np.concatenate(list(hole_indices.values())),
                 )
-            if (
+            is_cg = (
                 lowmem_method == "cg"
                 or len(interior_indices) > max_materialized
-            ):
+            )
+            ni = len(interior_indices)
+            # Films beyond the single-device dense ceiling exist only
+            # because an installed factorization mesh raised it: assemble
+            # their system DISTRIBUTED (row-sharded over the mesh's model
+            # axis) so the full (n, n) never lands on one device.
+            out_sharding = None
+            if not is_cg and ni > single_device_max:
+                from ..parallel import sharding as _psh
+
+                out_sharding = _psh.factorization_row_sharding()
+            if is_cg or out_sharding is not None:
+                # Eager per-hole vectors (rare paths; the common case runs
+                # batched below).
+                for hole_name, indices in hole_indices.items():
+                    hole_systems[film_name][hole_name] = LinearSystem(
+                        A=_hole_effective_field_vector_lowmem(
+                            film_info, indices
+                        ),
+                        indices=indices,
+                        grad_Lambda_term=0,
+                    )
+            if is_cg:
                 # Matrix-free CG path: beyond ~65k interior sites even the
                 # (ni, ni) system / explicit inverse exceeds HBM; solves
                 # run as preconditioned CG with tiled kernel matvecs.
@@ -564,39 +864,65 @@ def factorize_linear_systems(
                     grad_Lambda_term=0,
                 )
                 continue
-            ni = len(interior_indices)
-            # Films beyond the single-device dense ceiling exist only
-            # because an installed factorization mesh raised it: assemble
-            # their system DISTRIBUTED (row-sharded over the mesh's model
-            # axis) so the full (n, n) never lands on one device.
-            out_sharding = None
-            if ni > single_device_max:
-                from ..parallel import sharding as _psh
-
-                out_sharding = _psh.factorization_row_sharding()
-            A = _build_system_2d_lowmem(
-                film_info, interior_indices, pad_to, out_sharding=out_sharding
-            )
             w_col = np.concatenate(
                 [
                     film_info.weights[interior_indices],
                     np.ones((pad_to or ni) - ni, dtype=film_info.weights.dtype),
                 ]
             )
-            film_systems[film_name] = LinearSystem(
-                A=A,
-                indices=interior_indices,
-                lu_piv=None,  # filled by the batched factorization below
-                grad_Lambda_term=0,
+            if out_sharding is not None:
+                A = _build_system_2d_lowmem(
+                    film_info,
+                    interior_indices,
+                    pad_to,
+                    out_sharding=out_sharding,
+                )
+                film_systems[film_name] = LinearSystem(
+                    A=A,
+                    indices=interior_indices,
+                    lu_piv=None,  # filled by the batched factorization below
+                    grad_Lambda_term=0,
+                )
+                # The SAME device buffer already referenced by the
+                # LinearSystem (no negation here -- factor_system fuses the
+                # sign flip so no extra (n, n) buffer is allocated).  The
+                # True flag marks that the factorization MUST run
+                # GSPMD-sharded (on any backend).
+                pending_factorizations.append((film_name, A, w_col, True))
+                continue
+            # Common case: host-side prep only; the device phase for ALL
+            # such films runs in _assemble_lowmem_batch with stacked
+            # single-transfer inputs (tunnel latency dominates otherwise).
+            dtype = np.asarray(film_info.weights).dtype
+            sites_pad, w_pad, n = _padded_film_arrays(film_info, pad_n, dtype)
+            rows, cols, vals = _restricted_lambda_triplets(
+                film_info, interior_indices, dtype
             )
-            # The SAME device buffer already referenced by the LinearSystem
-            # (no negation here -- factor_system fuses the sign flip so no
-            # extra (n, n) buffer is allocated).  Films beyond the
-            # single-device dense ceiling are only here because an
-            # installed factorization mesh raised it -- flag them so the
-            # factorization MUST run GSPMD-sharded (on any backend).
-            pending_factorizations.append(
-                (film_name, A, w_col, ni > single_device_max)
+            holes_prep = {}
+            for hole_name, indices in hole_indices.items():
+                mask = np.zeros(n, dtype=dtype)
+                mask[indices] = 1.0
+                vec_mask = np.zeros(pad_n, dtype=dtype)
+                vec_mask[:n] = mask
+                holes_prep[hole_name] = dict(
+                    indices=indices,
+                    vec_mask=vec_mask,
+                    host_part=_hole_host_part(film_info, mask),
+                )
+            lowmem_batch.append(
+                dict(
+                    film=film_name,
+                    sites_pad=sites_pad,
+                    w_pad=w_pad,
+                    n=n,
+                    ix=interior_indices,
+                    rows=rows,
+                    cols=cols,
+                    vals=vals,
+                    ni=ni,
+                    w_col=w_col,
+                    holes=holes_prep,
+                )
             )
             continue
         if inhomogeneous:
@@ -713,6 +1039,13 @@ def factorize_linear_systems(
             ),
             grad_Lambda_term=grad_Lambda_term,
         )
+    _assemble_lowmem_batch(
+        lowmem_batch,
+        film_systems,
+        hole_systems,
+        pending_factorizations,
+        pad_to,
+    )
     t_assembled = time.perf_counter()
     _factorize_pending(film_systems, pending_factorizations)
     t_done = time.perf_counter()

@@ -170,3 +170,30 @@ def test_factor_precision_knob():
     assert linalg.FACTOR_PRECISION in (
         "bfloat16", "bfloat16_3x", "tensorfloat32", "float32", "highest"
     )
+
+
+def test_prewarm_factorization_executable(monkeypatch):
+    """The background-compiled AOT factorization must be picked up by
+    factor_system and agree with the jit path."""
+    import numpy as np
+
+    from superscreen_tpu.ops import linalg
+
+    monkeypatch.setattr(linalg, "LU_MAX_N_TPU", 16)
+    monkeypatch.setattr(linalg, "_on_cpu", lambda: False)
+    rng = np.random.default_rng(0)
+    n = 96
+    X = rng.standard_normal((n, n))
+    P = X @ X.T + n * np.eye(n)
+    w = rng.uniform(0.5, 1.5, size=n)
+    # Brandt convention: A / w is SPD and solves run against -A.
+    A = P * w[None, :]
+    linalg.prewarm_factorization(n, A.dtype)
+    exe = linalg._prewarmed_executable(n, A.dtype)
+    assert exe is not None
+    kind, M, w_out = linalg.factor_system(A, w)
+    assert kind == "inv"
+    M_jit = np.asarray(linalg._jax_chol_explicit_inverse_from_A(A, w))
+    assert np.allclose(np.asarray(M), M_jit, rtol=1e-10, atol=1e-12)
+    x = np.asarray(M) @ np.ones(n)
+    assert np.allclose(-A @ x, np.ones(n), rtol=1e-8, atol=1e-10)

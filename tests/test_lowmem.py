@@ -217,3 +217,86 @@ def test_lowmem_inhomogeneous_lambda_bicgstab(device, monkeypatch):
         rtol=1e-3,
         atol=1e-8,
     )
+
+
+def test_fused_assembly_matches_legacy(device, monkeypatch):
+    """The single-dispatch fused assembly (pad_n path) must reproduce the
+    per-piece legacy assembly and hole vectors to round-off."""
+    import importlib
+
+    sf = importlib.import_module("superscreen_tpu.solver.solve_film")
+
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    model = sc.factorize_model(device=device, current_units="uA")
+    info = model.film_info["ring"]
+    ix = model.film_systems["ring"].indices
+    n = len(info.weights)
+    pad_to = -(-len(ix) // 2048) * 2048
+    pad_n = -(-n // 2048) * 2048
+    A_fused = np.asarray(
+        sf._build_system_2d_lowmem(info, ix, pad_to, pad_n=pad_n)
+    )
+    A_legacy = np.asarray(
+        sf._build_system_2d_lowmem(info, ix, pad_to, pad_n=None)
+    )
+    scale = np.abs(A_legacy).max()
+    assert np.abs(A_fused - A_legacy).max() < 1e-12 * scale
+    # The batched hole program (device Q part + host sparse part) must
+    # match the eager per-hole vector.
+    import jax.numpy as jnp
+
+    hole_ix = info.hole_indices["hole"]
+    dtype = np.asarray(info.weights).dtype
+    sites_pad, w_pad, nfilm = sf._padded_film_arrays(info, pad_n, dtype)
+    mask = np.zeros(nfilm, dtype=dtype)
+    mask[hole_ix] = 1.0
+    vec_mask = np.zeros(pad_n, dtype=dtype)
+    vec_mask[:nfilm] = mask
+    Qvs = np.asarray(
+        sf._holes_Q_batched_jit()(
+            jnp.asarray(sites_pad[None]),
+            jnp.asarray(w_pad[None]),
+            jnp.asarray(np.array([nfilm], dtype=np.int32)),
+            jnp.asarray(np.array([0], dtype=np.int32)),
+            jnp.asarray(vec_mask[None]),
+        )
+    )
+    v_batched = Qvs[0][:nfilm] - sf._hole_host_part(info, mask)
+    v_eager = sf._hole_effective_field_vector_lowmem(info, hole_ix)
+    vscale = np.abs(v_eager).max()
+    assert np.abs(v_batched - v_eager).max() < 1e-12 * vscale
+
+
+def test_hole_vector_stays_consumable(device, monkeypatch):
+    """Hole-system vectors may be device arrays (zero-readback
+    factorization); every consumer np.asarray()s them on demand."""
+    monkeypatch.setattr(solver_utils, "MAX_DENSE_KERNEL_SIZE", 10)
+    model = sc.factorize_model(device=device, current_units="uA")
+    A = model.hole_systems["ring"]["hole"].A
+    assert np.ndim(A) == 1
+    vec = np.asarray(A)
+    assert np.all(np.isfinite(vec))
+    # A solve with a circulating current consumes the vector.
+    model.set_circulating_currents({"hole": 1.0})
+    solutions = sc.solve(
+        model=model,
+        applied_field=sc.sources.ConstantField(0.0),
+        progress_bar=False,
+    )
+    assert np.isfinite(solutions[-1].film_solutions["ring"].stream).all()
+
+
+def test_c_vector_masked_matches_unmasked(device):
+    from superscreen_tpu.ops import kernels
+
+    sites = device.meshes["ring"].sites.astype(np.float64)
+    n = len(sites)
+    pad_n = n + 137
+    sites_pad = np.zeros((pad_n, 2))
+    sites_pad[:n] = sites
+    mask = np.arange(pad_n) < n
+    C_masked = np.asarray(
+        kernels.C_vector_masked(sites_pad, mask, n, dtype="float64")
+    )[:n]
+    C_plain = np.asarray(kernels.C_vector(sites, dtype="float64"))
+    assert np.abs(C_masked - C_plain).max() < 1e-14 * np.abs(C_plain).max()
