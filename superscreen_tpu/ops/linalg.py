@@ -224,82 +224,110 @@ def _blocked_tril_inverse(L, b: int):
     return jnp.block([[columns[j][i] for j in range(nb)] for i in range(nb)])
 
 
-def _blocked_cholesky_loop(P, b: int):
+def _phase_bounds(nb: int, n_phases: int):
+    """Split block indices ``[0, nb)`` into ``<= n_phases`` contiguous
+    phases of near-equal length.  Returns the boundary list."""
+    phases = max(1, min(n_phases, nb))
+    return [round(nb * k / phases) for k in range(phases + 1)]
+
+
+def _blocked_cholesky_loop(P, b: int, n_phases: int = 4):
     """Lower Cholesky factor of an SPD matrix by uniform-shape left-looking
-    block columns: a ``fori_loop`` whose body is one ``(n, n) @ (n, b)``
-    masked panel update, one ``(b, b)`` Cholesky, and one ``(b, b)``
-    right-side TriangularSolve against the ``(n, b)`` panel.
+    block columns: a ``fori_loop`` whose body is one masked panel-update
+    matmul, one ``(b, b)`` Cholesky, and one ``(b, b)`` right-side
+    TriangularSolve against the ``(n, b)`` panel.
 
     The XLA TPU lowering of a full-size ``jnp.linalg.cholesky`` takes
     ~39 s to COMPILE at n = 18k (measured, single-core host) and dominates
     cold-start factorization; this loop emits a handful of fixed-shape ops
-    instead.  The price is multiplying against the not-yet-computed (zero)
-    block columns of ``L``: ~2 n^3 flops versus n^3/3 -- MXU matmul time,
-    negligible against the compile saved on any cache-cold run.  Panel
-    updates run at the disciplined f32 matmul precision (the factor seeds
-    solve-time refinement, whose contraction factor tracks the factor's
-    accuracy).  ``P.shape[0]`` must be a multiple of ``b``.
+    instead.  A single full-width loop would multiply against the
+    not-yet-computed (zero) block columns of ``L`` every iteration
+    (~2 n^3 flops versus n^3/3); to claw most of that back at unchanged
+    compile cost, the iteration space is split into ``n_phases`` fori_loops
+    whose panel-update width is statically clamped to the widest column
+    range any iteration in that phase can actually touch (48% of the
+    full-width matmul flops at nb = 9, phases = 4).  Panel updates run at
+    the disciplined f32 matmul precision (the factor seeds solve-time
+    refinement, whose contraction factor tracks the factor's accuracy).
+    ``P.shape[0]`` must be a multiple of ``b``.
     """
     n = P.shape[0]
     nb = n // b
     row_idx = jnp.arange(n)
+    bounds = _phase_bounds(nb, n_phases)
+    L = jnp.zeros_like(P)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo == hi:
+            continue
+        # Iteration i reads block columns k < i of L, so every i in
+        # [lo, hi) is covered by the first (hi-1)*b columns; columns of
+        # the slice at block index >= i are still zero and add nothing.
+        W = max((hi - 1) * b, b)
 
-    def body(i, L):
-        A_col = jax.lax.dynamic_slice(P, (0, i * b), (n, b))
-        L_row = jax.lax.dynamic_slice(L, (i * b, 0), (b, n))
-        # S = A[:, ci] - sum_{k<i} L[:, ck] @ L[ci, ck]^T; block columns
-        # >= i of L are still zero, so the full-width product adds nothing.
-        S = A_col - kernels._dot(L, L_row.T)
-        D = jax.lax.dynamic_slice(S, (i * b, 0), (b, b))
-        Ld = jnp.linalg.cholesky(D)
-        # Panel = S @ Ld^{-T}; at the diagonal block this is exactly Ld.
-        col = jax.lax.linalg.triangular_solve(
-            Ld, S, left_side=False, lower=True, transpose_a=True
-        )
-        col = jnp.where(row_idx[:, None] >= i * b, col, 0.0)
-        return jax.lax.dynamic_update_slice(L, col, (0, i * b))
+        def body(i, L, W=W):
+            A_col = jax.lax.dynamic_slice(P, (0, i * b), (n, b))
+            L_row = jax.lax.dynamic_slice(L, (i * b, 0), (b, W))
+            # S = A[:, ci] - sum_{k<i} L[:, ck] @ L[ci, ck]^T
+            S = A_col - kernels._dot(L[:, :W], L_row.T)
+            D = jax.lax.dynamic_slice(S, (i * b, 0), (b, b))
+            Ld = jnp.linalg.cholesky(D)
+            # Panel = S @ Ld^{-T}; at the diagonal block this is exactly Ld.
+            col = jax.lax.linalg.triangular_solve(
+                Ld, S, left_side=False, lower=True, transpose_a=True
+            )
+            col = jnp.where(row_idx[:, None] >= i * b, col, 0.0)
+            return jax.lax.dynamic_update_slice(L, col, (0, i * b))
 
-    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(P))
+        L = jax.lax.fori_loop(lo, hi, body, L)
+    return L
 
 
-def _tril_inverse_loop(L, b: int):
+def _tril_inverse_loop(L, b: int, n_phases: int = 4):
     """Inverse of a lower-triangular matrix by UNIFORM-SHAPE block forward
-    substitution: a ``fori_loop`` whose body is one ``(b, n) @ (n, n)``
+    substitution: a ``fori_loop`` whose body is one ``(b, H) @ (H, n)``
     matmul plus one ``(b, b)`` TriangularSolve with ``n`` right-hand sides.
 
     Compared with :func:`_blocked_tril_inverse` (an unrolled pyramid of
     ~nb^2/2 distinctly-shaped matmuls), the compiled program is a few ops
     regardless of ``n`` -- XLA compile time drops from 22.5 s to 7.5 s at
     n = 18k on a single-core host (measured), and cold-start factorization
-    is compile-bound.  The price is multiplying against the
-    not-yet-computed (zero) rows of ``X``: ~2 n^3 flops versus ~2/3 n^3 --
-    MXU matmul time at :data:`FACTOR_PRECISION`, a few hundred ms at
-    n = 18k, recouped many times over on any cache-cold run.
-    ``L.shape[0]`` must be a multiple of ``b``.
+    is compile-bound.  As in :func:`_blocked_cholesky_loop`, the iteration
+    space is split into ``n_phases`` fori_loops so the accumulation height
+    ``H`` only spans rows of ``X`` that some iteration of the phase can
+    have written (the rest are zero); this recovers ~half of the
+    full-width matmul flops at unchanged compile cost.  Matmuls run at
+    :data:`FACTOR_PRECISION`.  ``L.shape[0]`` must be a multiple of ``b``.
     """
     n = L.shape[0]
     nb = n // b
     eye_b = jnp.eye(b, dtype=L.dtype)
+    bounds = _phase_bounds(nb, n_phases)
+    X = jnp.zeros((n, n), dtype=L.dtype)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo == hi:
+            continue
+        # Iteration i reads rows k < i of X: the first (hi-1)*b rows cover
+        # every i in [lo, hi); rows at block index >= i are still zero.
+        H = max((hi - 1) * b, b)
 
-    def body(i, X):
-        row = jax.lax.dynamic_slice(L, (i * b, 0), (b, n))  # L[i, :]
-        # S = sum_{k<i} L[i,k] X[k,:]; rows >= i*b of X are still zero, so
-        # the full-width matmul adds nothing spurious.
-        S = _fdot(row, X)
-        # rhs = -S, with the identity added at block column i.
-        rhs = jax.lax.dynamic_update_slice(
-            -S,
-            eye_b - jax.lax.dynamic_slice(S, (0, i * b), (b, b)),
-            (0, i * b),
-        )
-        L_ii = jax.lax.dynamic_slice(L, (i * b, i * b), (b, b))
-        Xi = jax.lax.linalg.triangular_solve(
-            L_ii, rhs, left_side=True, lower=True
-        )
-        return jax.lax.dynamic_update_slice(X, Xi, (i * b, 0))
+        def body(i, X, H=H):
+            row = jax.lax.dynamic_slice(L, (i * b, 0), (b, H))  # L[i, :H]
+            # S = sum_{k<i} L[i,k] X[k,:]
+            S = _fdot(row, X[:H, :])
+            # rhs = -S, with the identity added at block column i.
+            rhs = jax.lax.dynamic_update_slice(
+                -S,
+                eye_b - jax.lax.dynamic_slice(S, (0, i * b), (b, b)),
+                (0, i * b),
+            )
+            L_ii = jax.lax.dynamic_slice(L, (i * b, i * b), (b, b))
+            Xi = jax.lax.linalg.triangular_solve(
+                L_ii, rhs, left_side=True, lower=True
+            )
+            return jax.lax.dynamic_update_slice(X, Xi, (i * b, 0))
 
-    X0 = jnp.zeros((n, n), dtype=L.dtype)
-    return jax.lax.fori_loop(0, nb, body, X0)
+        X = jax.lax.fori_loop(lo, hi, body, X)
+    return X
 
 
 def _chol_inverse_body(P, w_col, block: int):
