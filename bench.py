@@ -182,7 +182,9 @@ def _solve_op(data):
     return jax.jit(lu)
 
 
-def certify_accuracy(film_data, streams, others, Hz, refine_steps=3):
+def certify_accuracy(
+    film_data, streams, others, Hz, refine_steps=3, budget_s=None
+):
     """Certifies solve accuracy at the benchmark config, float64 host-side.
 
     This is the full-scale analog of the reference's runtime inversion
@@ -203,14 +205,37 @@ def certify_accuracy(film_data, streams, others, Hz, refine_steps=3):
       f32 linear solves at this scale.
     * ``refined_residual_rel_max``: residual after f64 refinement (the
       attainable floor, for context).
+
+    The dominant cost is reading each film's (nip, nip) f32 system matrix
+    back through the tunneled TPU's device->host channel (~1.1 GB/film at
+    the large config) whose throughput is contention-dependent; under
+    ``budget_s`` (default env ``BENCH_CERTIFY_BUDGET_S``, 900 s) the stage
+    certifies as many films as fit and records which were covered, so the
+    bench always terminates with a JSON line.  At the symmetric large
+    config all four films are the same ring, so even one certified film is
+    representative; an uncontended run covers all of them.
     """
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_CERTIFY_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     out = {
         "residual_rel_per_film": {},
         "residual_rel_max": 0.0,
         "refined_stream_delta_max": 0.0,
         "refined_residual_rel_max": 0.0,
+        "films_certified": [],
+        "a_readback_s": {},
     }
     for name, data in film_data.items():
+        elapsed = time.perf_counter() - t_start
+        if out["films_certified"] and elapsed > budget_s:
+            out["budget_note"] = (
+                f"stage budget {budget_s:.0f}s exceeded after "
+                f"{elapsed:.0f}s; certified "
+                f"{len(out['films_certified'])}/{len(film_data)} films "
+                "(device->host tunnel contention)"
+            )
+            break
         solve = _solve_op(data)
         nip = data.interior.shape[0]
         interior = np.asarray(data.interior)
@@ -226,7 +251,9 @@ def certify_accuracy(film_data, streams, others, Hz, refine_steps=3):
         H[:, ~valid] = 0.0
         # Blocked f64 residual R = G @ A^T + H (A row blocks upcast on the
         # fly; avoids a second full f64 copy of the (nip, nip) system).
+        t_a = time.perf_counter()
         A32 = np.asarray(data.A)
+        out["a_readback_s"][name] = round(time.perf_counter() - t_a, 2)
 
         def residual(Gm):
             R = H.copy()
@@ -260,6 +287,7 @@ def certify_accuracy(film_data, streams, others, Hz, refine_steps=3):
         out["refined_residual_rel_max"] = max(
             out["refined_residual_rel_max"], float(rel_ref.max())
         )
+        out["films_certified"].append(name)
         del A32
     return out
 
@@ -743,10 +771,14 @@ def main():
     if os.environ.get("BENCH_CERTIFY", "1") == "1":
         t0 = time.perf_counter()
         streams_f, _Js_f, _sf_f, others_f = final
-        accuracy = certify_accuracy(film_data, streams_f, others_f, Hz_bench)
-        accuracy["coupling_f64_sample_rel_err"] = certify_coupling(
-            film_data, streams_f, _Js_f, Hz_bench
-        )
+        try:  # bench must still print its JSON line
+            accuracy = certify_accuracy(film_data, streams_f, others_f, Hz_bench)
+            accuracy["coupling_f64_sample_rel_err"] = certify_coupling(
+                film_data, streams_f, _Js_f, Hz_bench
+            )
+        except Exception as exc:
+            _log(f"accuracy certification failed: {exc!r}")
+            accuracy = dict(accuracy or {}, error=repr(exc))
         accuracy["certify_s"] = round(time.perf_counter() - t0, 2)
         accuracy["note"] = (
             "f64 host checks at the full benchmark config: residual_rel_* "
