@@ -197,3 +197,36 @@ def test_prewarm_factorization_executable(monkeypatch):
     assert np.allclose(np.asarray(M), M_jit, rtol=1e-10, atol=1e-12)
     x = np.asarray(M) @ np.ones(n)
     assert np.allclose(-A @ x, np.ones(n), rtol=1e-8, atol=1e-10)
+
+
+def test_phase_bounds_partition():
+    """Phase boundaries tile [0, nb) exactly, never exceed the requested
+    phase count, and collapse cleanly when nb < n_phases."""
+    for nb in (1, 2, 3, 4, 5, 9, 16, 37):
+        for phases in (1, 2, 4, 8):
+            bounds = linalg._phase_bounds(nb, phases)
+            assert bounds[0] == 0 and bounds[-1] == nb
+            assert all(b1 >= b0 for b0, b1 in zip(bounds, bounds[1:]))
+            assert len(bounds) - 1 == max(1, min(phases, nb))
+
+
+def test_phase_split_loops_match_dense():
+    """The phase-split Cholesky / triangular-inverse loops reproduce the
+    dense factors bit-for-bit in intent (f64 CPU, machine precision) for
+    every phase count, including nb == 1 and nb not divisible by phases."""
+    rng = np.random.default_rng(7)
+    b = 128
+    for nb, phases in [(1, 4), (2, 4), (3, 2), (5, 4), (9, 4), (4, 1)]:
+        n = nb * b
+        G = rng.standard_normal((n, 32))
+        P = G @ G.T + n * np.eye(n)
+        P = 0.5 * (P + P.T)
+        L_ref = np.linalg.cholesky(P)
+        L = np.asarray(linalg._blocked_cholesky_loop(jnp.asarray(P), b, phases))
+        assert np.allclose(L, L_ref, rtol=1e-12, atol=1e-10 * n)
+        X = np.asarray(linalg._tril_inverse_loop(jnp.asarray(L_ref), b, phases))
+        assert np.allclose(X @ L_ref, np.eye(n), atol=1e-9)
+        # Upper triangles are untouched up to the epsilon-level residue of
+        # the diagonal-block panel solve (S_d @ Ld^{-T} = Ld only exactly).
+        assert np.abs(np.triu(L, 1)).max() < 1e-12 * np.abs(L).max()
+        assert np.abs(np.triu(X, 1)).max() < 1e-12 * np.abs(X).max()
