@@ -727,13 +727,13 @@ def main():
     # large config (4x A + M each) cannot coexist in 16 GB HBM.
     model, factorize_cold_s, stats_cold = factorize_blocked(device)
     _log(f"factorize cold {factorize_cold_s:.1f}s (stats: {stats_cold})")
-    # Best of 2 warm factorizes: the tunneled TPU is time-shared and a
+    # Best of N (default 3) warm factorizes: the tunneled TPU is time-shared and a
     # single reading can wobble by large factors under host contention;
     # the minimum is the honest device-capability number. Each model is
     # dropped first (two large-config models cannot coexist in HBM).
     factorize_warm_runs = []
     stats_warm = None
-    for _ in range(2):
+    for _ in range(int(os.environ.get("BENCH_WARM_FACTORIZES", "3"))):
         del model
         model, run_s, run_stats = factorize_blocked(device)
         factorize_warm_runs.append(run_s)
@@ -752,11 +752,11 @@ def main():
     run()
     compile_and_first_s = time.perf_counter() - t0
     _log(f"sweep compile+first run {compile_and_first_s:.1f}s")
-    # Best of 3: the tunneled TPU is time-shared, so single warm runs can
+    # Best of N (default 5): the tunneled TPU is time-shared, so single warm runs can
     # wobble by 10-20%; the minimum is the honest device-capability number.
     warm_runs = []
     final = None
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_WARM_SWEEPS", "5"))):
         t0 = time.perf_counter()
         final = run()
         warm_runs.append(time.perf_counter() - t0)
