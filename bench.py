@@ -236,24 +236,33 @@ def certify_accuracy(
                 "(device->host tunnel contention)"
             )
             break
-        solve = _solve_op(data)
-        nip = data.interior.shape[0]
-        interior = np.asarray(data.interior)
-        n_valid = int(np.asarray(data.n_valid))
-        valid = np.arange(nip) < n_valid
-        # (B, nip) f64 gathers of the final streams and effective fields.
-        G = np.asarray(streams[name], dtype=np.float64)[:, interior]
-        G[:, ~valid] = 0.0
-        H_full = np.asarray(Hz[name], dtype=np.float64)
-        if others is not None and name in others:
-            H_full = H_full + np.asarray(others[name], dtype=np.float64)
-        H = H_full[:, interior]
-        H[:, ~valid] = 0.0
-        # Blocked f64 residual R = G @ A^T + H (A row blocks upcast on the
-        # fly; avoids a second full f64 copy of the (nip, nip) system).
-        t_a = time.perf_counter()
-        A32 = np.asarray(data.A)
-        out["a_readback_s"][name] = round(time.perf_counter() - t_a, 2)
+        # Each film is certified independently and results are recorded as
+        # they land: a tunnel failure (the axon channel can drop mid-run)
+        # on one film must not discard metrics already computed for the
+        # others, and a refinement failure must not discard that film's
+        # residuals (which only need the one A readback + host math).
+        try:
+            nip = data.interior.shape[0]
+            interior = np.asarray(data.interior)
+            n_valid = int(np.asarray(data.n_valid))
+            valid = np.arange(nip) < n_valid
+            # (B, nip) f64 gathers of the final streams / effective fields.
+            G = np.asarray(streams[name], dtype=np.float64)[:, interior]
+            G[:, ~valid] = 0.0
+            H_full = np.asarray(Hz[name], dtype=np.float64)
+            if others is not None and name in others:
+                H_full = H_full + np.asarray(others[name], dtype=np.float64)
+            H = H_full[:, interior]
+            H[:, ~valid] = 0.0
+            # Blocked f64 residual R = G @ A^T + H (A row blocks upcast on
+            # the fly; avoids a second full f64 copy of the (nip, nip)
+            # system).
+            t_a = time.perf_counter()
+            A32 = np.asarray(data.A)
+            out["a_readback_s"][name] = round(time.perf_counter() - t_a, 2)
+        except Exception as exc:
+            out.setdefault("film_errors", {})[name] = repr(exc)
+            continue
 
         def residual(Gm):
             R = H.copy()
@@ -269,25 +278,31 @@ def certify_accuracy(
         rel = np.linalg.norm(R, axis=1) / h_norms
         out["residual_rel_per_film"][name] = [float(f"{v:.3e}") for v in rel]
         out["residual_rel_max"] = max(out["residual_rel_max"], float(rel.max()))
-        # f64 iterative refinement of the same final systems: the f32
-        # device factorization preconditions f64 host residuals.
-        G_ref = G.copy()
-        for _ in range(refine_steps):
-            R = residual(G_ref)
-            dG = np.array(solve(np.asarray(R, dtype=A32.dtype).T)).T
-            dG[:, ~valid] = 0.0
-            G_ref = G_ref + dG
-        rel_ref = np.linalg.norm(residual(G_ref), axis=1) / h_norms
-        delta = np.linalg.norm(G - G_ref, axis=1) / np.linalg.norm(
-            G_ref, axis=1
-        )
-        out["refined_stream_delta_max"] = max(
-            out["refined_stream_delta_max"], float(delta.max())
-        )
-        out["refined_residual_rel_max"] = max(
-            out["refined_residual_rel_max"], float(rel_ref.max())
-        )
         out["films_certified"].append(name)
+        # f64 iterative refinement of the same final systems: the f32
+        # device factorization preconditions f64 host residuals.  Needs
+        # fresh device executions (and possibly a compile), so it gets its
+        # own guard: if the tunnel dies here, the residuals above survive.
+        try:
+            solve = _solve_op(data)
+            G_ref = G.copy()
+            for _ in range(refine_steps):
+                R = residual(G_ref)
+                dG = np.array(solve(np.asarray(R, dtype=A32.dtype).T)).T
+                dG[:, ~valid] = 0.0
+                G_ref = G_ref + dG
+            rel_ref = np.linalg.norm(residual(G_ref), axis=1) / h_norms
+            delta = np.linalg.norm(G - G_ref, axis=1) / np.linalg.norm(
+                G_ref, axis=1
+            )
+            out["refined_stream_delta_max"] = max(
+                out["refined_stream_delta_max"], float(delta.max())
+            )
+            out["refined_residual_rel_max"] = max(
+                out["refined_residual_rel_max"], float(rel_ref.max())
+            )
+        except Exception as exc:
+            out.setdefault("film_errors", {})[name] = repr(exc)
         del A32
     return out
 
@@ -773,12 +788,16 @@ def main():
         streams_f, _Js_f, _sf_f, others_f = final
         try:  # bench must still print its JSON line
             accuracy = certify_accuracy(film_data, streams_f, others_f, Hz_bench)
+        except Exception as exc:
+            _log(f"accuracy certification failed: {exc!r}")
+            accuracy = dict(accuracy or {}, error=repr(exc))
+        try:  # independent of the residual stage: partial results survive
             accuracy["coupling_f64_sample_rel_err"] = certify_coupling(
                 film_data, streams_f, _Js_f, Hz_bench
             )
         except Exception as exc:
-            _log(f"accuracy certification failed: {exc!r}")
-            accuracy = dict(accuracy or {}, error=repr(exc))
+            _log(f"coupling certification failed: {exc!r}")
+            accuracy["coupling_f64_sample_rel_err"] = {"error": repr(exc)}
         accuracy["certify_s"] = round(time.perf_counter() - t0, 2)
         accuracy["note"] = (
             "f64 host checks at the full benchmark config: residual_rel_* "
@@ -862,12 +881,15 @@ def main():
                 _log(f"fft payoff failed: {exc!r}")
                 fft_payoff = {"error": repr(exc)}
         if os.environ.get("BENCH_FRESH_PROCESS", "1") == "1":
-            t0 = time.perf_counter()
-            fresh_process_s = fresh_process_factorize(config, dtype)
-            _log(
-                f"fresh-process factorize: {fresh_process_s}s "
-                f"(stage wall {time.perf_counter() - t0:.1f}s incl. meshing)"
-            )
+            try:
+                t0 = time.perf_counter()
+                fresh_process_s = fresh_process_factorize(config, dtype)
+                _log(
+                    f"fresh-process factorize: {fresh_process_s}s "
+                    f"(stage wall {time.perf_counter() - t0:.1f}s incl. meshing)"
+                )
+            except Exception as exc:  # bench must still print its JSON line
+                _log(f"fresh-process factorize failed: {exc!r}")
 
     backend_tag = backend + (" FALLBACK, tpu unavailable" if tpu_unavailable else "")
     result = {
