@@ -410,6 +410,25 @@ class Device:
             )
             outer = pops.resample_polygon(buffered, len(film.points))
             interior_features.insert(0, film.points)
+        # Opt-in triangulation cache (SUPERSCREEN_TPU_MESH_CACHE=dir): the
+        # final (post-smoothing) triangulation is keyed on the exact input
+        # geometry and meshing parameters; operators are always rebuilt
+        # (they live on the compute device, not in the cache).
+        from . import mesh_cache
+
+        cache_params = dict(
+            min_points=min_points,
+            max_edge_length=max_edge_length,
+            preserve_boundary=bool(preserve_boundary or has_terminals),
+            smooth=int(smooth or 0),
+            extra=repr(sorted(mesh_kwargs.items())),
+        )
+        key = None
+        if mesh_cache.cache_dir() is not None:
+            key = mesh_cache.cache_key(outer, interior_features, cache_params)
+            cached = mesh_cache.load(key)
+            if cached is not None:
+                return Mesh.from_triangulation(*cached)
         points, triangles = mgen.generate_mesh(
             outer,
             feature_rings=interior_features,
@@ -421,10 +440,14 @@ class Device:
             **mesh_kwargs,
         )
         if smooth:
-            return Mesh.from_triangulation(
+            mesh = Mesh.from_triangulation(
                 points, triangles, build_operators=False
             ).smooth(smooth)
-        return Mesh.from_triangulation(points, triangles)
+        else:
+            mesh = Mesh.from_triangulation(points, triangles)
+        if key is not None:
+            mesh_cache.store(key, mesh.sites, mesh.elements)
+        return mesh
 
     def boundary_vertices(self, film: str) -> np.ndarray:
         """Boundary vertex indices for a film's mesh, ordered CCW.

@@ -61,14 +61,17 @@ def _do_warmup():
         logger.info(f"transfer-channel warmup failed: {exc!r}")
 
 
-def warm_transfer_channel(block: bool = False) -> Optional[float]:
+def warm_transfer_channel(
+    block: bool = False, timeout: Optional[float] = None
+) -> Optional[float]:
     """Starts (once per process) a daemon thread whose tiny device->host
     readback establishes the transfer channel of a tunneled TPU backend.
 
     Idempotent and cheap to call from any entry point that is about to do
     device work (``factorize_model`` calls it first thing).  With
-    ``block=True``, waits for the warmup and returns the measured
-    first-readback seconds (None if disabled, on CPU, or failed) --
+    ``block=True``, waits for the warmup (up to ``timeout`` seconds, or
+    forever if None) and returns the measured first-readback seconds
+    (None if disabled, on CPU, failed, or still in flight at timeout) --
     used by benchmarks to report channel establishment separately from
     compile/compute.
     """
@@ -87,6 +90,6 @@ def warm_transfer_channel(block: bool = False) -> Optional[float]:
             _thread = threading.Thread(target=_do_warmup, daemon=True)
             _thread.start()
     if block:
-        _thread.join()
+        _thread.join(timeout)
         return _result.get("first_readback_s")
     return _result.get("first_readback_s")

@@ -1,0 +1,110 @@
+"""Tests for the device-resident sweep accuracy certification
+(superscreen_tpu/certify.py) -- the benchmark-scale analog of the
+reference's ``check_inversion`` runtime self-check (reference
+``solver/solve_film.py:533-539``)."""
+
+import numpy as np
+import pytest
+
+import superscreen_tpu as sc
+import superscreen_tpu.geometry as geo
+from superscreen_tpu.certify import certify_sweep
+from superscreen_tpu.sweep import _film_sweep_data, _run_sweep
+
+
+@pytest.fixture(scope="module")
+def two_rings_f32():
+    layers = [
+        sc.Layer("layer0", Lambda=1, z0=0),
+        sc.Layer("layer1", Lambda=1, z0=1),
+    ]
+    films = [
+        sc.Polygon("big_ring", layer="layer0", points=geo.circle(7.5, points=80)),
+        sc.Polygon("little_ring", layer="layer1", points=geo.circle(5, points=60)),
+    ]
+    holes = [
+        sc.Polygon("big_hole", layer="layer0", points=geo.circle(3.75, points=40)),
+        sc.Polygon("little_hole", layer="layer1", points=geo.circle(2.5, points=30)),
+    ]
+    device = sc.Device(
+        "two_rings", layers=layers, films=films, holes=holes,
+        solve_dtype="float32",
+    )
+    device.make_mesh(max_edge_length=0.9)
+    return device
+
+
+def _sweep_inputs(model, B, circ=0.0):
+    films = list(model.device.films)
+    data = {name: _film_sweep_data(model, name) for name in films}
+    dtype = model.device.solve_dtype
+    vals = np.linspace(0.2, 1.0, B)
+    Hz = {
+        name: vals[:, None].astype(dtype)
+        * np.ones(data[name].n, dtype=dtype)[None, :]
+        for name in films
+    }
+    I_circ = {
+        name: np.full(
+            (B, len(data[name].hole_names)), circ, dtype=dtype
+        )
+        for name in films
+    }
+    return data, Hz, I_circ
+
+
+def test_certify_residuals_small_and_host_agrees(two_rings_f32):
+    model = sc.factorize_model(device=two_rings_f32, current_units="uA")
+    data, Hz, I_circ = _sweep_inputs(model, B=3)
+    streams, Js, selfs, others = _run_sweep(
+        data, Hz, I_circ, 1645.5, 2, 2
+    )
+    report = certify_sweep(
+        data, streams, others, Hz, I_circ=I_circ, n_sample_rows=64
+    )
+    assert set(report["films_certified"]) == set(model.device.films)
+    # f32 solves with safeguarded refinement: residuals sit near the f32
+    # floor at this (small, well-conditioned) scale.
+    assert 0 < report["residual_rel_max"] < 1e-5
+    # The device f64 residual and the host NumPy f64 residual must agree
+    # to f64 rounding on the sampled rows -- this validates the on-device
+    # upcast path end to end.
+    assert report["sampled_row_rel_disagreement"] < 1e-12
+    # Refinement can only tighten the residual, and the forward error of
+    # the f32 streams is bounded at this scale.
+    assert (
+        report["refined_residual_rel_max"] <= report["residual_rel_max"]
+    )
+    assert report["refined_stream_delta_max"] < 1e-4
+
+
+def test_certify_with_circulating_currents(two_rings_f32):
+    # Nonzero circulating currents exercise the hole stream / effective
+    # field offsets in the RHS reconstruction.
+    model = sc.factorize_model(device=two_rings_f32, current_units="uA")
+    data, Hz, I_circ = _sweep_inputs(model, B=2, circ=5.0)
+    streams, Js, selfs, others = _run_sweep(
+        data, Hz, I_circ, 1645.5, 1, 2
+    )
+    report = certify_sweep(
+        data, streams, others, Hz, I_circ=I_circ, n_sample_rows=32
+    )
+    assert report["residual_rel_max"] < 1e-5
+    assert report["sampled_row_rel_disagreement"] < 1e-12
+    assert not report.get("film_errors")
+
+
+def test_certify_respects_budget(two_rings_f32):
+    model = sc.factorize_model(device=two_rings_f32, current_units="uA")
+    data, Hz, I_circ = _sweep_inputs(model, B=2)
+    streams, Js, selfs, others = _run_sweep(
+        data, Hz, I_circ, 1645.5, 1, 2
+    )
+    report = certify_sweep(
+        data, streams, others, Hz, I_circ=I_circ, budget_s=0.0,
+        n_sample_rows=0,
+    )
+    # At least one film always completes, and the exhaustion is recorded.
+    assert len(report["films_certified"]) >= 1
+    if len(report["films_certified"]) < len(data):
+        assert "budget_note" in report
