@@ -56,7 +56,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 _T_START = time.monotonic()
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "540"))
+# Default calibrated against the driver's observed wall clock: the round-1
+# bench completed (rc=0) with a 458 s factorization plus meshing and CPU
+# baselines (>= ~650 s total), while round 3 -- whose stages summed to
+# ~900-1100 s -- was killed at timeout.  780 s keeps a safety margin under
+# the demonstrated-fatal regime while fitting every stage on a warm-cache
+# day; the early headline print protects the artifact either way.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "780"))
 
 #: The result object printed (and re-printed, enriched) to stdout.
 RESULT = {}
@@ -84,7 +90,7 @@ def emit():
         print(json.dumps(RESULT), flush=True)
 
 
-def _alarm_handler(signum, frame):  # pragma: no cover - timing dependent
+def _finalize_and_exit():  # pragma: no cover - timing dependent
     _log(f"global deadline backstop fired at {_elapsed():.0f}s; finalizing")
     if not RESULT:
         # Core measurements never completed (e.g. the tunnel wedged for
@@ -107,6 +113,17 @@ def _alarm_handler(signum, frame):  # pragma: no cover - timing dependent
     else:
         emit()
     os._exit(0)
+
+
+def _watchdog(deadline_s: float):  # pragma: no cover - timing dependent
+    """Daemon-thread deadline backstop.  A SIGALRM handler alone is NOT
+    enough: Python signal handlers run in the main thread between
+    bytecodes, so a main thread wedged inside a C call (a tunnel transfer
+    or XLA compile that never returns) defers the handler forever --
+    observed in practice.  A sleeping daemon thread calling ``os._exit``
+    fires regardless of what the main thread is doing."""
+    time.sleep(max(0.0, deadline_s - _elapsed()))
+    _finalize_and_exit()
 
 
 def stage_gate(name: str, est_s: float) -> bool:
@@ -225,13 +242,27 @@ def factorize_blocked(device):
 
 
 def tpu_workload(model, B, iterations, field_values):
-    """The jitted batched sweep on the default backend."""
+    """The jitted batched sweep on the default backend.
+
+    The coupling operator is resolved through the SAME cost model as the
+    public entry points (``sweep._resolve_auto_coupling``): the headline
+    measures what ``solve_many(coupling="auto")`` would actually run at
+    this config (exact at 27k sites/film -- below the FFT crossover of
+    docs/COUPLING.md)."""
     import jax
 
-    from superscreen_tpu.sweep import _film_sweep_data, _run_sweep
+    from superscreen_tpu.sweep import (
+        _attach_fft_grids,
+        _film_sweep_data,
+        _resolve_auto_coupling,
+        _run_sweep,
+    )
 
     films = list(model.device.films)
     film_data = {name: _film_sweep_data(model, name) for name in films}
+    coupling = _resolve_auto_coupling(model, films, iterations)
+    if coupling == "fft":
+        film_data = _attach_fft_grids(model, film_data, films)
     dtype = model.device.solve_dtype
     Hz = {
         name: np.asarray(field_values, dtype=dtype)[:, None]
@@ -245,11 +276,13 @@ def tpu_workload(model, B, iterations, field_values):
     vortex_flux = 1645.5
 
     def run():
-        out = _run_sweep(film_data, Hz, I_circ, vortex_flux, iterations, 1)
+        out = _run_sweep(
+            film_data, Hz, I_circ, vortex_flux, iterations, 1, coupling
+        )
         jax.block_until_ready(out)
         return out
 
-    return run, film_data, Hz
+    return run, film_data, Hz, coupling
 
 
 def certify_coupling(film_data, streams, Js, Hz, n_sample=512, point=-1):
@@ -887,9 +920,16 @@ def main():
 
     # Global-deadline backstop: whatever happens (wedged tunnel, slow
     # compile, a stage overrunning its estimate), print the best current
-    # JSON line and exit 0 shortly after the budget.
-    signal.signal(signal.SIGALRM, _alarm_handler)
+    # JSON line and exit 0 shortly after the budget.  The watchdog THREAD
+    # is the one that actually fires when the main thread is stuck in a C
+    # call; SIGALRM additionally interrupts interruptible waits.
+    import threading
+
+    signal.signal(signal.SIGALRM, lambda s, f: _finalize_and_exit())
     signal.alarm(int(TOTAL_BUDGET_S) + 40)
+    threading.Thread(
+        target=_watchdog, args=(TOTAL_BUDGET_S + 40,), daemon=True
+    ).start()
 
     import jax
 
@@ -957,9 +997,18 @@ def main():
     _log(f"meshed: {sizes} (n_total={n_total})")
     PROGRESS["meshed_s"] = round(_elapsed(), 1)
 
+    # Bounded wait: the wait only serves to RECORD the channel cost (no
+    # core stage below needs a device->host readback until the sweep
+    # results land), so on a badly contended day we stop waiting after
+    # BENCH_TUNNEL_WAIT_S and let the warmup finish in the background
+    # rather than burning the whole budget on accounting.
     t0 = time.perf_counter()
     tunnel_first_readback_s = warm_transfer_channel(
-        block=True, timeout=max(10.0, time_left() - 60.0)
+        block=True,
+        timeout=min(
+            float(os.environ.get("BENCH_TUNNEL_WAIT_S", "90")),
+            max(10.0, time_left() - 60.0),
+        ),
     )
     tunnel_wait_s = time.perf_counter() - t0
     _log(
@@ -995,7 +1044,10 @@ def main():
     )
     interiors = {k: len(s.indices) for k, s in model.film_systems.items()}
 
-    run, film_data, Hz_bench = tpu_workload(model, B, iterations, field_values)
+    run, film_data, Hz_bench, coupling_mode = tpu_workload(
+        model, B, iterations, field_values
+    )
+    _log(f"coupling (auto-resolved): {coupling_mode}")
     t0 = time.perf_counter()
     run()
     compile_and_first_s = time.perf_counter() - t0
@@ -1070,6 +1122,7 @@ def main():
                     "excluded from factorize/sweep timings -- a directly-"
                     "attached TPU VM does not pay it"
                 ),
+                "coupling_mode": coupling_mode,
                 "backend": backend,
                 "tpu_unavailable": tpu_unavailable,
                 "budget_s": TOTAL_BUDGET_S,
@@ -1207,7 +1260,7 @@ def main():
     del run, final, film_data, Hz_bench, model
     gc.collect()
 
-    if not tpu_unavailable and stage_gate("fresh_process", est_s=150):
+    if not tpu_unavailable and stage_gate("fresh_process", est_s=90):
         try:
             t0 = time.perf_counter()
             fresh_timeout = min(
@@ -1238,7 +1291,7 @@ def main():
             detail["transport_strip"] = {"error": repr(exc)}
         emit()
 
-    if not tpu_unavailable and stage_gate("squid_mutual", est_s=120):
+    if not tpu_unavailable and stage_gate("squid_mutual", est_s=150):
         try:
             detail["squid_mutual"] = bench_squid_mutual(
                 timeout_s=max(30.0, min(240.0, time_left() - 30.0))
@@ -1258,7 +1311,7 @@ def main():
             detail["scanning_sweep"] = {"error": repr(exc)}
         emit()
 
-    if not tpu_unavailable and stage_gate("fft_payoff", est_s=150):
+    if not tpu_unavailable and stage_gate("fft_payoff", est_s=120):
         try:
             t0 = time.perf_counter()
             detail["fft_coupling_payoff"] = fft_coupling_payoff()

@@ -30,6 +30,7 @@ and restores the previous setting after (all internal programs use
 explicit dtypes, so pre-existing f32 programs are unaffected).
 """
 
+import logging
 import time
 from functools import partial
 from typing import Dict, Optional
@@ -39,41 +40,51 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+logger = logging.getLogger("certify")
+
 __all__ = ["certify_sweep"]
 
 
 def _solve_op(data):
     """The film's factorization as a solver: ``x = solve(rhs)`` solves
     ``(-A) x = rhs`` for an ``(nip, B)`` right-hand side (the same
-    conventions as ``sweep._solve_film_batch``)."""
+    conventions as ``sweep._solve_film_batch``).
+
+    The factorization arrays are passed as jit ARGUMENTS, never closed
+    over: a closed-over device array becomes a compile-time constant, and
+    XLA serializing a ~1.4 GB constant into the program wedges compilation
+    for minutes at benchmark scale."""
     if data.fac_kind == "inv":
-        def inv(rhs):
+        @jax.jit
+        def inv(M, _b, rhs):
             from .ops import kernels
 
-            return kernels._dot(data.fac_a, rhs)
+            return kernels._dot(M, rhs)
 
-        return jax.jit(inv)
+        return lambda rhs: inv(data.fac_a, data.fac_b, rhs)
     if data.fac_kind == "chol":
-        def chol(rhs):
+        @jax.jit
+        def chol(L, w_col, rhs):
             import jax.scipy.linalg as jsla
 
             from .ops.linalg import _widen_rhs
 
             rhs, restore = _widen_rhs(rhs)
-            y = restore(jsla.cho_solve((data.fac_a, True), rhs))
-            return -y / data.fac_b[:, None]
+            y = restore(jsla.cho_solve((L, True), rhs))
+            return -y / w_col[:, None]
 
-        return jax.jit(chol)
+        return lambda rhs: chol(data.fac_a, data.fac_b, rhs)
 
-    def lu(rhs):
+    @jax.jit
+    def lu(lu_mat, piv, rhs):
         import jax.scipy.linalg as jsla
 
         from .ops.linalg import _widen_rhs
 
         rhs, restore = _widen_rhs(rhs)
-        return restore(jsla.lu_solve((data.fac_a, data.fac_b), rhs))
+        return restore(jsla.lu_solve((lu_mat, piv), rhs))
 
-    return jax.jit(lu)
+    return lambda rhs: lu(data.fac_a, data.fac_b, rhs)
 
 
 def _pick_block(nip: int, max_block: int = 2048) -> int:
@@ -229,11 +240,19 @@ def certify_sweep(
                     data, jnp.asarray(streams[name]), oth,
                     jnp.asarray(Hz_applied[name]), ic,
                 )
+                logger.info(
+                    "%s: rhs/stream gather done (%.1fs)",
+                    name, time.perf_counter() - t_film,
+                )
                 nip = int(data.interior.shape[0])
                 blk = _pick_block(nip)
                 R = _residual_f64(data.A, G, H, blk)
                 h_norms = jnp.linalg.norm(H, axis=1)
                 rel = np.asarray(jnp.linalg.norm(R, axis=1) / h_norms)
+                logger.info(
+                    "%s: f64 residual done (%.1fs)",
+                    name, time.perf_counter() - t_film,
+                )
                 out["residual_rel_per_film"][name] = [
                     float(f"{v:.3e}") for v in rel
                 ]
@@ -271,6 +290,10 @@ def certify_sweep(
                     out["sampled_row_rel_disagreement"] = max(
                         out["sampled_row_rel_disagreement"], disagreement
                     )
+                    logger.info(
+                        "%s: sampled-row check done (%.1fs)",
+                        name, time.perf_counter() - t_film,
+                    )
             except Exception as exc:
                 out.setdefault("film_errors", {})[f"{name}:sampled"] = repr(exc)
             # f64 refinement through the f32 factorization: forward error.
@@ -279,11 +302,15 @@ def certify_sweep(
                     solve = _solve_op(data)
                     G64 = G
                     Rr = R
-                    for _ in range(refine_steps):
+                    for step in range(refine_steps):
                         dG = solve(Rr.astype(data.A.dtype).T).T
                         dG = jnp.where(valid, dG, 0.0).astype(jnp.float64)
                         G64 = G64 + dG
                         Rr = _residual_f64(data.A, G64, H, blk)
+                        logger.info(
+                            "%s: refine step %d done (%.1fs)",
+                            name, step + 1, time.perf_counter() - t_film,
+                        )
                     rel_ref = np.asarray(jnp.linalg.norm(Rr, axis=1) / h_norms)
                     delta = np.asarray(
                         jnp.linalg.norm(G - G64, axis=1)

@@ -351,8 +351,10 @@ class Device:
                 ("smooth", smooth),
             )
         }
-        self.meshes = {
-            name: self._mesh_film(
+        self.meshes = {}
+        max_interior = 0
+        for name in names:
+            self.meshes[name] = self._mesh_film(
                 name,
                 buffer_factor=options["buffer_factor"][name],
                 buffer=options["buffer"][name],
@@ -363,8 +365,14 @@ class Device:
                 smooth=options["smooth"][name],
                 **mesh_kwargs,
             )
-            for name in names
-        }
+            # Start compiling the shared large-film factorization program
+            # as soon as its pad size can be predicted: meshing the
+            # remaining films is free cover for the (expensive) XLA
+            # compile, which otherwise lands inside the first factorize.
+            max_interior = max(
+                max_interior, self._predicted_interior_size(name)
+            )
+            self._start_factorization_prewarm(max_interior)
 
     def _mesh_film(
         self,
@@ -448,6 +456,56 @@ class Device:
         if key is not None:
             mesh_cache.store(key, mesh.sites, mesh.elements)
         return mesh
+
+    def _predicted_interior_size(self, name: str) -> int:
+        """Predicted size of the film's factorized interior system (sites
+        inside the film, minus boundary, minus hole sites) -- the quantity
+        the solver pads to a 2048 multiple when batching factorizations
+        (``solver/solve_film.py`` pad_to).  Terminal films are excluded
+        (they keep a dense kernel and take the LU path regardless of
+        size).  Mirrors ``make_film_info``'s index-set construction."""
+        if name in self.terminals:
+            return 0
+        mesh = self.meshes[name]
+        film = self.films[name]
+        try:
+            from ..solver.utils import MAX_DENSE_KERNEL_SIZE
+
+            if len(mesh.sites) <= MAX_DENSE_KERNEL_SIZE:
+                # Dense-kernel film: takes the LU path, no shared pad.
+                return 0
+            ix = np.setdiff1d(
+                film.contains_points(mesh.sites, index=True),
+                mesh.boundary_indices,
+            )
+            for hole in self.polygons_by_layer("hole")[film.layer]:
+                if film.contains_points(hole.points).all():
+                    ix = np.setdiff1d(
+                        ix, hole.contains_points(mesh.sites, index=True)
+                    )
+            return len(ix)
+        except Exception:  # pragma: no cover - prediction is best-effort
+            return 0
+
+    def _start_factorization_prewarm(self, max_interior: int) -> None:
+        """Best-effort: kick off the background compile of the shared
+        factorization program for the predicted pad size (a no-op on CPU,
+        for LU-sized systems, for non-default factor methods, and when the
+        prediction lands outside the materialized-system range).  A wrong
+        prediction only wastes a background compile -- ``factor_system``
+        falls back to its own jit path for unmatched shapes."""
+        try:
+            from ..ops import linalg
+
+            single_device_max = int(
+                os.environ.get("SUPERSCREEN_TPU_MAX_MATERIALIZED_N", "65000")
+            )
+            if not (0 < max_interior <= single_device_max):
+                return
+            pad = -(-max_interior // 2048) * 2048
+            linalg.prewarm_factorization(pad, np.dtype(self.solve_dtype))
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            logger.debug("factorization prewarm from make_mesh failed")
 
     def boundary_vertices(self, film: str) -> np.ndarray:
         """Boundary vertex indices for a film's mesh, ordered CCW.

@@ -256,6 +256,52 @@ def biot_savart_film_to_film_dz2(
     return out
 
 
+@partial(jax.jit, static_argnames=("block", "use_pallas"))
+def biot_savart_pair_dz2(
+    film1_sites, film1_areas, film1_J,
+    film2_sites, film2_areas, film2_J,
+    dz2, block: int = _BLOCK, use_pallas=None,
+):
+    """Both directions of an inter-film Biot-Savart coupling pair.
+
+    Returns ``(field_at_2_from_1, field_at_1_from_2)``.  On TPU this runs
+    the fused Pallas pair kernel, which computes each O(n1*n2) geometry
+    tile ONCE and contracts it against both films' currents -- the
+    reference (and the one-directional kernel) recompute the geometry per
+    ordered pair (``solver/solve.py:28-73``), which is the dominant VPU
+    cost of a coupling round."""
+    J1 = jnp.asarray(film1_J)
+    # The fused kernel keeps the full-width reverse output (Bp x n1p f32)
+    # resident in VMEM for the whole grid; gate on its footprint so large
+    # batches / very large films fall back to two one-directional passes
+    # instead of a scoped-VMEM OOM at compile time.
+    B = 1 if J1.ndim == 2 else J1.shape[0]
+    n1p = -(-jnp.asarray(film1_sites).shape[0] // 512) * 512
+    resident_bytes = max(8, -(-B // 8) * 8) * n1p * 4
+    if (
+        J1.dtype == jnp.float32
+        and jnp.asarray(film1_sites).dtype == jnp.float32
+        and resident_bytes <= 2_000_000
+        and _pallas_ok(use_pallas)
+    ):
+        from . import pallas_kernels
+
+        return pallas_kernels.pallas_biot_savart_pair(
+            film1_sites, film1_areas, film1_J,
+            film2_sites, film2_areas, film2_J, dz2,
+        )
+    return (
+        biot_savart_film_to_film_dz2(
+            film1_sites, film1_areas, film1_J, film2_sites, dz2,
+            block, use_pallas,
+        ),
+        biot_savart_film_to_film_dz2(
+            film2_sites, film2_areas, film2_J, film1_sites, dz2,
+            block, use_pallas,
+        ),
+    )
+
+
 @partial(jax.jit, static_argnames=("block",))
 def biot_savart_film_to_film(
     film1_sites,

@@ -36,6 +36,7 @@ __all__ = [
     "pallas_available",
     "pallas_q_matrix",
     "pallas_biot_savart_batch",
+    "pallas_biot_savart_pair",
     "pallas_q_apply_rect",
 ]
 
@@ -250,6 +251,186 @@ def pallas_biot_savart_batch(
     if squeeze:
         out = out[0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused unordered-pair Biot-Savart: both coupling directions from ONE
+# geometry pass
+# ---------------------------------------------------------------------------
+
+
+def _bs_pair_tile_kernel(
+    xs_ref, ys_ref, xe_ref, ye_ref,
+    aj1x_ref, aj1y_ref, aj2x_ref, aj2y_ref, dz2_ref,
+    out2_ref, out1_ref,
+):
+    # One (TN src x TM dst) geometry tile serves BOTH directions of the
+    # film pair: the forward contraction (film-1 currents -> field at
+    # film-2 sites) uses the tile as-is; the reverse direction needs the
+    # transposed tile with flipped displacement signs (dx_rev = -dx^T,
+    # r3 symmetric), expressed as a dot_general over the TM axis so the
+    # tile is never materialized transposed.  This halves the VPU
+    # geometry work of the coupling round (the reference recomputes the
+    # pairwise geometry once per ordered pair, ``solver/solve.py:28-73``).
+    #
+    # out2 ((B, TM) blocks, accumulated over j) is the field at film-2
+    # sites; out1 ((B, n1p), resident in VMEM for the whole grid since its
+    # index map is constant, accumulated over i) is the field at film-1
+    # sites.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tn = aj1x_ref.shape[1]
+    dx = xe_ref[:] - xs_ref[:]  # (TN, TM)
+    dy = ye_ref[:] - ys_ref[:]
+    r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
+    r3 = r * r * r
+    Kx = dx * r3
+    Ky = dy * r3
+    fwd = jnp.dot(
+        aj1x_ref[:], Ky,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - jnp.dot(
+        aj1y_ref[:], Kx,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out2_ref[:] = jnp.zeros_like(out2_ref)
+
+    out2_ref[:] += fwd
+
+    # Reverse: contrib[b, s] = sum_d aj2y[b, d] Kx[s, d] - aj2x[b, d] Ky[s, d]
+    contract = (((1,), (1,)), ((), ()))
+    rev = jax.lax.dot_general(
+        aj2y_ref[:], Kx, contract,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - jax.lax.dot_general(
+        aj2x_ref[:], Ky, contract,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sl = pl.dslice(j * tn, tn)
+
+    @pl.when(i == 0)
+    def _():
+        out1_ref[:, sl] = rev
+
+    @pl.when(i > 0)
+    def _():
+        out1_ref[:, sl] += rev
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _pallas_bs_pair_padded(
+    xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2, tm: int, tn: int,
+    interpret: bool = False,
+):
+    n1 = xs.shape[0]
+    n2 = xe.shape[1]
+    B = aJ1x.shape[0]
+    grid = (n2 // tm, n1 // tn)
+    return pl.pallas_call(
+        _bs_pair_tile_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n2), jnp.float32),
+            jax.ShapeDtypeStruct((B, n1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            # Full-width block with a constant index map: stays resident in
+            # VMEM across the entire grid (B=8 x ~28k f32 ~ 0.9 MB).
+            pl.BlockSpec((B, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2)
+
+
+def pallas_biot_savart_pair(
+    film1_sites,
+    film1_areas,
+    film1_J,
+    film2_sites,
+    film2_areas,
+    film2_J,
+    dz2,
+    tm: int = 512,
+    tn: int = 512,
+    interpret: bool = False,
+):
+    """Both directions of an inter-film Biot-Savart coupling pair from one
+    geometry pass.
+
+    Default tiles are (512, 512): the kernel keeps ~6 geometry temporaries
+    of (tn, tm) f32 in VMEM **plus** the full-width resident reverse
+    output (B x n1p), and (512, 1024) tiles measured ~1 MB over the 16 MB
+    scoped-VMEM limit at the 27k-site benchmark config.
+
+    Returns ``(field_at_2_from_1, field_at_1_from_2)``, each ``(B, n)``
+    (or ``(n,)`` for unbatched input) in ``current / length`` units.  The
+    pairwise geometry tile (the VPU-bound part of the coupling round) is
+    computed ONCE and contracted against both films' currents -- ~2x less
+    VPU work than two `pallas_biot_savart_batch` calls.
+    """
+    film1_sites = jnp.asarray(film1_sites, dtype=jnp.float32)
+    film2_sites = jnp.asarray(film2_sites, dtype=jnp.float32)
+    J1 = jnp.asarray(film1_J, dtype=jnp.float32)
+    J2 = jnp.asarray(film2_J, dtype=jnp.float32)
+    squeeze = J1.ndim == 2
+    if squeeze:
+        J1, J2 = J1[None], J2[None]
+    B = J1.shape[0]
+    a1 = jnp.asarray(film1_areas, dtype=jnp.float32)
+    a2 = jnp.asarray(film2_areas, dtype=jnp.float32)
+    n1 = film1_sites.shape[0]
+    n2 = film2_sites.shape[0]
+    n1p = _round_up(n1, tn)
+    n2p = _round_up(n2, tm)
+    Bp = _round_up(B, 8)
+    # BOTH paddings sit far away (opposite signs so they never coincide
+    # with each other): padded rows carry zero current, but a zero-distance
+    # pair would still produce inf * 0 = NaN in the opposite direction's
+    # accumulation, so padded coordinates must keep r > 0 against every
+    # real and padded point.
+    scale = 1e6 * (
+        jnp.max(jnp.abs(film1_sites)) + jnp.max(jnp.abs(film2_sites)) + 1.0
+    )
+    pad1 = scale * (1.0 + jnp.arange(n1p - n1))
+    pad2 = -scale * (1.0 + jnp.arange(n2p - n2))
+    xs = jnp.concatenate([film1_sites[:, 0], pad1]).reshape(n1p, 1)
+    ys = jnp.concatenate([film1_sites[:, 1], pad1]).reshape(n1p, 1)
+    xe = jnp.concatenate([film2_sites[:, 0], pad2]).reshape(1, n2p)
+    ye = jnp.concatenate([film2_sites[:, 1], pad2]).reshape(1, n2p)
+    aJ1 = a1[None, :, None] * J1
+    aJ2 = a2[None, :, None] * J2
+    aJ1x = _pad_to(_pad_to(aJ1[:, :, 0], n1p, axis=1), Bp, axis=0)
+    aJ1y = _pad_to(_pad_to(aJ1[:, :, 1], n1p, axis=1), Bp, axis=0)
+    aJ2x = _pad_to(_pad_to(aJ2[:, :, 0], n2p, axis=1), Bp, axis=0)
+    aJ2y = _pad_to(_pad_to(aJ2[:, :, 1], n2p, axis=1), Bp, axis=0)
+    dz2 = jnp.asarray(dz2, dtype=jnp.float32).reshape(1, 1)
+    out2, out1 = _pallas_bs_pair_padded(
+        xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2, tm, tn, interpret
+    )
+    out2 = _ONE_OVER_4PI * out2[:B, :n2]
+    out1 = _ONE_OVER_4PI * out1[:B, :n1]
+    if squeeze:
+        out2, out1 = out2[0], out1[0]
+    return out2, out1
 
 
 # ---------------------------------------------------------------------------

@@ -353,6 +353,7 @@ def _solve_device_resident(
     solution_kwargs: Dict,
     save_path,
     return_solutions: bool,
+    coupling: str = "exact",
 ) -> Optional[List[Solution]]:
     """Runs :func:`solve`'s numeric core as one jitted device program.
 
@@ -367,6 +368,7 @@ def _solve_device_resident(
     import jax.numpy as jnp
 
     from ..sweep import (
+        _attach_fft_grids,
         _get_sweep_data,
         _run_sweep_history,
         _strip_metadata,
@@ -376,6 +378,10 @@ def _solve_device_resident(
     films = list(device.films)
     dtype = device.solve_dtype
     film_data = _get_sweep_data(model)
+    if coupling == "fft" and iterations > 0 and len(films) > 1:
+        film_data = _attach_fft_grids(model, film_data, films)
+    else:
+        coupling = "exact"
     Hz = {
         name: jnp.asarray(applied_fields[name][None].astype(dtype))
         for name in films
@@ -396,6 +402,7 @@ def _solve_device_resident(
         vortex_flux,
         eff_iterations,
         2,  # refine_steps, matching linalg.lu_solve_refined's default
+        coupling,
     )
     # ONE host transfer for the whole history: pack every per-film
     # quantity into a single flat device buffer (each tunnel round-trip
@@ -488,9 +495,17 @@ def _coupling_fields(
     model: FactorizedModel,
     film_solutions: Dict[str, FilmSolution],
     high_precision: bool = False,
+    coupling: str = "exact",
 ) -> Dict[str, np.ndarray]:
     """Screening field each film feels from every *other* film's current
-    density (Biot-Savart, evaluated at the target film's layer height)."""
+    density (Biot-Savart, evaluated at the target film's layer height).
+
+    ``coupling="fft"`` applies the analytic Fourier transfer to each
+    source film's stream function instead of the O(n_src * n_dst) pairwise
+    sum -- the same operator the batched sweep uses (``sweep.
+    _coupling_round``), exposed here so the legacy per-stage ``solve``
+    path shares the dispatch (reference inter-film hot loop:
+    ``solver/solve.py:28-73``)."""
     device = model.device
     dtype = np.float64 if high_precision else device.solve_dtype
     z0_of = {
@@ -501,6 +516,39 @@ def _coupling_fields(
         name: np.zeros(len(mesh.sites), dtype=dtype)
         for name, mesh in device.meshes.items()
     }
+    if coupling == "fft" and not high_precision:
+        from ..ops.fft_coupling import (
+            build_film_grid_data,
+            fft_coupling_field,
+            fft_source_spectrum,
+        )
+
+        grids = getattr(model, "_fft_grid_cache", None)
+        if grids is None:
+            grids = build_film_grid_data(device)
+            try:
+                model._fft_grid_cache = grids
+            except (AttributeError, TypeError):
+                pass
+        spectra = {
+            name: fft_source_spectrum(
+                grids[name],
+                np.asarray(
+                    film_solutions[name].stream, dtype=device.solve_dtype
+                )[None],
+            )
+            for name in device.films
+        }
+        for source in device.films:
+            for target in device.films:
+                if target == source:
+                    continue
+                dz = abs(z0_of[target] - z0_of[source])
+                contrib = fft_coupling_field(
+                    grids[source], grids[target], spectra[source], dz
+                )[0]
+                fields[target] += np.asarray(contrib, dtype=dtype)
+        return fields
     for source in device.films:
         for target in device.films:
             if target == source:
@@ -582,6 +630,7 @@ def solve(
     log_level: Optional[int] = None,
     progress_bar: bool = True,
     high_precision: bool = False,
+    coupling: str = "auto",
     _solver: str = "superscreen_tpu.solve",
 ) -> List[Solution]:
     """Computes stream functions and fields for all films in a device.
@@ -612,13 +661,26 @@ def solve(
             host-side f64 iterative refinement around the device
             factorizations (see :mod:`superscreen_tpu.solver.refine`).
             Costs one f64 host copy of each film system plus O(n^2) host
-            matvecs per solve.
+            matvecs per solve.  Forces ``coupling="exact"``.
+        coupling: Inter-film coupling operator for the self-consistent
+            rounds: "auto" (default -- the same per-round cost model as
+            :func:`superscreen_tpu.solve_many`, see
+            ``sweep._resolve_auto_coupling`` and docs/COUPLING.md),
+            "exact" (O(n_src * n_dst) pairwise Biot-Savart, the reference
+            algorithm, ``solver/solve.py:28-73``), or "fft" (analytic
+            Fourier transfer; requires films on distinct layer heights;
+            accuracy limited by FFT wraparound, ~7e-3 per application at
+            the default padding).
 
     Returns:
         A list of ``iterations + 1`` Solutions (if ``return_solutions``).
     """
     if log_level is not None:
         logging.basicConfig(level=log_level)
+    if coupling not in ("auto", "exact", "fft"):
+        raise ValueError(
+            f"coupling must be 'auto', 'exact', or 'fft' (got {coupling!r})."
+        )
 
     model = _resolve_model(
         device,
@@ -650,6 +712,15 @@ def solve(
         from .refine import get_hp_systems
 
         hp_systems = get_hp_systems(model)
+    # Resolve the coupling dispatch once, sharing solve_many's cost model.
+    if high_precision:
+        coupling = "exact"
+    elif coupling == "auto":
+        from ..sweep import _resolve_auto_coupling
+
+        coupling = _resolve_auto_coupling(
+            model, list(device.films), iterations
+        )
 
     applied_field = applied_field or ConstantField(0)
     applied_fields = _sample_applied_fields(
@@ -707,6 +778,7 @@ def solve(
             solution_kwargs=solution_kwargs,
             save_path=save_path,
             return_solutions=return_solutions,
+            coupling=coupling,
         )
 
     # Legacy per-stage path: one solve_film call per film per stage, with
@@ -743,7 +815,10 @@ def solve(
                     model,
                     applied_fields,
                     _coupling_fields(
-                        model, film_solutions, high_precision=high_precision
+                        model,
+                        film_solutions,
+                        high_precision=high_precision,
+                        coupling=coupling,
                     ),
                     field_conversion.magnitude,
                     vortex_flux,

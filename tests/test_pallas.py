@@ -13,6 +13,7 @@ from superscreen_tpu.ops import kernels
 from superscreen_tpu.ops.pallas_kernels import (
     PALLAS_AVAILABLE,
     pallas_biot_savart_batch,
+    pallas_biot_savart_pair,
     pallas_q_apply_rect,
     pallas_q_matrix,
 )
@@ -128,3 +129,66 @@ def test_q_apply_rect_interpret_vector_input():
     )
     assert out.shape == (64,)
     assert np.isfinite(out).all()
+
+
+def _bs_ref64(src_sites, src_areas, J, dst_sites, dz2):
+    """Host f64 reference for the inter-film Biot-Savart field."""
+    dx = dst_sites[:, 0:1].astype(np.float64) - src_sites[None, :, 0].astype(np.float64)
+    dy = dst_sites[:, 1:2].astype(np.float64) - src_sites[None, :, 1].astype(np.float64)
+    r3 = (dx * dx + dy * dy + float(dz2)) ** -1.5
+    aJx = (src_areas * J[..., 0]).astype(np.float64)
+    aJy = (src_areas * J[..., 1]).astype(np.float64)
+    return (aJx[:, None, :] * dy[None] * r3[None] - aJy[:, None, :] * dx[None] * r3[None]).sum(
+        axis=2
+    ) / (4 * np.pi)
+
+
+@pytest.mark.parametrize("n1,n2,B", [(200, 150, 3), (128, 128, 1), (257, 130, 8)])
+def test_biot_savart_pair_interpret_both_directions(n1, n2, B):
+    s1, s2 = _sites(n1), _sites(n2) + 0.5
+    a1 = _RNG.uniform(0.5, 2.0, n1).astype(np.float32)
+    a2 = _RNG.uniform(0.5, 2.0, n2).astype(np.float32)
+    J1 = _RNG.standard_normal((B, n1, 2)).astype(np.float32)
+    J2 = _RNG.standard_normal((B, n2, 2)).astype(np.float32)
+    dz2 = np.float32(0.49)
+    at2, at1 = pallas_biot_savart_pair(
+        s1, a1, J1, s2, a2, J2, dz2, tm=TM, tn=TN, interpret=True
+    )
+    at2, at1 = np.asarray(at2), np.asarray(at1)
+    ref2 = _bs_ref64(s1, a1, J1, s2, dz2)
+    ref1 = _bs_ref64(s2, a2, J2, s1, dz2)
+    assert at2.shape == (B, n2) and at1.shape == (B, n1)
+    assert np.abs(at2 - ref2).max() < 2e-5 * np.abs(ref2).max()
+    assert np.abs(at1 - ref1).max() < 2e-5 * np.abs(ref1).max()
+    assert np.isfinite(at1).all() and np.isfinite(at2).all()
+
+
+def test_biot_savart_pair_interpret_dz0_padding_safe():
+    # Same layer height (dz2 = 0): padded coordinates must keep r > 0
+    # against every real point or the reverse accumulation goes NaN.
+    n1, n2, B = 130, 100, 2  # both ragged vs tile sizes
+    s1, s2 = _sites(n1), _sites(n2) + 4.0
+    a1 = _RNG.uniform(0.5, 2.0, n1).astype(np.float32)
+    a2 = _RNG.uniform(0.5, 2.0, n2).astype(np.float32)
+    J1 = _RNG.standard_normal((B, n1, 2)).astype(np.float32)
+    J2 = _RNG.standard_normal((B, n2, 2)).astype(np.float32)
+    at2, at1 = pallas_biot_savart_pair(
+        s1, a1, J1, s2, a2, J2, np.float32(0.0), tm=TM, tn=TN, interpret=True
+    )
+    assert np.isfinite(np.asarray(at1)).all()
+    assert np.isfinite(np.asarray(at2)).all()
+    ref2 = _bs_ref64(s1, a1, J1, s2, 0.0)
+    assert np.abs(np.asarray(at2) - ref2).max() < 2e-5 * np.abs(ref2).max()
+
+
+def test_biot_savart_pair_unbatched_squeeze():
+    s1, s2 = _sites(100), _sites(90) + 1.0
+    a1 = _RNG.uniform(0.5, 2.0, 100).astype(np.float32)
+    a2 = _RNG.uniform(0.5, 2.0, 90).astype(np.float32)
+    J1 = _RNG.standard_normal((100, 2)).astype(np.float32)
+    J2 = _RNG.standard_normal((90, 2)).astype(np.float32)
+    at2, at1 = pallas_biot_savart_pair(
+        s1, a1, J1, s2, a2, J2, np.float32(1.0), tm=TM, tn=TN, interpret=True
+    )
+    assert np.asarray(at2).shape == (90,)
+    assert np.asarray(at1).shape == (100,)
