@@ -274,10 +274,12 @@ def tpu_workload(model, B, iterations, field_values):
         for name in films
     }
     vortex_flux = 1645.5
+    refine_steps = int(os.environ.get("BENCH_REFINE_STEPS", "2"))
 
     def run():
         out = _run_sweep(
-            film_data, Hz, I_circ, vortex_flux, iterations, 1, coupling
+            film_data, Hz, I_circ, vortex_flux, iterations, refine_steps,
+            coupling,
         )
         jax.block_until_ready(out)
         return out
@@ -654,15 +656,22 @@ def bench_transport_strip(dtype: str):
         current_units="mA",
     )
     _block_on_factorizations(model)
-    factorize_s = time.perf_counter() - t0
+    factorize_cold_s = time.perf_counter() - t0
+
+    def run_solve():
+        return sc.solve(
+            model=model,
+            applied_field=sc.sources.ConstantField(0),
+            field_units="mT",
+            progress_bar=False,
+        )[-1]
+
     t0 = time.perf_counter()
-    solution = sc.solve(
-        model=model,
-        applied_field=sc.sources.ConstantField(0),
-        field_units="mT",
-        progress_bar=False,
-    )[-1]
-    solve_s = time.perf_counter() - t0
+    solution = run_solve()
+    solve_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    solution = run_solve()
+    solve_warm_s = time.perf_counter() - t0
     # Current conservation across three cross-sections.
     errs = []
     xs = np.linspace(-width / 2 - 0.5, width / 2 + 0.5, 101)
@@ -677,13 +686,15 @@ def bench_transport_strip(dtype: str):
     return {
         "n_sites": n,
         "mesh_s": round(mesh_s, 2),
-        "factorize_s": round(factorize_s, 2),
-        "solve_s": round(solve_s, 2),
+        "factorize_cold_s": round(factorize_cold_s, 2),
+        "solve_cold_s": round(solve_cold_s, 2),
+        "solve_warm_s": round(solve_warm_s, 2),
         "current_conservation_rel_err_max": float(f"{max(errs):.3e}"),
         "note": (
             "BASELINE config 3: 1 mA source->drain strip; accuracy is the "
             "worst |I_cross - 1 mA| over 3 cross-sections (reference "
-            "de-facto bar: rtol 5e-2, test_transport.py:200-249)"
+            "de-facto bar: rtol 5e-2, test_transport.py:200-249); cold = "
+            "first-ever compile included, warm = repeat solve"
         ),
     }
 
@@ -1168,6 +1179,50 @@ def main():
         _log(f"accuracy: {accuracy}")
         emit()
 
+    # f64 final polish: what solve_many(final_refine=2) adds on top of the
+    # headline sweep -- the delivered streams step from the in-sweep f32
+    # refinement floor (~5e-5 residual at this scale) to the f32-storage
+    # floor (~1e-6-class), for a few seconds of wall.
+    if stage_gate("f64_polish", est_s=45):
+        try:
+            from superscreen_tpu.certify import certify_sweep, refine_sweep_f64
+
+            streams_f, _Js_f, _sf_f, others_f = final
+            t0 = time.perf_counter()
+            polished, rep = refine_sweep_f64(
+                film_data, streams_f, others_f, Hz_bench, steps=2
+            )
+            polish_s = time.perf_counter() - t0
+            recheck = certify_sweep(
+                film_data, polished, others_f, Hz_bench,
+                refine_steps=0, n_sample_rows=64,
+                budget_s=max(10.0, min(60.0, time_left() - 30.0)),
+            )
+            detail["final_polish"] = {
+                "polish_s": round(polish_s, 2),
+                "residual_rel_max_before": float(
+                    f"{rep['residual_rel_max_before']:.3e}"
+                ),
+                "residual_rel_max_after_f64": float(
+                    f"{rep['residual_rel_max_after']:.3e}"
+                ),
+                "residual_rel_max_delivered_f32": float(
+                    f"{recheck['residual_rel_max']:.3e}"
+                ),
+                "end_to_end_with_polish_s": round(end_to_end_s + polish_s, 3),
+                "note": (
+                    "solve_many(final_refine=2): f64 device-residual "
+                    "polish of the final systems; 'delivered_f32' is the "
+                    "re-certified residual of the polished streams stored "
+                    "back in f32 (the f32-representation floor)"
+                ),
+            }
+            _log(f"f64 polish: {detail['final_polish']}")
+        except Exception as exc:
+            _log(f"f64 polish failed: {exc!r}")
+            detail["final_polish"] = {"error": repr(exc)}
+        emit()
+
     if stage_gate("coupling_check", est_s=40):
         t0 = time.perf_counter()
         try:
@@ -1238,6 +1293,11 @@ def main():
             )
             cpu_total = cpu_factor_extrap + cpu_sweep_extrap
             RESULT["vs_baseline"] = round(cpu_total / end_to_end_s, 2)
+            fp = detail.get("final_polish")
+            if fp and "end_to_end_with_polish_s" in fp:
+                fp["vs_baseline_with_polish"] = round(
+                    cpu_total / fp["end_to_end_with_polish_s"], 2
+                )
             detail["cpu_baseline_total_s"] = round(cpu_total, 3)
             detail["cpu_baseline_factorize_s"] = round(cpu_factor_extrap, 3)
             detail["cpu_baseline_sweep_s"] = round(cpu_sweep_extrap, 3)

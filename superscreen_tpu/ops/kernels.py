@@ -275,6 +275,14 @@ def biot_savart_pair_dz2(
     # resident in VMEM for the whole grid; gate on its footprint so large
     # batches / very large films fall back to two one-directional passes
     # instead of a scoped-VMEM OOM at compile time.
+    #
+    # OPT-IN (SUPERSCREEN_TPU_PAIR_COUPLING=1): measured on a v5e at the
+    # 27k-site/film benchmark config (B=8), the fused kernel is ~12%
+    # SLOWER per sweep than two one-directional passes (0.86 s vs 0.77 s
+    # warm) -- the resident reverse output and the transposed dot_general
+    # cost more than the halved geometry saves at these shapes.  Kept for
+    # geometry-bound regimes (small B, large films) where the trade can
+    # flip.
     B = 1 if J1.ndim == 2 else J1.shape[0]
     n1p = -(-jnp.asarray(film1_sites).shape[0] // 512) * 512
     resident_bytes = max(8, -(-B // 8) * 8) * n1p * 4
@@ -282,6 +290,7 @@ def biot_savart_pair_dz2(
         J1.dtype == jnp.float32
         and jnp.asarray(film1_sites).dtype == jnp.float32
         and resident_bytes <= 2_000_000
+        and os.environ.get("SUPERSCREEN_TPU_PAIR_COUPLING", "0") == "1"
         and _pallas_ok(use_pallas)
     ):
         from . import pallas_kernels

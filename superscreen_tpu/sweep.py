@@ -434,10 +434,13 @@ def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
                     dz,
                 )
         return new_others
-    # Exact mode runs over UNORDERED pairs: the fused pair kernel computes
-    # each O(n_src * n_dst) geometry tile once and contracts it against
-    # both films' currents (kernels.biot_savart_pair_dz2) -- ~2x less VPU
-    # work than the reference's per-ordered-pair loop (solve.py:28-73).
+    # Exact mode runs over UNORDERED pairs through
+    # kernels.biot_savart_pair_dz2, which dispatches either two
+    # one-directional Pallas passes (default -- measured faster at the
+    # benchmark shapes) or the fused single-geometry-pass pair kernel
+    # (SUPERSCREEN_TPU_PAIR_COUPLING=1); see docs/COUPLING.md.  The
+    # reference recomputes the pairwise geometry per ordered pair per
+    # solve (solver/solve.py:28-73).
     names = list(films)
     for ai in range(len(names)):
         for bi in range(ai + 1, len(names)):
@@ -1090,6 +1093,7 @@ def solve_many(
     coupling: str = "auto",
     keep_history: bool = False,
     vortex_nPhi0: Optional[Union[np.ndarray, Dict[str, np.ndarray]]] = None,
+    final_refine: int = 0,
 ) -> Union[SweepResult, List[SweepResult]]:
     """Solves a batch of models that share one factorization.
 
@@ -1139,6 +1143,15 @@ def solve_many(
             per iteration, each covering the whole batch) instead of just
             the final state.  The whole history is still ONE device
             program and one device-to-host transfer.
+        final_refine: Number of float64 polish steps applied to the FINAL
+            per-film linear systems after the sweep
+            (:func:`superscreen_tpu.certify.refine_sweep_f64`).  The
+            in-sweep f32 refinement floors at ~5e-5 relative residual at
+            100k-vertex scale; 2 polish steps reach the ~1e-9 floor for a
+            few seconds of extra wall time (current densities and
+            self-fields are recomputed from the polished streams).  Only
+            supported with ``keep_history=False``; vortex and matrix-free
+            films are passed through unchanged.
         vortex_nPhi0: Per-sweep-point vortex amplitudes, overriding each
             vortex's declared ``nPhi0``: a ``(B, n_vortices)`` array
             ordered like the flattened ``vortices`` grouped by film (the
@@ -1169,6 +1182,11 @@ def solve_many(
     dtype = device.solve_dtype
     films = list(device.films)
     film_data = _get_sweep_data(model)
+    if final_refine and keep_history:
+        raise ValueError(
+            "final_refine is not supported with keep_history=True (polish "
+            "applies to the final state only)."
+        )
     if coupling == "auto":
         coupling = _resolve_auto_coupling(model, films, iterations)
     if coupling == "fft" and (len(films) < 2 or iterations == 0):
@@ -1329,9 +1347,31 @@ def solve_many(
         coupling,
     )
 
+    polish_report = None
+    if final_refine:
+        from .certify import refine_sweep_f64
+
+        multi = len(films) > 1 and iterations > 0
+        streams, polish_report = refine_sweep_f64(
+            film_data,
+            streams,
+            others if multi else None,
+            Hz_applied,
+            I_circ,
+            steps=final_refine,
+        )
+        # Current densities and self-fields follow the polished streams.
+        for name in films:
+            d = film_data[name]
+            g = jnp.asarray(streams[name])
+            Jx = _coo_matvec_batch(d.gy_rows, d.gy_cols, d.gy_vals, g, d.n)
+            Jy = -_coo_matvec_batch(d.gx_rows, d.gx_cols, d.gx_vals, g, d.n)
+            Js[name] = jnp.stack([Jx, Jy], axis=-1)
+            self_fields[name] = _self_field_batch(d, g)
+
     # Convert fields back to field_units for storage.
     inv = 1.0 / field_conversion
-    return SweepResult(
+    result = SweepResult(
         model=model,
         streams={k: np.asarray(v) for k, v in streams.items()},
         current_densities={k: np.asarray(v) for k, v in Js.items()},
@@ -1351,3 +1391,5 @@ def solve_many(
         vortex_nPhi0=vortex_amps_flat,
         terminal_currents=term_dicts,
     )
+    result.final_refine_report = polish_report
+    return result
