@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _load_named_artifact():
     readme = open(os.path.join(REPO, "README.md")).read()
-    names = set(re.findall(r"BENCH_r\d+\.json", readme))
+    names = set(re.findall(r"BENCH_r\d+(?:_local)?\.json", readme))
     assert names, "README no longer names its benchmark artifact"
     # The README must quote from exactly one artifact generation.
     assert len(names) == 1, f"README cites multiple artifacts: {names}"
