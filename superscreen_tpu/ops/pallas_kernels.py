@@ -274,12 +274,13 @@ def _bs_pair_tile_kernel(
     # pairwise geometry once per ordered pair, ``solver/solve.py:28-73``).
     #
     # out2 ((B, TM) blocks, accumulated over j) is the field at film-2
-    # sites; out1 ((B, n1p), resident in VMEM for the whole grid since its
-    # index map is constant, accumulated over i) is the field at film-1
-    # sites.
-    i = pl.program_id(0)
+    # sites.  out1 is written as PARTIAL sums -- one (B, TN) block per
+    # grid step, each visited exactly once -- and reduced over the
+    # film-2-tile axis outside the kernel: a VMEM-resident full-width
+    # accumulator was measured ~12% slower (and within 1 MB of the 16 MB
+    # scoped-VMEM limit), while the partial-sum HBM traffic is only
+    # ~(n2/TM) * B * n1 * 4 bytes (~24 MB at the benchmark config).
     j = pl.program_id(1)
-    tn = aj1x_ref.shape[1]
     dx = xe_ref[:] - xs_ref[:]  # (TN, TM)
     dy = ye_ref[:] - ys_ref[:]
     r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
@@ -304,7 +305,7 @@ def _bs_pair_tile_kernel(
 
     # Reverse: contrib[b, s] = sum_d aj2y[b, d] Kx[s, d] - aj2x[b, d] Ky[s, d]
     contract = (((1,), (1,)), ((), ()))
-    rev = jax.lax.dot_general(
+    out1_ref[0] = jax.lax.dot_general(
         aj2y_ref[:], Kx, contract,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -313,15 +314,6 @@ def _bs_pair_tile_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    sl = pl.dslice(j * tn, tn)
-
-    @pl.when(i == 0)
-    def _():
-        out1_ref[:, sl] = rev
-
-    @pl.when(i > 0)
-    def _():
-        out1_ref[:, sl] += rev
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
@@ -333,11 +325,11 @@ def _pallas_bs_pair_padded(
     n2 = xe.shape[1]
     B = aJ1x.shape[0]
     grid = (n2 // tm, n1 // tn)
-    return pl.pallas_call(
+    out2, out1_partial = pl.pallas_call(
         _bs_pair_tile_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, n2), jnp.float32),
-            jax.ShapeDtypeStruct((B, n1), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], B, n1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -353,12 +345,13 @@ def _pallas_bs_pair_padded(
         ],
         out_specs=(
             pl.BlockSpec((B, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            # Full-width block with a constant index map: stays resident in
-            # VMEM across the entire grid (B=8 x ~28k f32 ~ 0.9 MB).
-            pl.BlockSpec((B, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, B, tn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            ),
         ),
         interpret=interpret,
     )(xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2)
+    return out2, jnp.sum(out1_partial, axis=0)
 
 
 def pallas_biot_savart_pair(
@@ -369,17 +362,16 @@ def pallas_biot_savart_pair(
     film2_areas,
     film2_J,
     dz2,
-    tm: int = 512,
-    tn: int = 512,
+    tm: int = None,
+    tn: int = None,
     interpret: bool = False,
 ):
     """Both directions of an inter-film Biot-Savart coupling pair from one
     geometry pass.
 
-    Default tiles are (512, 512): the kernel keeps ~6 geometry temporaries
-    of (tn, tm) f32 in VMEM **plus** the full-width resident reverse
-    output (B x n1p), and (512, 1024) tiles measured ~1 MB over the 16 MB
-    scoped-VMEM limit at the 27k-site benchmark config.
+    Default tiles are (512, 512) (env SUPERSCREEN_TPU_PAIR_TM/TN): the
+    kernel keeps ~6 geometry temporaries of (tn, tm) f32 in VMEM, and the
+    16 MB scoped-VMEM limit binds at larger shapes.
 
     Returns ``(field_at_2_from_1, field_at_1_from_2)``, each ``(B, n)``
     (or ``(n,)`` for unbatched input) in ``current / length`` units.  The
@@ -387,6 +379,12 @@ def pallas_biot_savart_pair(
     computed ONCE and contracted against both films' currents -- ~2x less
     VPU work than two `pallas_biot_savart_batch` calls.
     """
+    import os
+
+    if tm is None:
+        tm = int(os.environ.get("SUPERSCREEN_TPU_PAIR_TM", "512"))
+    if tn is None:
+        tn = int(os.environ.get("SUPERSCREEN_TPU_PAIR_TN", "512"))
     film1_sites = jnp.asarray(film1_sites, dtype=jnp.float32)
     film2_sites = jnp.asarray(film2_sites, dtype=jnp.float32)
     J1 = jnp.asarray(film1_J, dtype=jnp.float32)
