@@ -164,3 +164,28 @@ def test_solve_many_final_refine(two_rings_f32):
             final_refine=1,
             keep_history=True,
         )
+
+
+def test_certify_skips_vortex_films(two_rings_f32):
+    # Vortex response columns add rank-1 terms outside the plain linear
+    # system; certify and the f64 polish must skip such films, not
+    # mis-report residuals.
+    model = sc.factorize_model(
+        device=two_rings_f32,
+        current_units="uA",
+        vortices=[sc.Vortex(x=5.5, y=0.0, film="big_ring")],
+    )
+    data, Hz, I_circ = _sweep_inputs(model, B=2)
+    streams, Js, selfs, others = _run_sweep(data, Hz, I_circ, 1645.5, 1, 2)
+    report = certify_sweep(
+        data, streams, others, Hz, I_circ=I_circ, n_sample_rows=8
+    )
+    assert "big_ring" in report.get("films_skipped", {})
+    assert "little_ring" in report["films_certified"]
+    from superscreen_tpu.certify import refine_sweep_f64
+
+    polished, rep = refine_sweep_f64(data, streams, others, Hz, I_circ=I_circ)
+    assert rep["per_film"]["big_ring"] == "vortex film: skipped"
+    np.testing.assert_array_equal(
+        np.asarray(polished["big_ring"]), np.asarray(streams["big_ring"])
+    )
