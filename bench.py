@@ -699,15 +699,17 @@ def bench_transport_strip(dtype: str):
     }
 
 
-def bench_squid_mutual(timeout_s: float = 240):
+def bench_squid_mutual():
     """BASELINE config 4: two-layer SQUID susceptometer pickup-loop /
     field-coil mutual inductance (the reference's flagship workload,
     reference ``docs/notebooks/squids/mutuals.py:10-45``).
 
     Solves the huber layout (terminal drive, self-consistent iterations)
-    on the device in f32 and cross-checks the mutual against a fresh
-    float64 CPU-backend child process running the identical workload --
-    an honest cross-precision, cross-backend delta.
+    on the device in f32 and LAUNCHES a float64 CPU-backend child process
+    running the identical workload for an honest cross-precision,
+    cross-backend delta.  Returns ``(detail, child)``; pass both to
+    :func:`finish_squid_f64` (the child runs on host CPU, so it overlaps
+    the following TPU stages for free).
     """
     import subprocess
 
@@ -746,7 +748,8 @@ def bench_squid_mutual(timeout_s: float = 240):
     }
     # f64 CPU cross-check in a child process (the parent's backend is the
     # TPU and cannot switch); the child re-runs the identical workload in
-    # float64 on the CPU backend.
+    # float64 on the CPU backend.  Launched non-blocking: the caller
+    # overlaps it with the remaining TPU stages and joins later.
     child = (
         "import sys, json, os; sys.path.insert(0, %r); "
         "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
@@ -764,26 +767,43 @@ def bench_squid_mutual(timeout_s: float = 240):
         iterations,
     )
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c", child],
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
             text=True,
-            timeout=timeout_s,
         )
-        for line in reversed(proc.stdout.strip().splitlines()):
+    except Exception as exc:
+        out["f64_rel_delta"] = None
+        out["f64_note"] = f"f64 CPU child failed to launch: {exc!r}"
+        proc = None
+    return out, proc
+
+
+def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
+    """Joins the f64 CPU child of :func:`bench_squid_mutual` and fills in
+    the cross-precision delta."""
+    import subprocess
+
+    if proc is None:
+        return out
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout_s)
+        for line in reversed(stdout.strip().splitlines()):
             try:
                 m64 = float(json.loads(line)["mutual_Phi0_per_A"])
             except (ValueError, KeyError):
                 continue
             out["mutual_f64_cpu_Phi0_per_A"] = float(f"{m64:.6e}")
             out["f64_rel_delta"] = float(
-                f"{abs(mutual_phi0_per_A - m64) / abs(m64):.3e}"
+                f"{abs(out['mutual_Phi0_per_A'] - m64) / abs(m64):.3e}"
             )
             break
         else:
             out["f64_rel_delta"] = None
-            out["f64_note"] = f"child rc={proc.returncode}: {proc.stderr[-300:]}"
+            out["f64_note"] = f"child rc={proc.returncode}: {stderr[-300:]}"
     except subprocess.TimeoutExpired:
+        proc.kill()
         out["f64_rel_delta"] = None
         out["f64_note"] = f"f64 CPU child timed out at {timeout_s:.0f}s"
     return out
@@ -1351,17 +1371,18 @@ def main():
             detail["transport_strip"] = {"error": repr(exc)}
         emit()
 
-    if not tpu_unavailable and stage_gate("squid_mutual", est_s=150):
+    squid_child = None
+    if not tpu_unavailable and stage_gate("squid_mutual", est_s=120):
         try:
-            detail["squid_mutual"] = bench_squid_mutual(
-                timeout_s=max(30.0, min(240.0, time_left() - 30.0))
-            )
-            _log(f"squid mutual: {detail['squid_mutual']}")
+            detail["squid_mutual"], squid_child = bench_squid_mutual()
+            _log(f"squid mutual (f64 child still running): {detail['squid_mutual']}")
         except Exception as exc:
             _log(f"squid mutual stage failed: {exc!r}")
             detail["squid_mutual"] = {"error": repr(exc)}
         emit()
 
+    # The squid f64 CPU child keeps running through the scanning stage
+    # (host CPU vs device work -- free overlap) and is joined after.
     if not tpu_unavailable and stage_gate("scanning", est_s=80):
         try:
             detail["scanning_sweep"] = bench_scanning_sweep(dtype)
@@ -1369,6 +1390,18 @@ def main():
         except Exception as exc:
             _log(f"scanning stage failed: {exc!r}")
             detail["scanning_sweep"] = {"error": repr(exc)}
+        emit()
+
+    if squid_child is not None:
+        try:
+            detail["squid_mutual"] = finish_squid_f64(
+                detail["squid_mutual"],
+                squid_child,
+                timeout_s=max(10.0, min(240.0, time_left() - 30.0)),
+            )
+            _log(f"squid mutual f64 joined: {detail['squid_mutual']}")
+        except Exception as exc:
+            _log(f"squid f64 join failed: {exc!r}")
         emit()
 
     if not tpu_unavailable and stage_gate("fft_payoff", est_s=120):
