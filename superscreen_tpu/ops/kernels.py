@@ -205,10 +205,10 @@ def _pallas_ok(use_pallas):
     return bool(use_pallas)
 
 
-@partial(jax.jit, static_argnames=("block", "use_pallas"))
+@partial(jax.jit, static_argnames=("block", "use_pallas", "precision"))
 def biot_savart_film_to_film_dz2(
     film1_sites, film1_areas, film1_J, film2_sites, dz2, block: int = _BLOCK,
-    use_pallas=None,
+    use_pallas=None, precision=None,
 ):
     """Like :func:`biot_savart_film_to_film` but with the squared layer
     separation ``dz2`` as a traced scalar, so one compilation serves every
@@ -233,7 +233,7 @@ def biot_savart_film_to_film_dz2(
         from . import pallas_kernels
 
         return pallas_kernels.pallas_biot_savart_batch(
-            film1_sites, areas, J, film2_sites, dz2
+            film1_sites, areas, J, film2_sites, dz2, precision=precision
         )
     squeeze = J.ndim == 2
     if squeeze:
@@ -256,11 +256,11 @@ def biot_savart_film_to_film_dz2(
     return out
 
 
-@partial(jax.jit, static_argnames=("block", "use_pallas"))
+@partial(jax.jit, static_argnames=("block", "use_pallas", "precision"))
 def biot_savart_pair_dz2(
     film1_sites, film1_areas, film1_J,
     film2_sites, film2_areas, film2_J,
-    dz2, block: int = _BLOCK, use_pallas=None,
+    dz2, block: int = _BLOCK, use_pallas=None, precision=None,
 ):
     """Both directions of an inter-film Biot-Savart coupling pair.
 
@@ -297,16 +297,16 @@ def biot_savart_pair_dz2(
 
         return pallas_kernels.pallas_biot_savart_pair(
             film1_sites, film1_areas, film1_J,
-            film2_sites, film2_areas, film2_J, dz2,
+            film2_sites, film2_areas, film2_J, dz2, precision=precision,
         )
     return (
         biot_savart_film_to_film_dz2(
             film1_sites, film1_areas, film1_J, film2_sites, dz2,
-            block, use_pallas,
+            block, use_pallas, precision,
         ),
         biot_savart_film_to_film_dz2(
             film2_sites, film2_areas, film2_J, film1_sites, dz2,
-            block, use_pallas,
+            block, use_pallas, precision,
         ),
     )
 

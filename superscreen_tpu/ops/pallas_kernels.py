@@ -19,6 +19,7 @@ Use is gated on the TPU backend; the blocked jnp kernels in
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,74 @@ __all__ = [
 ]
 
 _ONE_OVER_4PI = 1 / (4 * np.pi)
+
+#: Dot precision inside the pairwise-coupling kernels.  On TPUs without a
+#: native f32 MXU (v4/v5e/...), an f32 dot is emulated by bf16 passes:
+#: "highest" = 6 passes (full f32), "high" = 3 passes (~1e-7 relative --
+#: each operand split hi+lo bf16), "default" = 1 bf16 pass (~4e-3).  The
+#: contraction batch is B sweep points in sublanes (1/16 MXU utilization at
+#: B=8), so pass count is the dominant per-tile cost -- see
+#: docs/COUPLING.md for the v5e measurement that picked the default.
+_PRECISION_NAMES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+    # Manual 3-pass emulation: Mosaic does not lower Precision.HIGH, so
+    # the split-operand scheme is spelled out in the kernel (_tile_dot).
+    "bf16x3": "bf16x3",
+}
+
+
+def _resolve_precision(name):
+    if name is None:
+        name = os.environ.get("SUPERSCREEN_TPU_COUPLING_PRECISION", "highest")
+    if name not in _PRECISION_NAMES:
+        raise ValueError(
+            f"unknown coupling precision {name!r}; "
+            f"expected one of {sorted(_PRECISION_NAMES)}"
+        )
+    return name
+
+
+def _split_bf16(x):
+    """Splits f32 ``x`` into (hi, lo) bf16 limbs with hi + lo capturing the
+    top ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _tile_dot(a, b, precision, transpose_b=False):
+    """In-kernel (B, K) x (K, M) contraction at the requested precision.
+
+    ``precision`` is a resolved ``jax.lax.Precision`` or the string
+    ``"bf16x3"``: v5e-class MXUs multiply bf16 natively and emulate an f32
+    dot by bf16 passes (HIGHEST = 6).  The bf16x3 scheme splits both
+    operands into hi+lo bf16 limbs and drops the lo*lo term (~2^-32
+    relative -- far below the f32 accumulation floor), recovering ~17-bit
+    operand precision in 3 native passes: 2x fewer MXU passes than
+    HIGHEST for a per-element relative error of ~2^-17 instead of ~2^-24,
+    which accumulates to ~1e-6-class error on 27k-point coupling sums
+    (measured; see docs/COUPLING.md).  With ``transpose_b`` the
+    contraction runs over ``b``'s LAST axis (``(B, K) x (M, K) -> (B,
+    M)``) so callers never materialize a transposed tile.
+    """
+    contract = (((1,), (1 if transpose_b else 0,)), ((), ()))
+
+    def _dot(x, y):
+        return jax.lax.dot_general(
+            x, y, contract,
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.DEFAULT if precision == "bf16x3"
+                else precision
+            ),
+        )
+
+    if precision != "bf16x3":
+        return _dot(a, b)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    return _dot(a_hi, b_hi) + _dot(a_hi, b_lo) + _dot(a_lo, b_hi)
 
 
 def pallas_available() -> bool:
@@ -130,7 +199,8 @@ def pallas_q_matrix(points, dtype=None, tm: int = 256, tn: int = 512, interpret:
 
 
 def _bs_T_tile_kernel(
-    xs_ref, ys_ref, xe_ref, ye_ref, ajx_ref, ajy_ref, dz2_ref, out_ref
+    xs_ref, ys_ref, xe_ref, ye_ref, ajx_ref, ajy_ref, dz2_ref, out_ref,
+    *, precision,
 ):
     # xs/ys: (TN, 1) source coords; xe/ye: (1, TM) eval coords;
     # ajx/ajy: (B, TN) area-weighted currents; out: (B, TM).
@@ -144,16 +214,8 @@ def _bs_T_tile_kernel(
     dy = ye_ref[:] - ys_ref[:]
     r = jax.lax.rsqrt(dx * dx + dy * dy + dz2_ref[0, 0])
     r3 = r * r * r
-    contrib = jnp.dot(
-        ajx_ref[:],
-        dy * r3,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) - jnp.dot(
-        ajy_ref[:],
-        dx * r3,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    contrib = _tile_dot(ajx_ref[:], dy * r3, precision) - _tile_dot(
+        ajy_ref[:], dx * r3, precision
     )
 
     @pl.when(j == 0)
@@ -163,14 +225,22 @@ def _bs_T_tile_kernel(
     out_ref[:] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
-def _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "interpret", "precision_name")
+)
+def _pallas_bs_T_padded(
+    xs, ys, xe, ye, aJx, aJy, dz2, tm: int, tn: int,
+    interpret: bool = False, precision_name: str = "highest",
+):
     n_src = xs.shape[0]
     n_eval = xe.shape[1]
     B = aJx.shape[0]
     grid = (n_eval // tm, n_src // tn)
     return pl.pallas_call(
-        _bs_T_tile_kernel,
+        functools.partial(
+            _bs_T_tile_kernel,
+            precision=_PRECISION_NAMES[precision_name],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, n_eval), jnp.float32),
         grid=grid,
         in_specs=[
@@ -198,6 +268,7 @@ def pallas_biot_savart_batch(
     tm: int = 1024,
     tn: int = 512,
     interpret: bool = False,
+    precision: str = None,
 ):
     """Batched inter-film Biot-Savart with the sweep batch in MXU sublanes.
 
@@ -246,7 +317,10 @@ def pallas_biot_savart_batch(
     aJx = _pad_to(_pad_to(aJ[:, :, 0], n1p, axis=1), Bp, axis=0)
     aJy = _pad_to(_pad_to(aJ[:, :, 1], n1p, axis=1), Bp, axis=0)
     dz2 = jnp.asarray(dz2, dtype=jnp.float32).reshape(1, 1)
-    out = _pallas_bs_T_padded(xs, ys, xe, ye, aJx, aJy, dz2, tm, tn, interpret)
+    out = _pallas_bs_T_padded(
+        xs, ys, xe, ye, aJx, aJy, dz2, tm, tn, interpret,
+        _resolve_precision(precision),
+    )
     out = _ONE_OVER_4PI * out[:B, :n2]
     if squeeze:
         out = out[0]
@@ -263,6 +337,7 @@ def _bs_pair_tile_kernel(
     xs_ref, ys_ref, xe_ref, ye_ref,
     aj1x_ref, aj1y_ref, aj2x_ref, aj2y_ref, dz2_ref,
     out2_ref, out1_ref,
+    *, precision,
 ):
     # One (TN src x TM dst) geometry tile serves BOTH directions of the
     # film pair: the forward contraction (film-1 currents -> field at
@@ -287,14 +362,8 @@ def _bs_pair_tile_kernel(
     r3 = r * r * r
     Kx = dx * r3
     Ky = dy * r3
-    fwd = jnp.dot(
-        aj1x_ref[:], Ky,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) - jnp.dot(
-        aj1y_ref[:], Kx,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    fwd = _tile_dot(aj1x_ref[:], Ky, precision) - _tile_dot(
+        aj1y_ref[:], Kx, precision
     )
 
     @pl.when(j == 0)
@@ -304,29 +373,27 @@ def _bs_pair_tile_kernel(
     out2_ref[:] += fwd
 
     # Reverse: contrib[b, s] = sum_d aj2y[b, d] Kx[s, d] - aj2x[b, d] Ky[s, d]
-    contract = (((1,), (1,)), ((), ()))
-    out1_ref[0] = jax.lax.dot_general(
-        aj2y_ref[:], Kx, contract,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) - jax.lax.dot_general(
-        aj2x_ref[:], Ky, contract,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out1_ref[0] = _tile_dot(
+        aj2y_ref[:], Kx, precision, transpose_b=True
+    ) - _tile_dot(aj2x_ref[:], Ky, precision, transpose_b=True)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "interpret", "precision_name")
+)
 def _pallas_bs_pair_padded(
     xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2, tm: int, tn: int,
-    interpret: bool = False,
+    interpret: bool = False, precision_name: str = "highest",
 ):
     n1 = xs.shape[0]
     n2 = xe.shape[1]
     B = aJ1x.shape[0]
     grid = (n2 // tm, n1 // tn)
     out2, out1_partial = pl.pallas_call(
-        _bs_pair_tile_kernel,
+        functools.partial(
+            _bs_pair_tile_kernel,
+            precision=_PRECISION_NAMES[precision_name],
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((B, n2), jnp.float32),
             jax.ShapeDtypeStruct((grid[0], B, n1), jnp.float32),
@@ -365,6 +432,7 @@ def pallas_biot_savart_pair(
     tm: int = None,
     tn: int = None,
     interpret: bool = False,
+    precision: str = None,
 ):
     """Both directions of an inter-film Biot-Savart coupling pair from one
     geometry pass.
@@ -422,7 +490,8 @@ def pallas_biot_savart_pair(
     aJ2y = _pad_to(_pad_to(aJ2[:, :, 1], n2p, axis=1), Bp, axis=0)
     dz2 = jnp.asarray(dz2, dtype=jnp.float32).reshape(1, 1)
     out2, out1 = _pallas_bs_pair_padded(
-        xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2, tm, tn, interpret
+        xs, ys, xe, ye, aJ1x, aJ1y, aJ2x, aJ2y, dz2, tm, tn, interpret,
+        _resolve_precision(precision),
     )
     out2 = _ONE_OVER_4PI * out2[:B, :n2]
     out1 = _ONE_OVER_4PI * out1[:B, :n1]
@@ -436,7 +505,9 @@ def pallas_biot_savart_pair(
 # ---------------------------------------------------------------------------
 
 
-def _q_apply_tile_kernel(xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref):
+def _q_apply_tile_kernel(
+    xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref, *, precision
+):
     # xs/ys: (TN, 1) source coords; xe/ye: (1, TM) eval coords;
     # vT: (K, TN) vector columns; out: (K, TM).
     # K tile = q(eval, src) built in VMEM (zero at coincident points,
@@ -450,12 +521,7 @@ def _q_apply_tile_kernel(xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref):
     d2 = dx * dx + dy * dy
     r = jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0))
     q = jnp.where(d2 > 0, r * r * r, 0.0)
-    contrib = jnp.dot(
-        vT_ref[:],
-        q,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    contrib = _tile_dot(vT_ref[:], q, precision)
 
     @pl.when(j == 0)
     def _():
@@ -464,14 +530,22 @@ def _q_apply_tile_kernel(xs_ref, ys_ref, xe_ref, ye_ref, vT_ref, out_ref):
     out_ref[:] += contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
-def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "interpret", "precision_name")
+)
+def _pallas_q_apply_padded(
+    xs, ys, xe, ye, vT, tm: int, tn: int,
+    interpret: bool = False, precision_name: str = "highest",
+):
     n_src = xs.shape[0]
     n_eval = xe.shape[1]
     K = vT.shape[0]
     grid = (n_eval // tm, n_src // tn)
     return pl.pallas_call(
-        _q_apply_tile_kernel,
+        functools.partial(
+            _q_apply_tile_kernel,
+            precision=_PRECISION_NAMES[precision_name],
+        ),
         out_shape=jax.ShapeDtypeStruct((K, n_eval), jnp.float32),
         grid=grid,
         in_specs=[
@@ -488,7 +562,10 @@ def _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm: int, tn: int, interpret: bool
     )(xs, ys, xe, ye, vT)
 
 
-def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 512, interpret: bool = False):
+def pallas_q_apply_rect(
+    eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 512,
+    interpret: bool = False, precision: str = None,
+):
     """Matrix-free ``q(eval, src) @ vecs`` on TPU (float32), with the
     vector columns in MXU sublanes.
 
@@ -520,7 +597,9 @@ def pallas_q_apply_rect(eval_sites, src_sites, vecs, tm: int = 1024, tn: int = 5
     xe = _pad_to(eval_sites[:, 0], n_eval_p).reshape(1, n_eval_p)
     ye = _pad_to(eval_sites[:, 1], n_eval_p).reshape(1, n_eval_p)
     vT = _pad_to(_pad_to(V.T, n_src_p, axis=1), k_p, axis=0)
-    out = _pallas_q_apply_padded(xs, ys, xe, ye, vT, tm, tn, interpret)
+    out = _pallas_q_apply_padded(
+        xs, ys, xe, ye, vT, tm, tn, interpret, _resolve_precision(precision)
+    )
     out = _ONE_OVER_4PI * out[:k, :n_eval].T
     if squeeze:
         out = out[:, 0]

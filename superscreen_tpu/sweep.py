@@ -13,6 +13,7 @@ coupling.  The batch axis can additionally be sharded across a device mesh
 """
 
 import logging
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Union
@@ -403,7 +404,9 @@ def _solve_film_batch(
     return g, J, self_field
 
 
-def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
+def _coupling_round(
+    film_data, films, streams, Js, Hz_applied, coupling, precision=None
+):
     """One full inter-film coupling exchange.
 
     ``coupling="exact"``: O(n^2) pairwise Biot-Savart per ordered pair.
@@ -411,6 +414,11 @@ def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
     (grid interpolation + rfft2) and every destination applies the
     analytic transfer ``(k/2) e^(-k dz)`` -- O(n + G^2 log G) per film
     pair; requires films on distinct layer heights.
+
+    ``precision``: pairwise-kernel dot precision (exact mode only; see
+    ``ops.pallas_kernels._tile_dot``).  The inner self-consistent rounds
+    pass "bf16x3" (their coupling error is contracted by the iteration);
+    the final round keeps the default full-f32 emulation.
     """
     new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
     if coupling == "fft":
@@ -422,17 +430,23 @@ def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
             )
             for name in films
         }
-        for src in films:
-            for dst in films:
-                if src == dst:
-                    continue
-                dz = jnp.abs(film_data[dst].z0 - film_data[src].z0)
-                new_others[dst] = new_others[dst] + fft_coupling.fft_coupling_field(
-                    film_data[src].fft_grid,
-                    film_data[dst].fft_grid,
-                    spectra[src],
-                    dz,
-                )
+        # Group by destination: the transfers are summed in Fourier space,
+        # so each destination pays ONE irfft2 + grid gather per round
+        # instead of one per source film.
+        for dst in films:
+            srcs = [s for s in films if s != dst]
+            if not srcs:
+                continue
+            spec_stack = jnp.stack([spectra[s] for s in srcs])
+            dzs = jnp.stack(
+                [
+                    jnp.abs(film_data[dst].z0 - film_data[s].z0)
+                    for s in srcs
+                ]
+            )
+            new_others[dst] = fft_coupling.fft_fields_from_spectra(
+                film_data[dst].fft_grid, spec_stack, dzs
+            )
         return new_others
     # Exact mode runs over UNORDERED pairs through
     # kernels.biot_savart_pair_dz2, which dispatches either two
@@ -442,18 +456,73 @@ def _coupling_round(film_data, films, streams, Js, Hz_applied, coupling):
     # reference recomputes the pairwise geometry per ordered pair per
     # solve (solver/solve.py:28-73).
     names = list(films)
+    geo = _common_coupling_geometry(film_data, names, Js)
     for ai in range(len(names)):
         for bi in range(ai + 1, len(names)):
             a, b = names[ai], names[bi]
             dz2 = (film_data[b].z0 - film_data[a].z0) ** 2
+            sa, wa, Ja = geo[a]
+            sb, wb, Jb = geo[b]
             at_b, at_a = kernels.biot_savart_pair_dz2(
-                film_data[a].sites, film_data[a].weights, Js[a],
-                film_data[b].sites, film_data[b].weights, Js[b],
-                jnp.asarray(dz2),
+                sa, wa, Ja, sb, wb, Jb,
+                jnp.asarray(dz2), precision=precision,
             )
-            new_others[b] = new_others[b] + at_b
-            new_others[a] = new_others[a] + at_a
+            new_others[b] = new_others[b] + at_b[:, : film_data[b].n]
+            new_others[a] = new_others[a] + at_a[:, : film_data[a].n]
     return new_others
+
+
+def _common_coupling_geometry(film_data, names, Js):
+    """Per-film (sites, weights, J) for the exact coupling pair loop,
+    padded to one shared site count when it pays for itself.
+
+    A device whose films have heterogeneous mesh sizes compiles a
+    separate pairwise kernel per ORDERED size combination -- up to
+    n_films * (n_films - 1) Pallas compilations (the huber susceptometer
+    bench paid ~12 at four distinct film sizes).  Padding every film to
+    the largest site count collapses those to one shared compilation;
+    padded sites carry zero weight/current (no contribution) and sit at
+    distinct far-away coordinates per film (r > 0 against every real and
+    padded point, so no 0 * inf NaNs even for same-height films).  The
+    extra O(nmax^2 - n1*n2) tile work is millisecond-scale, so this only
+    engages where the compile savings are large (>= 3 films,
+    heterogeneous sizes); homogeneous devices (the common benchmark
+    shape) pass through untouched.
+    """
+    sizes = [film_data[f].sites.shape[0] for f in names]
+    nmax = max(sizes)
+    if len(names) < 3 or all(s == nmax for s in sizes):
+        return {
+            f: (film_data[f].sites, film_data[f].weights, Js[f])
+            for f in names
+        }
+    from functools import reduce
+
+    scale = 1e6 * (
+        reduce(
+            jnp.maximum,
+            [jnp.max(jnp.abs(film_data[f].sites)) for f in names],
+        )
+        + 1.0
+    )
+    out = {}
+    for i, f in enumerate(names):
+        d = film_data[f]
+        npad = nmax - d.sites.shape[0]
+        if npad == 0:
+            out[f] = (d.sites, d.weights, Js[f])
+            continue
+        coords = scale * (
+            1.0 + i * nmax + jnp.arange(npad, dtype=d.sites.dtype)
+        )
+        sites_p = jnp.concatenate(
+            [d.sites, jnp.stack([coords, coords], axis=1)]
+        )
+        w_p = jnp.concatenate([d.weights, jnp.zeros(npad, d.weights.dtype)])
+        J = Js[f]
+        J_p = jnp.pad(J, ((0, 0), (0, npad), (0, 0)))
+        out[f] = (sites_p, w_p, J_p)
+    return out
 
 
 class SweepResult:
@@ -569,7 +638,7 @@ _solve_film_batch_jit = partial(
     jax.jit, static_argnames=("refine_steps", "compute_self_field")
 )(_solve_film_batch)
 _coupling_round_jit = partial(
-    jax.jit, static_argnames=("films", "coupling")
+    jax.jit, static_argnames=("films", "coupling", "precision")
 )(_coupling_round)
 _self_field_batch_jit = jax.jit(_self_field_batch)
 
@@ -810,15 +879,69 @@ def _run_sweep_staged(
     return streams, Js, self_fields, others
 
 
-@partial(jax.jit, static_argnames=("iterations", "refine_steps", "coupling"))
+def _inner_refine_steps(refine_steps: int) -> int:
+    """Refinement steps for the *inner* self-consistent rounds.
+
+    Iterative refinement exists to push the single-film solve to the f32
+    residual floor; inside the self-consistent loop that accuracy is
+    wasted -- the inter-film coupling is a weak contraction, so solver
+    noise in the intermediate iterates is damped and only the FINAL
+    round's solve determines the delivered residual (which keeps the full
+    ``refine_steps``).  Each refine step costs two additional
+    (pad x pad) @ (pad x B) matmuls per film per round -- at B sweep
+    points in 8 of 128 MXU sublanes these are the most
+    utilization-hostile matmuls in the program, so dropping them from the
+    inner rounds removes a large fraction of the sweep's critical path
+    (see docs/COUPLING.md for the v5e measurement at the 109k-site
+    benchmark config).  Overridable for A/B measurement via
+    SUPERSCREEN_TPU_INNER_REFINE.
+    """
+    env = os.environ.get("SUPERSCREEN_TPU_INNER_REFINE")
+    if env is not None:
+        return min(int(env), refine_steps)
+    return 0
+
+
+def _inner_coupling_precision():
+    """Pairwise-kernel dot precision for the *inner* coupling rounds.
+
+    Same argument as :func:`_inner_refine_steps`: the self-consistent
+    iteration contracts operator noise in the intermediate rounds, and
+    the final round recomputes the coupling at full f32 emulation, so the
+    delivered fields and the certified operator accuracy are unchanged.
+    "bf16x3" halves the MXU passes of the dominant coupling contraction
+    (see ``ops.pallas_kernels._tile_dot`` and docs/COUPLING.md for the
+    v5e measurement).  Override via
+    SUPERSCREEN_TPU_INNER_COUPLING_PRECISION.
+    """
+    return os.environ.get(
+        "SUPERSCREEN_TPU_INNER_COUPLING_PRECISION", "bf16x3"
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "refine_steps", "coupling", "inner_refine",
+        "inner_coupling_precision",
+    ),
+)
 def _run_sweep_fused(
     film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,
-    coupling="exact",
+    coupling="exact", inner_refine=None, inner_coupling_precision=None,
 ):
     """The jitted sweep body: batched per-film solves plus ``iterations``
     rounds of batched inter-film coupling (a ``lax.fori_loop`` so the
-    compiled program size is independent of the iteration count)."""
+    compiled program size is independent of the iteration count).
+
+    The inner rounds solve with ``inner_refine`` refinement steps (see
+    :func:`_inner_refine_steps` -- solver noise there is contracted by
+    the coupling iteration); the final round keeps the caller's
+    ``refine_steps`` so the delivered streams sit at the refined residual
+    floor."""
     films = list(film_data)
+    if inner_refine is None or iterations < 1:
+        inner_refine = refine_steps
     streams, Js, others = {}, {}, {}
     for name in films:
         g, J, _ = _solve_film_batch(
@@ -826,16 +949,17 @@ def _run_sweep_fused(
             Hz_applied[name],
             I_circ[name],
             vortex_flux,
-            refine_steps=refine_steps,
+            refine_steps=inner_refine,
             compute_self_field=False,
         )
         streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(Hz_applied[name])
 
-    def body(_, carry):
+    def _round(carry, refine: int, coupling_precision=None):
         streams, Js, others = carry
         new_others = _coupling_round(
-            film_data, films, streams, Js, Hz_applied, coupling
+            film_data, films, streams, Js, Hz_applied, coupling,
+            precision=coupling_precision,
         )
         streams, Js = dict(streams), dict(Js)
         for name in films:
@@ -844,16 +968,24 @@ def _run_sweep_fused(
                 Hz_applied[name] + new_others[name],
                 I_circ[name],
                 vortex_flux,
-                refine_steps=refine_steps,
+                refine_steps=refine,
                 compute_self_field=False,
             )
             streams[name], Js[name] = g, J
         return streams, Js, new_others
 
     if iterations >= 1:
-        streams, Js, others = jax.lax.fori_loop(
-            0, iterations, body, (streams, Js, others)
-        )
+        if iterations > 1:
+            streams, Js, others = jax.lax.fori_loop(
+                0,
+                iterations - 1,
+                lambda _, c: _round(c, inner_refine, inner_coupling_precision),
+                (streams, Js, others),
+            )
+        # Final round at full refinement and full coupling precision
+        # (unrolled: both are static arguments, so they cannot vary
+        # inside the fori_loop body).
+        streams, Js, others = _round((streams, Js, others), refine_steps)
     # The O(n^2) self-field only depends on the final stream functions.
     self_fields = {
         name: _self_field_batch(film_data[name], streams[name])
@@ -1069,6 +1201,8 @@ def _run_sweep(
         return _run_sweep_fused(
             film_data, Hz_applied, I_circ, vortex_flux, iterations,
             refine_steps, coupling,
+            inner_refine=_inner_refine_steps(refine_steps),
+            inner_coupling_precision=_inner_coupling_precision(),
         )
     return _run_sweep_staged(
         film_data, Hz_applied, I_circ, vortex_flux, iterations, refine_steps,

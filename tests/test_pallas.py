@@ -192,3 +192,75 @@ def test_biot_savart_pair_unbatched_squeeze():
     )
     assert np.asarray(at2).shape == (90,)
     assert np.asarray(at1).shape == (100,)
+
+
+@pytest.mark.parametrize("precision", ["highest", "bf16x3", "default"])
+def test_biot_savart_batch_precision_options(precision):
+    """All dot-precision variants produce finite fields; bf16x3 (the
+    3-pass split-operand emulation used by the inner self-consistent
+    rounds) stays within ~1e-5 of the f64 reference."""
+    B, n1, n2 = 3, 150, 97
+    src = _sites(n1)
+    dst = _sites(n2) + 0.5
+    areas = _RNG.uniform(0.01, 0.05, size=n1).astype(np.float32)
+    J = _RNG.standard_normal((B, n1, 2)).astype(np.float32)
+    dz2 = np.float32(1.3)
+    out = np.asarray(
+        pallas_biot_savart_batch(
+            src, areas, J, dst, dz2, tm=TM, tn=TN, interpret=True,
+            precision=precision,
+        )
+    )
+    ref = np.stack(
+        [
+            np.asarray(
+                kernels.biot_savart_film_to_film_dz2(
+                    src.astype(np.float64),
+                    areas.astype(np.float64),
+                    J[b].astype(np.float64),
+                    dst.astype(np.float64),
+                    float(dz2),
+                )
+            )
+            for b in range(B)
+        ]
+    )
+    scale = np.abs(ref).max()
+    tol = {"highest": 1e-4, "bf16x3": 5e-4, "default": 2e-2}[precision]
+    assert np.abs(out - ref).max() < tol * scale
+    if precision == "bf16x3":
+        # Far tighter than a plain bf16 pass (~4e-3): the split recovers
+        # ~17 operand bits.
+        assert np.abs(out - ref).max() < 1e-4 * scale
+
+
+def test_biot_savart_pair_bf16x3_both_directions():
+    n1, n2, B = 140, 90, 2
+    s1, s2 = _sites(n1), _sites(n2) + 1.0
+    a1 = _RNG.uniform(0.5, 2.0, n1).astype(np.float32)
+    a2 = _RNG.uniform(0.5, 2.0, n2).astype(np.float32)
+    J1 = _RNG.standard_normal((B, n1, 2)).astype(np.float32)
+    J2 = _RNG.standard_normal((B, n2, 2)).astype(np.float32)
+    at2, at1 = pallas_biot_savart_pair(
+        s1, a1, J1, s2, a2, J2, np.float32(0.8), tm=TM, tn=TN,
+        interpret=True, precision="bf16x3",
+    )
+    ref2 = _bs_ref64(s1, a1, J1, s2, 0.8)
+    ref1 = _bs_ref64(s2, a2, J2, s1, 0.8)
+    assert np.abs(np.asarray(at2) - ref2).max() < 1e-4 * np.abs(ref2).max()
+    assert np.abs(np.asarray(at1) - ref1).max() < 1e-4 * np.abs(ref1).max()
+
+
+def test_unknown_precision_rejected():
+    with pytest.raises(ValueError, match="unknown coupling precision"):
+        pallas_biot_savart_batch(
+            _sites(64),
+            _RNG.uniform(0.01, 0.05, 64).astype(np.float32),
+            _RNG.standard_normal((2, 64, 2)).astype(np.float32),
+            _sites(32),
+            np.float32(1.0),
+            tm=TM,
+            tn=TN,
+            interpret=True,
+            precision="float16",
+        )
