@@ -28,37 +28,46 @@ the gap to the exact kernel (4.3e-3 -> 7.6e-4 from mesh 0.2 -> 0.05 at
 dz=1).  Same-plane films (dz ~ 0) must use the exact kernel.
 
 The mesh<->grid interpolation operators are built once on the host
-(:func:`build_fft_coupling_data`) and applied as segment-sum sparse
-matvecs inside jit.
+(:func:`build_film_grid_data`) and applied inside jit as pure GATHERS:
+every grid point reads exactly 3 mesh vertices (its triangle's corners,
+weight 0 outside the film) and every mesh site reads exactly 4 grid
+points (bilinear).  A scatter/segment-sum formulation of the same
+operators serializes on TPU and dominated the round cost; the fixed
+per-output fan-in makes the gather layout possible.
 """
 
-from functools import partial
 from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FilmGridData", "build_film_grid_data", "fft_coupling_field"]
+__all__ = [
+    "FilmGridData",
+    "build_film_grid_data",
+    "fft_coupling_field",
+    "fft_fields_from_spectra",
+    "fft_source_spectrum",
+]
 
 
 class FilmGridData(NamedTuple):
     """Per-film grid interpolation data for FFT coupling.
 
     The grid is shared by all films of a device (one bounding box).
-    ``m2g_*``: sparse (G*G, n) piecewise-linear interpolation of mesh
-    values onto grid points (rows: grid indices with any support).
-    ``g2m_*``: sparse (n, G*G) bilinear sampling of grid values at mesh
-    sites.  ``kmag``: |k| on the rfft2 grid, shape (G, G // 2 + 1) --
-    the grid size G is recovered from its (static) shape.
+    ``m2g_tri``/``m2g_w``: (G*G, 3) triangle corner indices and
+    barycentric weights of each grid point (weights 0 outside the film)
+    -- piecewise-linear interpolation of mesh values onto the grid as 3
+    gathers.  ``g2m_idx``/``g2m_w``: (n, 4) flattened grid indices and
+    bilinear weights of each mesh site -- grid sampling as 4 gathers.
+    ``kmag``: |k| on the rfft2 grid, shape (G, G // 2 + 1) -- the grid
+    size G is recovered from its (static) shape.
     """
 
-    m2g_rows: jnp.ndarray
-    m2g_cols: jnp.ndarray
-    m2g_vals: jnp.ndarray
-    g2m_rows: jnp.ndarray
-    g2m_cols: jnp.ndarray
-    g2m_vals: jnp.ndarray
+    m2g_tri: jnp.ndarray
+    m2g_w: jnp.ndarray
+    g2m_idx: jnp.ndarray
+    g2m_w: jnp.ndarray
     kmag: jnp.ndarray
 
 
@@ -131,9 +140,10 @@ def build_film_grid_data(
             - (c[:, 1] - p[:, 1]) * (a[:, 0] - p[:, 0])
         ) / det
         w2 = 1.0 - w0 - w1
-        m2g_rows = np.repeat(gi, 3)
-        m2g_cols = tris.ravel()
-        m2g_vals = np.stack([w0, w1, w2], axis=1).ravel()
+        m2g_tri = np.zeros((G * G, 3), dtype=np.int32)
+        m2g_w = np.zeros((G * G, 3), dtype=dtype)
+        m2g_tri[gi] = tris.astype(np.int32)
+        m2g_w[gi] = np.stack([w0, w1, w2], axis=1)
 
         # grid -> mesh: bilinear weights of the 4 surrounding grid points.
         fx = (sites[:, 0] - gx[0]) / dx
@@ -142,28 +152,30 @@ def build_film_grid_data(
         iy0 = np.clip(np.floor(fy).astype(int), 0, G - 2)
         tx = np.clip(fx - ix0, 0.0, 1.0)
         ty = np.clip(fy - iy0, 0.0, 1.0)
-        n = len(sites)
-        rows, cols, vals = [], [], []
-        for ox, oy, w in (
-            (0, 0, (1 - tx) * (1 - ty)),
-            (1, 0, tx * (1 - ty)),
-            (0, 1, (1 - tx) * ty),
-            (1, 1, tx * ty),
-        ):
-            rows.append(np.arange(n))
-            cols.append((ix0 + ox) * G + (iy0 + oy))
-            vals.append(w)
-        g2m_rows = np.concatenate(rows)
-        g2m_cols = np.concatenate(cols)
-        g2m_vals = np.concatenate(vals)
+        g2m_idx = np.stack(
+            [
+                ix0 * G + iy0,
+                (ix0 + 1) * G + iy0,
+                ix0 * G + (iy0 + 1),
+                (ix0 + 1) * G + (iy0 + 1),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        g2m_w = np.stack(
+            [
+                (1 - tx) * (1 - ty),
+                tx * (1 - ty),
+                (1 - tx) * ty,
+                tx * ty,
+            ],
+            axis=1,
+        ).astype(dtype)
 
         out[name] = FilmGridData(
-            m2g_rows=jnp.asarray(m2g_rows),
-            m2g_cols=jnp.asarray(m2g_cols),
-            m2g_vals=jnp.asarray(m2g_vals.astype(dtype)),
-            g2m_rows=jnp.asarray(g2m_rows),
-            g2m_cols=jnp.asarray(g2m_cols),
-            g2m_vals=jnp.asarray(g2m_vals.astype(dtype)),
+            m2g_tri=jnp.asarray(m2g_tri),
+            m2g_w=jnp.asarray(m2g_w),
+            g2m_idx=jnp.asarray(g2m_idx),
+            g2m_w=jnp.asarray(g2m_w),
             kmag=jnp.asarray(kmag.astype(dtype)),
         )
     return out
@@ -172,18 +184,50 @@ def build_film_grid_data(
 @jax.jit
 def fft_source_spectrum(src: FilmGridData, g):
     """rfft2 of the source stream function on the grid: g (B, n) ->
-    (B, G, G//2+1) complex."""
+    (B, G, G//2+1) complex.  The mesh->grid interpolation runs as 3
+    gathers (one per triangle corner), never a scatter."""
     G = src.kmag.shape[0]
-    contrib = src.m2g_vals[None, :] * g[:, src.m2g_cols]
-    grid_g = jax.ops.segment_sum(
-        contrib.T, src.m2g_rows, num_segments=G * G
-    ).T.reshape(g.shape[0], G, G)
-    return jnp.fft.rfft2(grid_g)
+    grid_g = sum(
+        src.m2g_w[None, :, k] * g[:, src.m2g_tri[:, k]] for k in range(3)
+    )
+    return jnp.fft.rfft2(grid_g.reshape(g.shape[0], G, G))
 
 
 @jax.jit
+def fft_fields_from_spectra(dst: FilmGridData, spectra, dzs):
+    """Total field at the destination sites from several source spectra.
+
+    Sums the spectra in Fourier space (each scaled by its analytic
+    transfer ``(k/2) e^{-k dz}``), so a destination film pays ONE irfft2
+    and ONE grid->mesh gather per coupling round regardless of the number
+    of source films.
+
+    Args:
+        dst: Destination grid data.
+        spectra: ``(S, B, G, G//2+1)`` stacked source spectra (shared
+            grid).
+        dzs: ``(S,)`` layer separations |z_dst - z_src| (must be > 0).
+
+    Returns:
+        ``(B, n_dst)`` H_z at the destination sites.
+    """
+    k = dst.kmag
+    transfer = 0.5 * k[None] * jnp.exp(
+        -k[None] * jnp.abs(dzs)[:, None, None]
+    )  # (S, G, G//2+1)
+    acc = jnp.sum(spectra * transfer[:, None], axis=0)  # (B, G, G//2+1)
+    G = k.shape[0]
+    flat = jnp.fft.irfft2(acc, s=(G, G)).reshape(acc.shape[0], G * G)
+    # Bilinear sampling: exactly 4 grid reads per site -- 4 gathers.
+    return sum(
+        dst.g2m_w[None, :, k4] * flat[:, dst.g2m_idx[:, k4]]
+        for k4 in range(4)
+    )
+
+
 def fft_coupling_field(src: FilmGridData, dst: FilmGridData, spectrum, dz):
-    """Field at the destination sites from a precomputed source spectrum.
+    """Field at the destination sites from one precomputed source spectrum
+    (single-source convenience over :func:`fft_fields_from_spectra`).
 
     Args:
         src, dst: Grid data (must share one grid).
@@ -193,14 +237,6 @@ def fft_coupling_field(src: FilmGridData, dst: FilmGridData, spectrum, dz):
     Returns:
         ``(B, n_dst)`` H_z at the destination sites.
     """
-    k = src.kmag
-    transfer = 0.5 * k * jnp.exp(-k * jnp.abs(dz))
-    B = spectrum.shape[0]
-    G = src.kmag.shape[0]
-    field_grid = jnp.fft.irfft2(spectrum * transfer[None], s=(G, G))
-    flat = field_grid.reshape(B, G * G)
-    contrib = dst.g2m_vals[None, :] * flat[:, dst.g2m_cols]
-    # g2m has exactly 4 entries per destination site.
-    return jax.ops.segment_sum(
-        contrib.T, dst.g2m_rows, num_segments=dst.g2m_rows.shape[0] // 4
-    ).T
+    return fft_fields_from_spectra(
+        dst, spectrum[None], jnp.asarray(dz).reshape(1)
+    )

@@ -517,9 +517,11 @@ def _coupling_fields(
         for name, mesh in device.meshes.items()
     }
     if coupling == "fft" and not high_precision:
+        import jax.numpy as jnp
+
         from ..ops.fft_coupling import (
             build_film_grid_data,
-            fft_coupling_field,
+            fft_fields_from_spectra,
             fft_source_spectrum,
         )
 
@@ -539,16 +541,22 @@ def _coupling_fields(
             )
             for name in device.films
         }
-        for source in device.films:
-            for target in device.films:
-                if target == source:
-                    continue
-                dz = abs(z0_of[target] - z0_of[source])
-                contrib = fft_coupling_field(
-                    grids[source], grids[target], spectra[source], dz
-                )[0]
-                fields[target] += np.asarray(contrib, dtype=dtype)
+        for target in device.films:
+            sources = [s for s in device.films if s != target]
+            if not sources:
+                continue
+            spec_stack = jnp.stack([spectra[s] for s in sources])
+            dzs = jnp.asarray(
+                [abs(z0_of[target] - z0_of[s]) for s in sources]
+            )
+            contrib = fft_fields_from_spectra(
+                grids[target], spec_stack, dzs
+            )[0]
+            fields[target] += np.asarray(contrib, dtype=dtype)
         return fields
+    pad_geo = None
+    if not high_precision:
+        pad_geo = _padded_coupling_geometry(device, model, film_solutions)
     for source in device.films:
         for target in device.films:
             if target == source:
@@ -564,6 +572,16 @@ def _coupling_fields(
                     device.meshes[target].sites,
                     z0_of[target],
                 )
+            elif pad_geo is not None:
+                src_sites, src_w, src_J = pad_geo[source]
+                contrib = kernels.biot_savart_film_to_film(
+                    src_sites,
+                    z0_of[source],
+                    src_w,
+                    src_J,
+                    pad_geo[target][0],
+                    z0_of[target],
+                )[: len(device.meshes[target].sites)]
             else:
                 contrib = kernels.biot_savart_film_to_film(
                     device.meshes[source].sites,
@@ -575,6 +593,49 @@ def _coupling_fields(
                 )
             fields[target] += np.asarray(contrib, dtype=dtype)
     return fields
+
+
+def _padded_coupling_geometry(device, model, film_solutions):
+    """Per-film (sites, weights, J) padded to one shared site count.
+
+    Heterogeneous film sizes would compile one pairwise Biot-Savart
+    kernel per ORDERED size combination -- up to n*(n-1) XLA/Pallas
+    programs per solve (the huber susceptometer pays 12 at four distinct
+    film sizes); padding to the common maximum collapses them to one.
+    Padded sites carry zero weight and current and sit at distinct
+    far-away coordinates per film, so they contribute nothing and never
+    coincide with any real or padded point (r > 0, no 0 * inf NaNs even
+    at dz = 0).  Engages only where the compile savings are large (>= 3
+    films with heterogeneous sizes) -- mirrors
+    ``sweep._common_coupling_geometry``.  Returns None when padding is
+    not worthwhile.
+    """
+    films = list(device.films)
+    sizes = [len(device.meshes[f].sites) for f in films]
+    nmax = max(sizes)
+    if len(films) < 3 or all(s == nmax for s in sizes):
+        return None
+    scale = 1e6 * (
+        max(float(np.max(np.abs(device.meshes[f].sites))) for f in films)
+        + 1.0
+    )
+    out = {}
+    for i, f in enumerate(films):
+        sites = np.asarray(device.meshes[f].sites)
+        w = np.asarray(model.film_info[f].weights)
+        J = np.asarray(film_solutions[f].current_density)
+        npad = nmax - len(sites)
+        if npad:
+            coords = scale * (1.0 + i * nmax + np.arange(npad))
+            sites = np.concatenate(
+                [sites, np.stack([coords, coords], axis=1).astype(sites.dtype)]
+            )
+            w = np.concatenate([w, np.zeros(npad, dtype=w.dtype)])
+            J = np.concatenate(
+                [J, np.zeros((npad, 2), dtype=J.dtype)], axis=0
+            )
+        out[f] = (sites, w, J)
+    return out
 
 
 def _resolve_model(

@@ -698,3 +698,131 @@ def test_auto_sharded_dense_dispatch(monkeypatch):
         assert np.abs(a - b).max() < 1e-8 * np.abs(a).max()
     finally:
         set_factorization_mesh(None)
+
+
+def test_common_coupling_geometry_heterogeneous_padding():
+    """Three films of distinct sizes: the shared-shape padded coupling
+    (one compiled pairwise kernel instead of up to n*(n-1)) must agree
+    with the unpadded per-pair kernels to roundoff and stay finite even
+    for same-height films."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from superscreen_tpu.ops import kernels
+    from superscreen_tpu.sweep import (
+        _common_coupling_geometry,
+        _coupling_round,
+    )
+
+    rng = np.random.default_rng(3)
+    sizes = {"a": 150, "b": 97, "c": 64}
+    # "a" and "b" share a layer height (dz = 0 pair), "c" sits above.
+    z0s = {"a": 0.0, "b": 0.0, "c": 1.0}
+    film_data, Js, Hz = {}, {}, {}
+    B = 2
+    for name, n in sizes.items():
+        film_data[name] = SimpleNamespace(
+            sites=jnp.asarray(
+                rng.uniform(-3, 3, (n, 2)), dtype=jnp.float64
+            ),
+            weights=jnp.asarray(rng.uniform(0.01, 0.05, n)),
+            z0=jnp.asarray(z0s[name]),
+            n=n,
+        )
+        Js[name] = jnp.asarray(rng.standard_normal((B, n, 2)))
+        Hz[name] = jnp.zeros((B, n))
+    names = list(sizes)
+    geo = _common_coupling_geometry(film_data, names, Js)
+    nmax = max(sizes.values())
+    for name in names:
+        assert geo[name][0].shape == (nmax, 2)
+        assert geo[name][2].shape == (B, nmax, 2)
+    out = _coupling_round(film_data, tuple(names), None, Js, Hz, "exact")
+    for dst in names:
+        assert np.isfinite(np.asarray(out[dst])).all()
+        expect = np.zeros((B, sizes[dst]))
+        for src in names:
+            if src == dst:
+                continue
+            dz2 = float(
+                (np.asarray(film_data[dst].z0) - np.asarray(film_data[src].z0))
+                ** 2
+            )
+            expect += np.asarray(
+                kernels.biot_savart_film_to_film_dz2(
+                    film_data[src].sites,
+                    film_data[src].weights,
+                    Js[src],
+                    film_data[dst].sites,
+                    dz2,
+                )
+            )
+        got = np.asarray(out[dst])
+        assert np.abs(got - expect).max() < 1e-12 * np.abs(expect).max()
+
+
+def test_common_coupling_geometry_homogeneous_passthrough():
+    """Equal-size (or two-film) devices skip the padding entirely."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from superscreen_tpu.sweep import _common_coupling_geometry
+
+    rng = np.random.default_rng(4)
+    n, B = 80, 2
+    film_data, Js = {}, {}
+    for name in ("a", "b"):
+        film_data[name] = SimpleNamespace(
+            sites=jnp.asarray(rng.uniform(-3, 3, (n, 2))),
+            weights=jnp.asarray(rng.uniform(0.01, 0.05, n)),
+            z0=jnp.asarray(0.0),
+            n=n,
+        )
+        Js[name] = jnp.asarray(rng.standard_normal((B, n, 2)))
+    geo = _common_coupling_geometry(film_data, ["a", "b"], Js)
+    for name in ("a", "b"):
+        assert geo[name][0] is film_data[name].sites
+        assert geo[name][2] is Js[name]
+
+
+def test_fft_fields_from_spectra_matches_per_pair(two_rings, model):
+    """The grouped-by-destination spectral sum equals summing per-source
+    fft_coupling_field applications."""
+    import jax.numpy as jnp
+
+    from superscreen_tpu.ops.fft_coupling import (
+        build_film_grid_data,
+        fft_coupling_field,
+        fft_fields_from_spectra,
+        fft_source_spectrum,
+    )
+
+    grids = build_film_grid_data(two_rings)
+    rng = np.random.default_rng(5)
+    films = list(two_rings.films)
+    B = 2
+    streams = {
+        f: jnp.asarray(
+            rng.standard_normal((B, len(two_rings.meshes[f].sites)))
+        )
+        for f in films
+    }
+    spectra = {f: fft_source_spectrum(grids[f], streams[f]) for f in films}
+    dst, srcs = films[0], films[1:]
+    dzs = jnp.asarray([1.0] * len(srcs))
+    grouped = np.asarray(
+        fft_fields_from_spectra(
+            grids[dst], jnp.stack([spectra[s] for s in srcs]), dzs
+        )
+    )
+    separate = sum(
+        np.asarray(
+            fft_coupling_field(grids[s], grids[dst], spectra[s], 1.0)
+        )
+        for s in srcs
+    )
+    assert np.abs(grouped - separate).max() <= 1e-9 * max(
+        np.abs(separate).max(), 1e-30
+    )
