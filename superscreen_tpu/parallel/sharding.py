@@ -173,6 +173,12 @@ def _pad_film_site_axis(data, n_model: int):
             if data.ha_offset is None
             else zpad(data.ha_offset, data.ha_offset.ndim - 1)
         ),
+        # Gather-form gradients: padded sites read site 0 with weight 0,
+        # so their current density is exactly zero.
+        gx_idx=zpad(data.gx_idx, 0),
+        gx_w=zpad(data.gx_w, 0),
+        gy_idx=zpad(data.gy_idx, 0),
+        gy_w=zpad(data.gy_w, 0),
     )
     return replace(data, **new)
 

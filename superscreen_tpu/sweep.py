@@ -52,12 +52,14 @@ class FilmSweepData:
     A: jnp.ndarray  # (ni, ni)
     Q: jnp.ndarray  # (n, n)
     weights: jnp.ndarray  # (n,)
-    gx_rows: jnp.ndarray
-    gx_cols: jnp.ndarray
-    gx_vals: jnp.ndarray
-    gy_rows: jnp.ndarray
-    gy_cols: jnp.ndarray
-    gy_vals: jnp.ndarray
+    # Gather-form gradients: (n, d) column indices / weights with a fixed
+    # per-row fan-in d (zero-weight padding).  The sweep hot loop applies
+    # these as d gathers -- a segment-sum scatter of the COO triplets
+    # serializes on TPU and measurably dominated the per-round solve cost.
+    gx_idx: jnp.ndarray
+    gx_w: jnp.ndarray
+    gy_idx: jnp.ndarray
+    gy_w: jnp.ndarray
     sites: jnp.ndarray  # (n, 2)
     z0: jnp.ndarray  # () layer height (traced so film pairs share compiles)
     hole_masks: jnp.ndarray  # (n_holes, n) 1.0 where site in hole
@@ -80,27 +82,30 @@ class FilmSweepData:
     ha_offset: Optional[jnp.ndarray] = None  # (n,) or (B, n) boundary field
     tri_centroids: Optional[jnp.ndarray] = None  # (m, 2)
     tri_areas: Optional[jnp.ndarray] = None  # (m,)
-    gtx_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (x)
-    gtx_cols: Optional[jnp.ndarray] = None
-    gtx_vals: Optional[jnp.ndarray] = None
-    gty_rows: Optional[jnp.ndarray] = None  # triangle-gradient COO (y)
-    gty_cols: Optional[jnp.ndarray] = None
-    gty_vals: Optional[jnp.ndarray] = None
+    gtx_idx: Optional[jnp.ndarray] = None  # gather-form triangle gradients
+    gtx_w: Optional[jnp.ndarray] = None
+    gty_idx: Optional[jnp.ndarray] = None
+    gty_w: Optional[jnp.ndarray] = None
     # Matrix-free CG films (fac_kind == "cg"): operator pieces for
     # ops.linalg.brandt_matvec / brandt_cg_solve.
     cg_op: Optional[dict] = None
     # Grid interpolation data for FFT-accelerated coupling (opt-in).
     fft_grid: Optional["object"] = None
+    # (nip, 2) sites gathered at the padded interior indices: the inner
+    # coupling rounds evaluate the pairwise field there directly (the
+    # solve consumes nothing else); padded rows duplicate site 0 and are
+    # masked out of the RHS.
+    interior_sites: Optional[jnp.ndarray] = None
 
 
 _FSD_ARRAY_FIELDS = (
     "interior", "n_valid", "fac_a", "fac_b", "A", "Q", "weights",
-    "gx_rows", "gx_cols", "gx_vals", "gy_rows", "gy_cols", "gy_vals",
+    "gx_idx", "gx_w", "gy_idx", "gy_w",
     "sites", "z0", "hole_masks", "hole_ha_vecs", "vortex_cols",
     "vortex_scales", "vortex_nphi0", "g_offset", "ha_offset",
     "tri_centroids", "tri_areas",
-    "gtx_rows", "gtx_cols", "gtx_vals", "gty_rows", "gty_cols", "gty_vals",
-    "cg_op", "fft_grid",
+    "gtx_idx", "gtx_w", "gty_idx", "gty_w",
+    "cg_op", "fft_grid", "interior_sites",
 )
 _FSD_STATIC_FIELDS = ("name", "n", "hole_names", "fac_kind", "terminal")
 
@@ -181,6 +186,8 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         vortex_nphi0 = jnp.asarray(nphi0)
     gx = mesh.operators.gradient_x
     gy = mesh.operators.gradient_y
+    gx_idx, gx_w = _coo_to_gather(gx.rows, gx.cols, gx.vals, n, dtype)
+    gy_idx, gy_w = _coo_to_gather(gy.rows, gy.cols, gy.vals, n, dtype)
     cg_op = None
     if isinstance(system.lu_piv[0], str) and system.lu_piv[0] == "cg":
         cg_op = system.lu_piv[1]
@@ -231,24 +238,32 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         ha = _terminal_boundary_ha(mesh.sites, info.boundary_indices, g_tr)
         gtx = mesh.operators.gradient_tri_x
         gty = mesh.operators.gradient_tri_y
+        m_tri = len(mesh.triangle_areas)
+        gtx_idx, gtx_w = _coo_to_gather(
+            gtx.rows, gtx.cols, gtx.vals, m_tri, dtype
+        )
+        gty_idx, gty_w = _coo_to_gather(
+            gty.rows, gty.cols, gty.vals, m_tri, dtype
+        )
         terminal_kwargs = dict(
             terminal=True,
             g_offset=jnp.asarray(g_tr.astype(dtype)),
             ha_offset=jnp.asarray(ha.astype(dtype)),
             tri_centroids=jnp.asarray(mesh.triangle_centroids.astype(dtype)),
             tri_areas=jnp.asarray(mesh.triangle_areas.astype(dtype)),
-            gtx_rows=jnp.asarray(gtx.rows),
-            gtx_cols=jnp.asarray(gtx.cols),
-            gtx_vals=jnp.asarray(gtx.vals.astype(dtype)),
-            gty_rows=jnp.asarray(gty.rows),
-            gty_cols=jnp.asarray(gty.cols),
-            gty_vals=jnp.asarray(gty.vals.astype(dtype)),
+            gtx_idx=gtx_idx,
+            gtx_w=gtx_w,
+            gty_idx=gty_idx,
+            gty_w=gty_w,
         )
     return FilmSweepData(
         **terminal_kwargs,
         name=film_name,
         n=n,
         interior=jnp.asarray(interior),
+        interior_sites=jnp.asarray(
+            mesh.sites.astype(dtype)[interior]
+        ),
         n_valid=jnp.asarray(ni),
         fac_kind=fac_kind,
         fac_a=jnp.asarray(fac_a) if fac_a is not None else None,
@@ -257,12 +272,10 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
         A=jnp.asarray(system.A) if system.A is not None else None,
         Q=jnp.asarray(info.kernel) if info.kernel is not None else None,
         weights=jnp.asarray(info.weights),
-        gx_rows=jnp.asarray(gx.rows),
-        gx_cols=jnp.asarray(gx.cols),
-        gx_vals=jnp.asarray(gx.vals.astype(dtype)),
-        gy_rows=jnp.asarray(gy.rows),
-        gy_cols=jnp.asarray(gy.cols),
-        gy_vals=jnp.asarray(gy.vals.astype(dtype)),
+        gx_idx=gx_idx,
+        gx_w=gx_w,
+        gy_idx=gy_idx,
+        gy_w=gy_w,
         sites=jnp.asarray(mesh.sites.astype(dtype)),
         z0=jnp.asarray(float(layer.z0), dtype=dtype),
         hole_masks=jnp.asarray(hole_masks),
@@ -274,10 +287,30 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
     )
 
 
-def _coo_matvec_batch(rows, cols, vals, g, n_out):
-    """Batched sparse matvec: ``g`` has shape (B, n); returns (B, n_out)."""
-    contrib = vals[None, :] * g[:, cols]
-    return jax.ops.segment_sum(contrib.T, rows, num_segments=n_out).T
+def _gather_matvec_batch(idx, w, g):
+    """Batched sparse matvec in gather form: ``idx``/``w`` are (n_out, d)
+    fixed-fan-in column indices and weights (zero-weight padded), ``g`` is
+    (B, n).  Runs as ``d`` gathers -- no scatter, which serializes on
+    TPU."""
+    return sum(w[None, :, k] * g[:, idx[:, k]] for k in range(idx.shape[1]))
+
+
+def _coo_to_gather(rows, cols, vals, n_rows, dtype):
+    """Converts COO triplets to fixed-fan-in gather form (host-side)."""
+    rows = np.asarray(rows)
+    order = np.argsort(rows, kind="stable")
+    rows_s = rows[order]
+    cols_s = np.asarray(cols)[order]
+    vals_s = np.asarray(vals)[order]
+    counts = np.bincount(rows_s, minlength=n_rows)
+    d = int(counts.max()) if len(counts) else 1
+    idx = np.zeros((n_rows, d), dtype=np.int32)
+    w = np.zeros((n_rows, d), dtype=dtype)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows_s)) - np.repeat(starts, counts)
+    idx[rows_s, pos] = cols_s
+    w[rows_s, pos] = vals_s
+    return jnp.asarray(idx), jnp.asarray(w)
 
 
 def _self_field_batch(data: FilmSweepData, g):
@@ -288,13 +321,8 @@ def _self_field_batch(data: FilmSweepData, g):
     Biot-Savart sum over triangle-centroid currents instead (reference
     solve_film.py:556-565)."""
     if data.terminal:
-        m = data.tri_areas.shape[0]
-        Jtx = _coo_matvec_batch(
-            data.gty_rows, data.gty_cols, data.gty_vals, g, m
-        )
-        Jty = -_coo_matvec_batch(
-            data.gtx_rows, data.gtx_cols, data.gtx_vals, g, m
-        )
+        Jtx = _gather_matvec_batch(data.gty_idx, data.gty_w, g)
+        Jty = -_gather_matvec_batch(data.gtx_idx, data.gtx_w, g)
         J_tri = jnp.stack([Jtx, Jty], axis=-1)  # (B, m, 2)
         return kernels.biot_savart_within_film(
             data.sites, data.tri_centroids, data.tri_areas, J_tri
@@ -314,11 +342,26 @@ def _solve_film_batch(
     vortex_flux: float,
     refine_steps: int = 2,
     compute_self_field: bool = True,
+    inner: bool = False,
+    others_int=None,
 ):
     """Batched single-film solve. Returns (g, J, self_field), shapes
     (B, n), (B, n, 2), (B, n) (``self_field`` is None when
     ``compute_self_field=False`` -- the self-consistent iteration only
-    needs J, so the O(n^2) self-field is evaluated once at the end)."""
+    needs J, so the O(n^2) self-field is evaluated once at the end).
+
+    ``inner=True`` marks an intermediate self-consistent round: the
+    explicit-inverse application then runs at ``Precision.HIGH`` (3-pass
+    bf16 emulation) instead of the 6-pass full-f32 default -- its error
+    is contracted by the coupling iteration, and the final round (which
+    keeps ``inner=False``) re-solves at full precision.
+
+    ``others_int``: optional ``(B, nip)`` field-from-other-films
+    evaluated at the (padded) interior sites only -- the inner coupling
+    rounds evaluate there directly (the solve consumes nothing else),
+    skipping ~1/3 of the pairwise eval work at the benchmark config.
+    Added to the gathered interior RHS; ``Hz_total`` then carries just
+    the applied field."""
     B = Hz_total.shape[0]
     # Hole boundary conditions (batched rank-1 terms).
     if data.hole_masks.shape[0]:
@@ -344,6 +387,8 @@ def _solve_film_batch(
     nip = data.interior.shape[0]
     valid = jnp.arange(nip) < data.n_valid
     h = (Hz_total - Ha_eff)[:, data.interior]  # (B, nip)
+    if others_int is not None:
+        h = h + others_int
     h = jnp.where(valid[None, :], h, 0.0)
     hT = h.T  # (nip, B)
 
@@ -358,8 +403,14 @@ def _solve_film_batch(
         def solve(rhs):
             return _linalg.brandt_bicgstab_solve(data.cg_op, rhs)
     elif data.fac_kind == "inv":
-        def solve(rhs):
-            return kernels._dot(data.fac_a, rhs)
+        if inner:
+            def solve(rhs):
+                return jnp.dot(
+                    data.fac_a, rhs, precision=jax.lax.Precision.HIGH
+                )
+        else:
+            def solve(rhs):
+                return kernels._dot(data.fac_a, rhs)
     elif data.fac_kind == "chol":
         def solve(rhs):
             # Same convention as ops/linalg._jax_chol_solve: L factors the
@@ -397,15 +448,16 @@ def _solve_film_batch(
             gf = gf + kernels._dot(data.vortex_cols, eff.T)
     gf = jnp.where(valid[:, None], gf, 0.0)
     g = g0.at[:, data.interior].add(gf.T)
-    Jx = _coo_matvec_batch(data.gy_rows, data.gy_cols, data.gy_vals, g, data.n)
-    Jy = -_coo_matvec_batch(data.gx_rows, data.gx_cols, data.gx_vals, g, data.n)
+    Jx = _gather_matvec_batch(data.gy_idx, data.gy_w, g)
+    Jy = -_gather_matvec_batch(data.gx_idx, data.gx_w, g)
     J = jnp.stack([Jx, Jy], axis=-1)
     self_field = _self_field_batch(data, g) if compute_self_field else None
     return g, J, self_field
 
 
 def _coupling_round(
-    film_data, films, streams, Js, Hz_applied, coupling, precision=None
+    film_data, films, streams, Js, Hz_applied, coupling, precision=None,
+    eval_interior=False,
 ):
     """One full inter-film coupling exchange.
 
@@ -419,7 +471,40 @@ def _coupling_round(
     ``ops.pallas_kernels._tile_dot``).  The inner self-consistent rounds
     pass "bf16x3" (their coupling error is contracted by the iteration);
     the final round keeps the default full-f32 emulation.
+
+    ``eval_interior``: evaluate the field at each destination's (padded)
+    interior sites only, returning ``{film: (B, nip)}`` for
+    ``_solve_film_batch(others_int=...)``.  The inner rounds' solves
+    consume nothing else, so this is exact -- it just skips the pairwise
+    work at boundary/hole sites (~1/3 of the eval axis at the benchmark
+    config).  The final round evaluates at every site (the returned
+    ``others`` is user-facing).
     """
+    if eval_interior and coupling == "exact":
+        new_int = {
+            name: jnp.zeros(
+                (
+                    next(iter(Hz_applied.values())).shape[0],
+                    film_data[name].interior_sites.shape[0],
+                ),
+                dtype=film_data[name].interior_sites.dtype,
+            )
+            for name in films
+        }
+        for dst in films:
+            for src in films:
+                if src == dst:
+                    continue
+                dz2 = (film_data[dst].z0 - film_data[src].z0) ** 2
+                new_int[dst] = new_int[dst] + kernels.biot_savart_film_to_film_dz2(
+                    film_data[src].sites,
+                    film_data[src].weights,
+                    Js[src],
+                    film_data[dst].interior_sites,
+                    jnp.asarray(dz2),
+                    precision=precision,
+                )
+        return new_int
     new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
     if coupling == "fft":
         from .ops import fft_coupling
@@ -447,6 +532,12 @@ def _coupling_round(
             new_others[dst] = fft_coupling.fft_fields_from_spectra(
                 film_data[dst].fft_grid, spec_stack, dzs
             )
+        if eval_interior:
+            # FFT evaluation is O(n); just gather the interior rows.
+            return {
+                name: new_others[name][:, film_data[name].interior]
+                for name in films
+            }
         return new_others
     # Exact mode runs over UNORDERED pairs through
     # kernels.biot_savart_pair_dz2, which dispatches either two
@@ -635,7 +726,8 @@ class SweepResult:
 
 
 _solve_film_batch_jit = partial(
-    jax.jit, static_argnames=("refine_steps", "compute_self_field")
+    jax.jit,
+    static_argnames=("refine_steps", "compute_self_field", "inner"),
 )(_solve_film_batch)
 _coupling_round_jit = partial(
     jax.jit, static_argnames=("films", "coupling", "precision")
@@ -845,6 +937,14 @@ def _run_sweep_staged(
     100k-vertex scale, at the cost of ~one dispatch per stage."""
     films = list(film_data)
     film_data = _strip_metadata(film_data)
+    # Same inner/final split as the fused runner: intermediate rounds
+    # solve cheaply (their noise is contracted by the coupling
+    # iteration); the final round keeps full refinement and coupling
+    # precision.
+    inner_refine = (
+        _inner_refine_steps(refine_steps) if iterations >= 1 else refine_steps
+    )
+    inner_prec = _inner_coupling_precision()
     streams, Js, others = {}, {}, {}
     for name in films:
         g, J, _ = _solve_film_batch_jit(
@@ -852,14 +952,17 @@ def _run_sweep_staged(
             jnp.asarray(Hz_applied[name]),
             jnp.asarray(I_circ[name]),
             vortex_flux,
-            refine_steps=refine_steps,
+            refine_steps=inner_refine,
             compute_self_field=False,
+            inner=iterations >= 1,
         )
         streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(jnp.asarray(Hz_applied[name]))
-    for _ in range(iterations):
+    for it in range(iterations):
+        final = it == iterations - 1
         new_others = _coupling_round_jit(
-            film_data, tuple(films), streams, Js, Hz_applied, coupling
+            film_data, tuple(films), streams, Js, Hz_applied, coupling,
+            None if final else inner_prec,
         )
         others = new_others
         for name in films:
@@ -868,8 +971,9 @@ def _run_sweep_staged(
                 jnp.asarray(Hz_applied[name]) + others[name],
                 jnp.asarray(I_circ[name]),
                 vortex_flux,
-                refine_steps=refine_steps,
+                refine_steps=refine_steps if final else inner_refine,
                 compute_self_field=False,
+                inner=not final,
             )
             streams[name], Js[name] = g, J
     self_fields = {
@@ -951,41 +1055,60 @@ def _run_sweep_fused(
             vortex_flux,
             refine_steps=inner_refine,
             compute_self_field=False,
+            inner=iterations >= 1,
         )
         streams[name], Js[name] = g, J
         others[name] = jnp.zeros_like(Hz_applied[name])
 
-    def _round(carry, refine: int, coupling_precision=None):
-        streams, Js, others = carry
-        new_others = _coupling_round(
+    def _inner_round(carry):
+        # Inner rounds evaluate the coupling at the interior sites only
+        # (all the solve consumes) with bf16x3 dots and HIGH-precision
+        # inverse application -- every shortcut the contraction damps.
+        streams, Js = carry
+        new_int = _coupling_round(
             film_data, films, streams, Js, Hz_applied, coupling,
-            precision=coupling_precision,
+            precision=inner_coupling_precision, eval_interior=True,
         )
         streams, Js = dict(streams), dict(Js)
         for name in films:
             g, J, _ = _solve_film_batch(
                 film_data[name],
-                Hz_applied[name] + new_others[name],
+                Hz_applied[name],
                 I_circ[name],
                 vortex_flux,
-                refine_steps=refine,
+                refine_steps=inner_refine,
                 compute_self_field=False,
+                inner=True,
+                others_int=new_int[name],
             )
             streams[name], Js[name] = g, J
-        return streams, Js, new_others
+        return streams, Js
 
     if iterations >= 1:
         if iterations > 1:
-            streams, Js, others = jax.lax.fori_loop(
+            streams, Js = jax.lax.fori_loop(
                 0,
                 iterations - 1,
-                lambda _, c: _round(c, inner_refine, inner_coupling_precision),
-                (streams, Js, others),
+                lambda _, c: _inner_round(c),
+                (streams, Js),
             )
-        # Final round at full refinement and full coupling precision
-        # (unrolled: both are static arguments, so they cannot vary
-        # inside the fori_loop body).
-        streams, Js, others = _round((streams, Js, others), refine_steps)
+        # Final round at full refinement, full coupling precision, and
+        # all-site coupling evaluation (the returned ``others`` is
+        # user-facing).  Unrolled: the static arguments cannot vary
+        # inside the fori_loop body.
+        others = _coupling_round(
+            film_data, films, streams, Js, Hz_applied, coupling
+        )
+        for name in films:
+            g, J, _ = _solve_film_batch(
+                film_data[name],
+                Hz_applied[name] + others[name],
+                I_circ[name],
+                vortex_flux,
+                refine_steps=refine_steps,
+                compute_self_field=False,
+            )
+            streams[name], Js[name] = g, J
     # The O(n^2) self-field only depends on the final stream functions.
     self_fields = {
         name: _self_field_batch(film_data[name], streams[name])
@@ -1076,12 +1199,18 @@ def _run_sweep_history(
 
 
 #: Per-round cost-model constants for ``coupling="auto"``, calibrated on a
-#: v5e against the measured table in docs/COUPLING.md (B=8).  Only the
+#: v5e against the measured table in docs/COUPLING.md (B=8; recalibrated
+#: 2026-08 after the gather-based FFT interpolation rework).  Only the
 #: *ratio* matters for the dispatch decision, so the calibration transfers
 #: across TPU generations better than a raw site-count threshold would.
-_EXACT_MS_PER_PAIR_SITE2 = 7.4e-9  # exact kernel: ms per n_src*n_dst
-_FFT_MS_PER_GRID_UNIT = 2.7e-6  # fft: ms per G^2*log2(G), per film
-_FFT_MS_PER_SITE = 8.0e-5  # fft: ms per mesh site (interp scatters)
+_EXACT_MS_PER_PAIR_SITE2 = 9.0e-9  # exact kernel: ms per n_src*n_dst
+#: FFT ms per G^2*log2(G) per film.  The large-G coefficient is measured
+#: separately: past ~1024 the (B, G, G) transforms and grids fall out of
+#: cache-friendly sizes and the per-unit cost roughly doubles (measured
+#: 50 ms at G=1024 vs 390 ms at G=2048 for two films).
+_FFT_MS_PER_GRID_UNIT_SMALL = 1.9e-6  # G <= 1024
+_FFT_MS_PER_GRID_UNIT_LARGE = 4.1e-6  # G > 1024
+_FFT_MS_PER_SITE = 8.0e-5  # fft: ms per mesh site (interp gathers)
 
 
 def _predict_fft_grid(device) -> int:
@@ -1127,8 +1256,13 @@ def _resolve_auto_coupling(model, films, iterations) -> str:
         sum(sizes) ** 2 - sum(n * n for n in sizes)
     )
     G = _predict_fft_grid(device)
+    per_unit = (
+        _FFT_MS_PER_GRID_UNIT_SMALL
+        if G <= 1024
+        else _FFT_MS_PER_GRID_UNIT_LARGE
+    )
     fft_ms = (
-        _FFT_MS_PER_GRID_UNIT * len(films) * G * G * np.log2(G)
+        per_unit * len(films) * G * G * np.log2(G)
         + _FFT_MS_PER_SITE * sum(sizes)
     )
     return "fft" if fft_ms < exact_ms else "exact"
@@ -1498,8 +1632,8 @@ def solve_many(
         for name in films:
             d = film_data[name]
             g = jnp.asarray(streams[name])
-            Jx = _coo_matvec_batch(d.gy_rows, d.gy_cols, d.gy_vals, g, d.n)
-            Jy = -_coo_matvec_batch(d.gx_rows, d.gx_cols, d.gx_vals, g, d.n)
+            Jx = _gather_matvec_batch(d.gy_idx, d.gy_w, g)
+            Jy = -_gather_matvec_batch(d.gx_idx, d.gx_w, g)
             Js[name] = jnp.stack([Jx, Jy], axis=-1)
             self_fields[name] = _self_field_batch(d, g)
 
