@@ -1048,6 +1048,36 @@ def main():
     )
     PROGRESS["tunnel_s"] = round(_elapsed(), 1)
 
+    # Wedged-channel rescue: the channel is per-PJRT-client, and a wedged
+    # one has been observed to stay wedged for 25+ minutes while a FRESH
+    # process establishes in seconds (the probe child above succeeded).
+    # If the warmup readback still hasn't landed after the bounded wait,
+    # re-exec ONCE into a fresh process with the remaining budget --
+    # meshing is served from the on-disk mesh cache, so the retry costs
+    # seconds, where pressing on would wedge factorize until the global
+    # deadline and abort the whole artifact.
+    if (
+        tunnel_first_readback_s is None
+        and backend == "tpu"
+        and os.environ.get("BENCH_CHANNEL_REEXEC", "1") == "1"
+        and os.environ.get("BENCH_CHANNEL_REEXEC_DONE") is None
+        and time_left() > 240.0
+    ):
+        _log(
+            "transfer channel still down after the bounded wait; "
+            "re-executing in a fresh process (fresh PJRT channel)"
+        )
+        env = dict(os.environ)
+        env["BENCH_CHANNEL_REEXEC_DONE"] = "1"
+        env["BENCH_TOTAL_BUDGET_S"] = str(max(120.0, time_left() - 10.0))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execve(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)],
+            env,
+        )
+
     # Cold factorize (may include XLA compiles unless the persistent cache
     # is warm), then a second factorize measuring pure device compute.
     # The first model is dropped before re-factorizing: two models of the
