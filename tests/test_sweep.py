@@ -826,3 +826,48 @@ def test_fft_fields_from_spectra_matches_per_pair(two_rings, model):
     assert np.abs(grouped - separate).max() <= 1e-9 * max(
         np.abs(separate).max(), 1e-30
     )
+
+
+def test_staged_runner_matches_fused(two_rings, model, monkeypatch):
+    """The stage-jitted runner (SUPERSCREEN_TPU_FUSED_SWEEP=0) shares the
+    fused runner's inner/final round logic and must produce identical
+    results."""
+    kwargs = dict(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(v) for v in (0.5, 2.0)],
+        field_units="mT",
+        iterations=3,
+    )
+    fused = solve_many(**kwargs)
+    monkeypatch.setenv("SUPERSCREEN_TPU_FUSED_SWEEP", "0")
+    staged = solve_many(**kwargs)
+    for film in two_rings.films:
+        a = fused.streams[film]
+        b = staged.streams[film]
+        assert np.abs(a - b).max() <= 1e-12 * np.abs(a).max()
+        assert np.allclose(
+            fused.other_fields[film], staged.other_fields[film], rtol=1e-10
+        )
+
+
+def test_inner_refine_override_changes_nothing_material(
+    two_rings, model, monkeypatch
+):
+    """Forcing full refinement in the inner rounds must leave the
+    delivered streams unchanged within the refinement floor -- the inner
+    shortcuts only touch quantities the final round recomputes."""
+    kwargs = dict(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(1.0)],
+        field_units="mT",
+        iterations=3,
+    )
+    fast = solve_many(**kwargs)
+    monkeypatch.setenv("SUPERSCREEN_TPU_INNER_REFINE", "2")
+    monkeypatch.setenv("SUPERSCREEN_TPU_INNER_COUPLING_PRECISION", "highest")
+    full = solve_many(**kwargs)
+    for film in two_rings.films:
+        a = np.asarray(full.streams[film])
+        b = np.asarray(fast.streams[film])
+        # f64 CPU: the fixed point is converged far below this tolerance.
+        assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
