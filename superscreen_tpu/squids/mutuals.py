@@ -55,15 +55,29 @@ def pickup_loop_mutual(
     measure the ``pl_center`` fluxoid; closed devices use the circulating-
     current mutual-inductance matrix.
     """
-    from ..solver import solve
+    from ..solver import factorize_model
+    from ..sweep import solve_many
 
     if device.terminals:
-        solution = solve(
-            device,
-            terminal_currents={"fc": {"source": I_fc, "drain": f"-{I_fc}"}},
+        # One fused sweep program (B=1) instead of the legacy per-stage
+        # solve() loop: at the susceptometer's four distinct film sizes
+        # the staged path compiles per-shape programs every iteration and
+        # pays a tunnel round-trip per stage, which dominated this
+        # workload's wall clock.
+        model = factorize_model(
+            device=device,
+            current_units="uA",
+            terminal_currents={
+                "fc": {"source": I_fc, "drain": f"-{I_fc}"}
+            },
+        )
+        from ..sources import ConstantField
+
+        solution = solve_many(
+            model=model,
+            applied_fields=[ConstantField(0)],
             iterations=iterations,
-            progress_bar=False,
-        )[-1]
+        ).solution(0)
         mutual = sum(solution.hole_fluxoid("pl_center")) / ureg(I_fc)
     else:
         matrix = device.mutual_inductance_matrix(iterations=iterations, units=units)
