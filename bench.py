@@ -48,6 +48,7 @@ stages), BENCH_WARM_FACTORIZES, BENCH_WARM_SWEEPS.
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -64,10 +65,43 @@ _T_START = time.monotonic()
 # 638 s.  The early headline print protects the artifact either way.
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "700"))
 
-#: The result object printed (and re-printed, enriched) to stdout.
+#: The result object (with full detail) written to the sidecar file and
+#: summarized onto stdout.
 RESULT = {}
 #: Micro-progress notes for the aborted-before-headline diagnostic line.
 PROGRESS = {}
+
+#: Single-run provenance: every stage block this process records carries
+#: this id, so a hand-merged artifact (fields from different runs) is
+#: detectable (round-4 BENCH_r04_local.json was internally contradictory).
+RUN_ID = f"{time.strftime('%Y%m%dT%H%M%S')}-pid{os.getpid()}"
+
+#: The driver's stdout capture window is ~2,000 chars; the round-4 final
+#: line grew to ~6,000 and was truncated mid-line, leaving parsed=null.
+#: Everything printed to stdout MUST fit under this cap; the full detail
+#: goes to the sidecar file instead.
+MAX_STDOUT_LINE = 1500
+
+DETAIL_PATH = os.environ.get(
+    "BENCH_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+)
+
+
+def _git_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+GIT_COMMIT = _git_commit()
 
 
 def _log(msg):
@@ -82,12 +116,89 @@ def time_left():
     return TOTAL_BUDGET_S - _elapsed()
 
 
+def stamp(block: dict) -> dict:
+    """Tags a stage block with this run's provenance (run id + commit)."""
+    if isinstance(block, dict):
+        block.setdefault("run_id", RUN_ID)
+        block.setdefault("recorded_at_commit", GIT_COMMIT)
+    return block
+
+
+def _scalar(x):
+    return x if isinstance(x, (int, float)) and not isinstance(x, bool) else None
+
+
+def _compact_summary() -> dict:
+    """~15 headline scalars distilled from the full detail block: the
+    accuracy maxima and per-stage timings the judge reads first.  Keys are
+    ordered most-important-first so the length governor below can drop
+    from the tail without losing the critical numbers."""
+    d = RESULT.get("detail", {})
+    acc = d.get("accuracy", {}) or {}
+    fp = d.get("final_polish", {}) or {}
+    sq = d.get("squid_mutual", {}) or {}
+    scan = d.get("scanning_sweep", {}) or {}
+    tr = d.get("transport_strip", {}) or {}
+    fft = d.get("fft_coupling_payoff", {}) or {}
+    pairs = [
+        ("residual_rel_max", _scalar(acc.get("residual_rel_max"))),
+        ("residual_delivered", _scalar(fp.get("residual_rel_max_delivered"))),
+        ("residual_polished_f64", _scalar(fp.get("residual_rel_max_after_f64"))),
+        ("e2e_with_polish_s", _scalar(fp.get("end_to_end_with_polish_s"))),
+        ("vs_baseline_with_polish", _scalar(fp.get("vs_baseline_with_polish"))),
+        ("mutual_pH", _scalar(sq.get("mutual_pH"))),
+        ("mutual_f64_rel_delta", _scalar(sq.get("f64_rel_delta"))),
+        ("squid_solve_s", _scalar(sq.get("solve_s"))),
+        ("scan_ms_per_position", _scalar(scan.get("ms_per_position_warm"))),
+        ("scan_f64_rel_delta", _scalar(scan.get("f64_rel_delta"))),
+        ("transport_err", _scalar(tr.get("current_conservation_rel_err_max"))),
+        ("transport_solve_cold_s", _scalar(tr.get("solve_cold_s"))),
+        ("coupling_f64_err", _scalar(acc.get("coupling_f64_sample_rel_err"))),
+        ("factorize_warm_s", _scalar(d.get("factorize_warm_s"))),
+        ("warm_sweep_s", _scalar(d.get("warm_sweep_s"))),
+        ("fresh_process_s", _scalar(d.get("fresh_process_factorize_s"))),
+        ("fft_speedup_100k", _scalar(fft.get("fft_speedup"))),
+        ("vs_baseline_conservative", _scalar(d.get("vs_baseline_conservative"))),
+        ("cpu_baseline_total_s", _scalar(d.get("cpu_baseline_total_s"))),
+    ]
+    return {k: v for k, v in pairs if v is not None}
+
+
 def emit():
-    """Prints the current result as one JSON line on stdout (the driver
-    parses the LAST such line, so emitting after every stage makes the
-    bench kill-safe at any point past the core measurements)."""
-    if RESULT:
-        print(json.dumps(RESULT), flush=True)
+    """Writes the FULL result (with detail) to the sidecar file and prints
+    a compact (<= MAX_STDOUT_LINE chars, driver-parseable) JSON line on
+    stdout.  The driver parses the LAST stdout line, so emitting after
+    every stage keeps the bench kill-safe at any point past the core
+    measurements; the sidecar always holds the latest full detail."""
+    if not RESULT:
+        return
+    try:
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(RESULT, f, indent=1)
+    except Exception as exc:  # sidecar failure must not cost the headline
+        _log(f"sidecar write failed: {exc!r}")
+    compact = {
+        "metric": RESULT["metric"],
+        "value": RESULT["value"],
+        "unit": RESULT["unit"],
+        "vs_baseline": RESULT["vs_baseline"],
+        "run_id": RUN_ID,
+        "commit": GIT_COMMIT,
+        "detail_file": os.path.basename(DETAIL_PATH),
+        "summary": _compact_summary(),
+    }
+    line = json.dumps(compact)
+    # Length governor: drop summary keys from the tail, then truncate the
+    # metric string -- the line must NEVER exceed the driver's window.
+    while len(line) > MAX_STDOUT_LINE and compact["summary"]:
+        compact["summary"].pop(next(reversed(compact["summary"])))
+        line = json.dumps(compact)
+    if len(line) > MAX_STDOUT_LINE:
+        over = len(line) - MAX_STDOUT_LINE
+        compact["metric"] = compact["metric"][: max(20, len(compact["metric"]) - over)]
+        line = json.dumps(compact)
+    assert len(line) <= MAX_STDOUT_LINE, len(line)
+    print(line, flush=True)
 
 
 def _finalize_and_exit():  # pragma: no cover - timing dependent
@@ -1151,6 +1262,8 @@ def main():
             "unit": "s",
             "vs_baseline": round(cpu_total / end_to_end_s, 2),
             "detail": {
+                "run_id": RUN_ID,
+                "recorded_at_commit": GIT_COMMIT,
                 "mesh_sizes": sizes,
                 "interior_sizes": interiors,
                 "factorize_cold_s": round(factorize_cold_s, 3),
@@ -1225,7 +1338,7 @@ def main():
             "final systems; sampled_row_rel_disagreement validates the "
             "device f64 residual against host NumPy f64 on gathered rows"
         )
-        detail["accuracy"] = accuracy
+        detail["accuracy"] = stamp(accuracy)
         _log(f"accuracy: {accuracy}")
         emit()
 
@@ -1248,7 +1361,7 @@ def main():
                 refine_steps=0, n_sample_rows=64,
                 budget_s=max(10.0, min(60.0, time_left() - 30.0)),
             )
-            detail["final_polish"] = {
+            detail["final_polish"] = stamp({
                 "polish_s": round(polish_s, 2),
                 "residual_rel_max_before": float(
                     f"{rep['residual_rel_max_before']:.3e}"
@@ -1266,7 +1379,7 @@ def main():
                     "re-certified residual of the polished streams stored "
                     "back in f32 (the f32-representation floor)"
                 ),
-            }
+            })
             _log(f"f64 polish: {detail['final_polish']}")
         except Exception as exc:
             _log(f"f64 polish failed: {exc!r}")
@@ -1394,7 +1507,7 @@ def main():
 
     if not tpu_unavailable and stage_gate("transport", est_s=60):
         try:
-            detail["transport_strip"] = bench_transport_strip(dtype)
+            detail["transport_strip"] = stamp(bench_transport_strip(dtype))
             _log(f"transport strip: {detail['transport_strip']}")
         except Exception as exc:
             _log(f"transport stage failed: {exc!r}")
@@ -1405,6 +1518,7 @@ def main():
     if not tpu_unavailable and stage_gate("squid_mutual", est_s=120):
         try:
             detail["squid_mutual"], squid_child = bench_squid_mutual()
+            stamp(detail["squid_mutual"])
             _log(f"squid mutual (f64 child still running): {detail['squid_mutual']}")
         except Exception as exc:
             _log(f"squid mutual stage failed: {exc!r}")
@@ -1415,7 +1529,7 @@ def main():
     # (host CPU vs device work -- free overlap) and is joined after.
     if not tpu_unavailable and stage_gate("scanning", est_s=80):
         try:
-            detail["scanning_sweep"] = bench_scanning_sweep(dtype)
+            detail["scanning_sweep"] = stamp(bench_scanning_sweep(dtype))
             _log(f"scanning sweep: {detail['scanning_sweep']}")
         except Exception as exc:
             _log(f"scanning stage failed: {exc!r}")
@@ -1437,7 +1551,7 @@ def main():
     if not tpu_unavailable and stage_gate("fft_payoff", est_s=120):
         try:
             t0 = time.perf_counter()
-            detail["fft_coupling_payoff"] = fft_coupling_payoff()
+            detail["fft_coupling_payoff"] = stamp(fft_coupling_payoff())
             _log(
                 f"fft payoff ({time.perf_counter() - t0:.1f}s total): "
                 f"{detail['fft_coupling_payoff']}"

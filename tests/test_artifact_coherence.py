@@ -1,0 +1,165 @@
+"""Benchmark-artifact self-coherence guards.
+
+Round-4 finding: ``BENCH_r04_local.json`` contained BOTH
+``stages_skipped.fft_payoff`` and a fully populated ``fft_coupling_payoff``
+block -- fields hand-merged from different runs into one artifact with no
+provenance.  The bench now stamps every stage block with the emitting
+process's ``run_id`` + commit (``bench.stamp``), and this test asserts that
+within one recorded run a stage cannot be both skipped and populated: a
+populated block whose ``run_id`` matches the top-level run must not also
+appear in ``stages_skipped``.  Blocks carrying a DIFFERENT run_id are
+explicitly multi-run-labeled and allowed.
+
+Also sanity-checks the compact stdout contract: ``bench.emit`` must always
+produce a line under the driver's ~2,000-char capture window (the round
+2-4 headline was unparseable because the enriched line outgrew it).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: bench stage names -> the detail key(s) the stage populates.
+STAGE_KEYS = {
+    "certify": ("accuracy",),
+    "f64_polish": ("final_polish",),
+    "cpu_baseline": ("cpu_measured_points",),
+    "fresh_process": ("fresh_process_factorize_s",),
+    "transport": ("transport_strip",),
+    "squid_mutual": ("squid_mutual",),
+    "scanning": ("scanning_sweep",),
+    "fft_payoff": ("fft_coupling_payoff",),
+}
+
+
+def _detail_artifacts():
+    """New-format artifacts (full detail with run_id provenance)."""
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL*.json")))
+    out = []
+    for path in paths:
+        with open(path) as fh:
+            data = json.load(fh)
+        detail = data.get("detail")
+        if isinstance(detail, dict) and "run_id" in detail:
+            out.append((os.path.basename(path), detail))
+    return out
+
+
+def test_skipped_and_populated_stages_are_mutually_exclusive_per_run():
+    artifacts = _detail_artifacts()
+    if not artifacts:
+        pytest.skip("no provenance-stamped BENCH_DETAIL artifacts yet")
+    problems = []
+    for name, detail in artifacts:
+        run_id = detail["run_id"]
+        skipped = detail.get("stages_skipped", {})
+        for stage, keys in STAGE_KEYS.items():
+            if stage not in skipped:
+                continue
+            for key in keys:
+                block = detail.get(key)
+                if block is None:
+                    continue
+                block_run = (
+                    block.get("run_id") if isinstance(block, dict) else None
+                )
+                if block_run is None or block_run == run_id:
+                    problems.append(
+                        f"{name}: stage {stage!r} is in stages_skipped but "
+                        f"detail[{key!r}] is populated from the same run"
+                    )
+    assert not problems, "\n".join(problems)
+
+
+def test_stage_blocks_carry_provenance():
+    artifacts = _detail_artifacts()
+    if not artifacts:
+        pytest.skip("no provenance-stamped BENCH_DETAIL artifacts yet")
+    missing = []
+    for name, detail in artifacts:
+        for stage, keys in STAGE_KEYS.items():
+            for key in keys:
+                block = detail.get(key)
+                if isinstance(block, dict) and "error" not in block:
+                    if "run_id" not in block:
+                        missing.append(f"{name}: detail[{key!r}] lacks run_id")
+    assert not missing, "\n".join(missing)
+
+
+def test_emit_line_fits_driver_window():
+    """The compact stdout line must fit the driver's capture window even
+    with every summary field populated (the r02-r04 failure mode)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.DETAIL_PATH = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "bench_emit_test_detail.json"
+    )
+    bench.RESULT.update(
+        {
+            "metric": "m" * 200,
+            "value": 1.0,
+            "unit": "s",
+            "vs_baseline": 12345.67,
+            "detail": {
+                "run_id": bench.RUN_ID,
+                "accuracy": {
+                    "residual_rel_max": 5.2e-5,
+                    "coupling_f64_sample_rel_err": 3.1e-7,
+                    "residual_rel_per_film": {
+                        f"film{i}": [1.234e-5] * 8 for i in range(4)
+                    },
+                },
+                "final_polish": {
+                    "residual_rel_max_delivered": 9.876e-7,
+                    "residual_rel_max_after_f64": 2.1e-8,
+                    "end_to_end_with_polish_s": 123.456,
+                    "vs_baseline_with_polish": 2812.34,
+                },
+                "squid_mutual": {
+                    "mutual_pH": 1.804611,
+                    "f64_rel_delta": 5.1e-6,
+                    "solve_s": 115.13,
+                },
+                "scanning_sweep": {
+                    "ms_per_position_warm": 6.25,
+                    "f64_rel_delta": 8.7e-7,
+                },
+                "transport_strip": {
+                    "current_conservation_rel_err_max": 1.58e-2,
+                    "solve_cold_s": 168.7,
+                },
+                "fft_coupling_payoff": {"fft_speedup": 1.72},
+                "factorize_warm_s": 2.672,
+                "warm_sweep_s": 0.4137,
+                "fresh_process_factorize_s": 96.62,
+                "cpu_baseline_total_s": 40123.45,
+                "vs_baseline_conservative": 2947.65,
+            },
+        }
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.emit()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert lines, "emit() printed nothing"
+    line = lines[-1]
+    assert len(line) <= bench.MAX_STDOUT_LINE
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline", "summary"):
+        assert key in parsed
+    # The critical accuracy scalars survive the length governor.
+    assert "residual_rel_max" in parsed["summary"]
+    assert "residual_delivered" in parsed["summary"]
+    assert "mutual_f64_rel_delta" in parsed["summary"]
