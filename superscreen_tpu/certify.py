@@ -158,6 +158,7 @@ def refine_sweep_f64(
     Hz_applied: Dict[str, "jnp.ndarray"],
     I_circ: Optional[Dict[str, "jnp.ndarray"]] = None,
     steps: int = 2,
+    result_dtype: Optional[str] = None,
 ):
     """Float64 final polish of finished sweep streams.
 
@@ -172,14 +173,24 @@ def refine_sweep_f64(
     without touching the fast path of the self-consistent loop.
 
     Reference context: the reference has no analog (its solves are plain
-    f32 LAPACK LU, ``solver/solve_film.py:530``); this is what makes the
+    f32 LAPACK LU, ``solver/solve_film.py:530``); the reference's own f64
+    delivery path is ``solve_dtype="float64"`` throughout
+    (``device/device.py:57,117-127``).  This polish is what makes the
     BASELINE.md "<= 1e-6 rel. error" bar reachable on f32 hardware.
 
+    Args:
+        result_dtype: dtype of the returned streams.  ``"float64"``
+            preserves the full f64 polished iterate (the delivered
+            residual stays at the ~1e-9 polish floor); ``None`` (default)
+            keeps the input stream dtype -- for f32 sweeps that casts the
+            polished iterate back and floors the DELIVERED residual at
+            the f32 representation limit (~1.5e-5 at 100k-vertex scale).
+
     Returns ``(polished_streams, report)``: ``polished_streams`` is a new
-    ``{film: (B, n)}`` dict in the original dtype with the interior
+    ``{film: (B, n)}`` dict in ``result_dtype`` with the interior
     entries replaced by the f64-refined solution; ``report`` records the
-    pre/post residuals per film.  Matrix-free (CG) films are returned
-    unchanged and noted.
+    pre/post residuals per film.  Matrix-free (CG) and vortex films are
+    returned unchanged (cast to ``result_dtype``) and noted.
     """
     report = {
         "steps": int(steps),
@@ -187,11 +198,16 @@ def refine_sweep_f64(
         "residual_rel_max_after": 0.0,
         "per_film": {},
     }
+    out_dtype = None if result_dtype is None else jnp.dtype(result_dtype)
     polished = dict(streams)
     x64_was = bool(jax.config.jax_enable_x64)
     if not x64_was:
         jax.config.update("jax_enable_x64", True)
     try:
+        if out_dtype is not None:
+            polished = {
+                k: jnp.asarray(v).astype(out_dtype) for k, v in polished.items()
+            }
         for name, data in film_data.items():
             if data.A is None or data.fac_kind in ("cg", "bicgstab"):
                 report["per_film"][name] = "matrix-free film: skipped"
@@ -226,9 +242,10 @@ def refine_sweep_f64(
             # Scatter the interior correction back into the full-site
             # streams (offsets g0 are already inside `streams`; only the
             # interior solution changes).
-            delta = (G64 - G).astype(g_in.dtype)
-            polished[name] = g_in.at[:, data.interior].add(
-                jnp.where(valid, delta, 0.0)
+            dtype_here = g_in.dtype if out_dtype is None else out_dtype
+            delta = jnp.where(valid, G64 - G, 0.0).astype(dtype_here)
+            polished[name] = (
+                g_in.astype(dtype_here).at[:, data.interior].add(delta)
             )
             report["per_film"][name] = {
                 "residual_rel_before": float(f"{rel_before:.3e}"),
@@ -244,6 +261,44 @@ def refine_sweep_f64(
         if not x64_was:
             jax.config.update("jax_enable_x64", False)
     return polished, report
+
+
+def sweep_outputs_from_streams(film_data, streams: Dict[str, "jnp.ndarray"]):
+    """Recomputes current densities and self-fields from (possibly f64)
+    polished streams, preserving the stream dtype.
+
+    The gradient/self-field operator entries are f32 (exact when upcast),
+    so outputs derived from f64 streams carry the operators' own f32
+    assembly error (~1e-7 relative) but none of the f32 *solution*
+    rounding -- matching the reference's contract that ``J`` and the
+    self-field are plain linear images of the delivered stream
+    (reference ``solver/solve_film.py:556-565``).
+
+    Runs under temporarily-enabled x64 so f64 streams are not silently
+    downcast; all dtypes are driven by the inputs, so f32 streams come
+    back f32.
+
+    Returns ``(current_densities, self_fields)`` dicts keyed like
+    ``streams``.
+    """
+    from .sweep import _gather_matvec_batch, _self_field_batch
+
+    Js = {}
+    self_fields = {}
+    x64_was = bool(jax.config.jax_enable_x64)
+    if not x64_was:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        for name, data in film_data.items():
+            g = jnp.asarray(streams[name])
+            Jx = _gather_matvec_batch(data.gy_idx, data.gy_w, g)
+            Jy = -_gather_matvec_batch(data.gx_idx, data.gx_w, g)
+            Js[name] = jnp.stack([Jx, Jy], axis=-1)
+            self_fields[name] = _self_field_batch(data, g)
+    finally:
+        if not x64_was:
+            jax.config.update("jax_enable_x64", False)
+    return Js, self_fields
 
 
 def certify_sweep(

@@ -219,6 +219,14 @@ def biot_savart_film_to_film_dz2(
     computed once and contracted against all ``B`` current columns as an
     MXU matmul, so the O(n1*n2) rsqrt work is amortized over the batch
     (the reference recomputes it per solve, ``solver/solve.py:28-73``).
+
+    ``precision`` (e.g. ``"bf16x3"``) selects the Pallas tile-dot
+    precision and is honored ONLY on the Pallas TPU path; the XLA
+    fallback below (CPU/GPU backends, sharded operands, or non-f32
+    inputs) always computes at the full default precision, silently.
+    A/B comparisons of precision modes are therefore only meaningful on
+    a single-device TPU, and a bf16x3-induced accuracy change can never
+    manifest off-TPU.
     """
     film1_sites = jnp.asarray(film1_sites)
     film2_sites = jnp.asarray(film2_sites)
@@ -269,7 +277,12 @@ def biot_savart_pair_dz2(
     tile ONCE and contracts it against both films' currents -- the
     reference (and the one-directional kernel) recompute the geometry per
     ordered pair (``solver/solve.py:28-73``), which is the dominant VPU
-    cost of a coupling round."""
+    cost of a coupling round.
+
+    ``precision`` follows the same contract as
+    :func:`biot_savart_film_to_film_dz2`: honored on the Pallas TPU
+    paths only; the non-Pallas fallback always computes at full default
+    precision regardless of the requested mode."""
     J1 = jnp.asarray(film1_J)
     # The fused kernel keeps the full-width reverse output (Bp x n1p f32)
     # resident in VMEM for the whole grid; gate on its footprint so large

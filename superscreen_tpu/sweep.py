@@ -162,8 +162,11 @@ def _film_sweep_data(model: FactorizedModel, film_name: str) -> FilmSweepData:
             system.A.dtype if system.A is not None else info.weights.dtype
         )
         rhs = np.zeros((ni, len(info.vortices)), dtype=rhs_dtype)
-        scales = np.zeros(len(info.vortices))
-        nphi0 = np.zeros(len(info.vortices))
+        # Solve dtype, NOT NumPy's default f64: under x64 mode a f64
+        # amplitude would promote the whole solved stream to f64 and trip
+        # the f32 scatter-add back into g0 (sweep.py:450).
+        scales = np.zeros(len(info.vortices), dtype=dtype)
+        nphi0 = np.zeros(len(info.vortices), dtype=dtype)
         points = mesh.sites
         for k, vortex in enumerate(info.vortices):
             xy = (vortex.x, vortex.y)
@@ -481,29 +484,41 @@ def _coupling_round(
     ``others`` is user-facing).
     """
     if eval_interior and coupling == "exact":
-        new_int = {
-            name: jnp.zeros(
-                (
-                    next(iter(Hz_applied.values())).shape[0],
-                    film_data[name].interior_sites.shape[0],
-                ),
-                dtype=film_data[name].interior_sites.dtype,
-            )
-            for name in films
-        }
+        # Shared-shape discipline (the same one the final-round pair loop
+        # uses): heterogeneous-size films would otherwise compile one
+        # ordered (n_src, nip_dst) kernel per pair -- up to n*(n-1)
+        # Pallas programs per device (the huber susceptometer's four
+        # distinct film sizes) -- in the INNER rounds this helper exists
+        # to make cheap.  Sources are padded by _common_coupling_geometry
+        # (zero weight/current); destination interior sites are padded to
+        # the shared max with each film's own site-0 coordinates (a real
+        # coordinate, so r > 0 against every far-away padded source), and
+        # the padded rows are sliced off before returning.
+        B = next(iter(Hz_applied.values())).shape[0]
+        geo = _common_coupling_geometry(film_data, films, Js)
+        nips = [film_data[f].interior_sites.shape[0] for f in films]
+        nip_max = max(nips)
+        pad_dst = len(films) >= 2 and not all(s == nip_max for s in nips)
+        new_int = {}
         for dst in films:
+            d = film_data[dst]
+            dst_sites = d.interior_sites
+            if pad_dst and dst_sites.shape[0] != nip_max:
+                extra = jnp.broadcast_to(
+                    dst_sites[0], (nip_max - dst_sites.shape[0], 2)
+                )
+                dst_sites = jnp.concatenate([dst_sites, extra])
+            acc = jnp.zeros((B, dst_sites.shape[0]), dtype=dst_sites.dtype)
             for src in films:
                 if src == dst:
                     continue
-                dz2 = (film_data[dst].z0 - film_data[src].z0) ** 2
-                new_int[dst] = new_int[dst] + kernels.biot_savart_film_to_film_dz2(
-                    film_data[src].sites,
-                    film_data[src].weights,
-                    Js[src],
-                    film_data[dst].interior_sites,
-                    jnp.asarray(dz2),
+                dz2 = (d.z0 - film_data[src].z0) ** 2
+                sa, wa, Ja = geo[src]
+                acc = acc + kernels.biot_savart_film_to_film_dz2(
+                    sa, wa, Ja, dst_sites, jnp.asarray(dz2),
                     precision=precision,
                 )
+            new_int[dst] = acc[:, : d.interior_sites.shape[0]]
         return new_int
     new_others = {name: jnp.zeros_like(Hz_applied[name]) for name in films}
     if coupling == "fft":
@@ -575,14 +590,17 @@ def _common_coupling_geometry(film_data, names, Js):
     padded sites carry zero weight/current (no contribution) and sit at
     distinct far-away coordinates per film (r > 0 against every real and
     padded point, so no 0 * inf NaNs even for same-height films).  The
-    extra O(nmax^2 - n1*n2) tile work is millisecond-scale, so this only
-    engages where the compile savings are large (>= 3 films,
-    heterogeneous sizes); homogeneous devices (the common benchmark
-    shape) pass through untouched.
+    extra O(nmax^2 - n1*n2) tile work is millisecond-scale next to the
+    compile savings: even a cold heterogeneous PAIR pays two
+    one-directional Pallas programs (one per direction) that padding
+    collapses to one, and the interior-eval inner rounds multiply the
+    distinct-shape count further -- so every heterogeneous device is
+    padded; homogeneous devices (the common benchmark shape) pass
+    through untouched.
     """
     sizes = [film_data[f].sites.shape[0] for f in names]
     nmax = max(sizes)
-    if len(names) < 3 or all(s == nmax for s in sizes):
+    if len(names) < 2 or all(s == nmax for s in sizes):
         return {
             f: (film_data[f].sites, film_data[f].weights, Js[f])
             for f in names
@@ -1002,7 +1020,15 @@ def _inner_refine_steps(refine_steps: int) -> int:
     """
     env = os.environ.get("SUPERSCREEN_TPU_INNER_REFINE")
     if env is not None:
-        return min(int(env), refine_steps)
+        requested = int(env)
+        if requested > refine_steps:
+            logger.warning(
+                "SUPERSCREEN_TPU_INNER_REFINE=%d clamped to refine_steps=%d "
+                "(inner rounds never refine more than the final round); "
+                "raise refine_steps to honor the override.",
+                requested, refine_steps,
+            )
+        return min(requested, refine_steps)
     return 0
 
 
@@ -1362,6 +1388,7 @@ def solve_many(
     keep_history: bool = False,
     vortex_nPhi0: Optional[Union[np.ndarray, Dict[str, np.ndarray]]] = None,
     final_refine: int = 0,
+    result_dtype: Optional[str] = None,
 ) -> Union[SweepResult, List[SweepResult]]:
     """Solves a batch of models that share one factorization.
 
@@ -1420,6 +1447,17 @@ def solve_many(
             self-fields are recomputed from the polished streams).  Only
             supported with ``keep_history=False``; vortex and matrix-free
             films are passed through unchanged.
+        result_dtype: dtype of the DELIVERED arrays (streams, current
+            densities, self-fields).  ``None`` (default) delivers float64
+            whenever ``final_refine > 0`` -- preserving the polished
+            iterate so the delivered residual sits at the ~1e-9 polish
+            floor instead of the f32 representation limit (~1.5e-5 at
+            100k scale) -- and the device ``solve_dtype`` otherwise
+            (matching the reference's ``solve_dtype`` delivery contract,
+            reference ``device/device.py:57,117-127``).  Pass
+            ``"float32"`` to keep f32 storage for polished sweeps (half
+            the host memory; the polish still improves the f32 streams to
+            the representation floor).
         vortex_nPhi0: Per-sweep-point vortex amplitudes, overriding each
             vortex's declared ``nPhi0``: a ``(B, n_vortices)`` array
             ordered like the flattened ``vortices`` grouped by film (the
@@ -1431,6 +1469,23 @@ def solve_many(
 
     Returns:
         A :class:`SweepResult`, or a list of them if ``keep_history``.
+
+    Notes:
+        The fused runner applies cheap shortcuts to the INNER
+        self-consistent rounds by default (no iterative refinement,
+        bf16x3 coupling dots, interior-site-only coupling evaluation);
+        only the final round runs at full precision.  This relies on the
+        inter-film coupling being a contraction: inner-round error is
+        damped like ``eps / (1 - rho)`` with ``rho`` the coupling
+        spectral radius, so for STRONGLY coupled geometries (films at
+        very small layer separation, slowly converging iterations) the
+        accumulated inner error can grow beyond the certified benchmark
+        config.  For such devices, restore full-precision inner rounds
+        via ``SUPERSCREEN_TPU_INNER_REFINE=<refine_steps>`` and
+        ``SUPERSCREEN_TPU_INNER_COUPLING_PRECISION=float32`` (and verify
+        with :func:`superscreen_tpu.certify.certify_sweep` or
+        ``final_refine``); docs/COUPLING.md documents the A/B
+        measurements behind the defaults.
     """
     if model is None:
         if device is None:
@@ -1617,9 +1672,10 @@ def solve_many(
 
     polish_report = None
     if final_refine:
-        from .certify import refine_sweep_f64
+        from .certify import refine_sweep_f64, sweep_outputs_from_streams
 
         multi = len(films) > 1 and iterations > 0
+        deliver = result_dtype if result_dtype is not None else "float64"
         streams, polish_report = refine_sweep_f64(
             film_data,
             streams,
@@ -1627,15 +1683,20 @@ def solve_many(
             Hz_applied,
             I_circ,
             steps=final_refine,
+            result_dtype=deliver,
         )
-        # Current densities and self-fields follow the polished streams.
-        for name in films:
-            d = film_data[name]
-            g = jnp.asarray(streams[name])
-            Jx = _gather_matvec_batch(d.gy_idx, d.gy_w, g)
-            Jy = -_gather_matvec_batch(d.gx_idx, d.gx_w, g)
-            Js[name] = jnp.stack([Jx, Jy], axis=-1)
-            self_fields[name] = _self_field_batch(d, g)
+        # Current densities and self-fields follow the polished streams
+        # (computed under x64 so f64 delivery is not silently downcast).
+        Js, self_fields = sweep_outputs_from_streams(film_data, streams)
+    elif result_dtype is not None:
+        # Host-side cast (a device astype to f64 without x64 would
+        # silently stay f32); without a polish this only changes storage.
+        dt = np.dtype(result_dtype)
+        streams = {k: np.asarray(v).astype(dt) for k, v in streams.items()}
+        Js = {k: np.asarray(v).astype(dt) for k, v in Js.items()}
+        self_fields = {
+            k: np.asarray(v).astype(dt) for k, v in self_fields.items()
+        }
 
     # Convert fields back to field_units for storage.
     inv = 1.0 / field_conversion

