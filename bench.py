@@ -40,9 +40,11 @@ Prints one (or more -- last wins) JSON line(s):
 ``{"metric": ..., "value": ..., "unit": "s", "vs_baseline": speedup}``.
 
 Knobs: BENCH_CONFIG (large|two_layer), BENCH_B, BENCH_ITER, BENCH_DTYPE,
-BENCH_CPU_POINTS, BENCH_MAX_EDGE (two_layer only), BENCH_TOTAL_BUDGET_S,
-BENCH_CERTIFY_BUDGET_S, BENCH_STAGES (comma list to restrict the optional
-stages), BENCH_WARM_FACTORIZES, BENCH_WARM_SWEEPS.
+BENCH_CPU_POINTS, BENCH_CPU_REPEATS, BENCH_MAX_EDGE (two_layer only),
+BENCH_TOTAL_BUDGET_S, BENCH_CERTIFY_BUDGET_S, BENCH_STAGES (comma list to
+restrict the optional stages), BENCH_WARM_FACTORIZES, BENCH_WARM_SWEEPS,
+BENCH_F64_CHILDREN (0 disables the overlapped f64 CPU oracle children),
+BENCH_DETAIL_PATH (sidecar file for the full detail JSON).
 """
 
 import json
@@ -469,38 +471,45 @@ def _lu_flops(interiors):
     return sum((2.0 / 3.0) * ni**3 for ni in interiors.values())
 
 
-def cpu_baseline_measured(model, field_values, iterations):
+def cpu_baseline_measured(model, field_values, iterations, repeats: int = 1):
     """Single-core NumPy/LAPACK version of the same pipeline.
 
-    Returns ``(factorize_s, sweep_s)``: the measured LAPACK LU
-    factorization time for every film system and the sweep time over
-    ``field_values``.
+    Returns ``(factorize_runs, sweep_runs)``: ``repeats`` measured LAPACK
+    LU factorization times for every film system and ``repeats`` sweep
+    times over ``field_values``.  Host CPU timings on this time-shared
+    box swing 2-5x between runs (observed round 4), so single
+    measurements are meaningless -- the caller records median + spread.
     """
     import scipy.linalg as sla
 
     device = model.device
     films = list(device.films)
     data = {}
-    factorize_s = 0.0
+    neg_As = {}
     for name in films:
         info = model.film_info[name]
         system = model.film_systems[name]
         mesh = device.meshes[name]
-        neg_A = -np.asarray(system.A, dtype=np.float64)
-        t0 = time.perf_counter()
-        lu_piv = sla.lu_factor(neg_A)
-        factorize_s += time.perf_counter() - t0
+        neg_As[name] = -np.asarray(system.A, dtype=np.float64)
         gx = mesh.operators.gradient_x.to_dense(dtype=np.float64)
         gy = mesh.operators.gradient_y.to_dense(dtype=np.float64)
         data[name] = dict(
             interior=system.indices,
-            lu_piv=lu_piv,
+            lu_piv=None,
             w=np.asarray(info.weights),
             gx=gx,
             gy=gy,
             sites=mesh.sites,
             z0=device.layers[info.layer].z0,
         )
+    factorize_runs = []
+    for _ in range(repeats):
+        factorize_s = 0.0
+        for name in films:
+            t0 = time.perf_counter()
+            data[name]["lu_piv"] = sla.lu_factor(neg_As[name])
+            factorize_s += time.perf_counter() - t0
+        factorize_runs.append(factorize_s)
 
     def biot_savart(src, dst, J):
         s = data[src]
@@ -552,11 +561,13 @@ def cpu_baseline_measured(model, field_values, iterations):
                 J[name] = np.stack([d["gy"] @ gv, -(d["gx"] @ gv)], axis=1)
         return g
 
-    t0 = time.perf_counter()
-    for val in field_values:
-        solve_one(val)
-    sweep_s = time.perf_counter() - t0
-    return factorize_s, sweep_s
+    sweep_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for val in field_values:
+            solve_one(val)
+        sweep_runs.append(time.perf_counter() - t0)
+    return factorize_runs, sweep_runs
 
 
 def fresh_process_factorize(config: str, dtype: str, timeout_s: float = 300):
@@ -612,14 +623,16 @@ def fresh_process_factorize(config: str, dtype: str, timeout_s: float = 300):
     return None
 
 
-def fft_coupling_payoff(sites_per_film: int = 66000, B: int = 8):
+def fft_coupling_payoff(sites_per_film: int = 100000, B: int = 8):
     """Head-to-head timing of one inter-film coupling round at >=64k
     sites/film: the exact O(n_src * n_dst) pairwise Biot-Savart operator
     vs the FFT analytic-transfer operator (docs/COUPLING.md), on a freshly
     meshed two-film device.  No factorization -- this isolates the
     coupling operators that dominate large self-consistent sweeps.
 
-    Returns a detail dict with both warm round times and their agreement.
+    Returns a detail dict with both warm round times (operator-level
+    agreement between the two paths is certified separately at the solve
+    level: ``certify_coupling`` and tests/test_solve_coupling.py).
     """
     import jax
     import jax.numpy as jnp
@@ -727,14 +740,7 @@ def fft_coupling_payoff(sites_per_film: int = 66000, B: int = 8):
     }
 
 
-def bench_transport_strip(dtype: str):
-    """BASELINE config 3: current-biased strip with source/drain terminals.
-
-    Times factorize + solve and reports the accuracy figure the reference
-    test suite uses for transport (current conservation: the line integral
-    of ``J . n`` across strip cross-sections vs the requested 1 mA,
-    reference ``test_transport.py:200-249``).
-    """
+def _transport_device(dtype: str, max_edge_length: float):
     import superscreen_tpu as sc
 
     width, height = 10.0, 20.0
@@ -756,10 +762,19 @@ def bench_transport_strip(dtype: str):
         length_units="um",
         solve_dtype=dtype,
     )
-    t0 = time.perf_counter()
-    device.make_mesh(max_edge_length=0.35)
-    mesh_s = time.perf_counter() - t0
-    n = len(device.meshes["strip"].sites)
+    device.make_mesh(max_edge_length=max_edge_length)
+    return device, width, height
+
+
+def _transport_solve_and_err(device, width, height):
+    """Factorize + solve the strip and return (timings, conservation err).
+
+    The accuracy figure is the one the reference test suite uses for
+    transport (current conservation: the line integral of ``J . n``
+    across strip cross-sections vs the requested 1 mA, reference
+    ``test_transport.py:200-249``)."""
+    import superscreen_tpu as sc
+
     t0 = time.perf_counter()
     model = sc.factorize_model(
         device=device,
@@ -767,7 +782,7 @@ def bench_transport_strip(dtype: str):
         current_units="mA",
     )
     _block_on_factorizations(model)
-    factorize_cold_s = time.perf_counter() - t0
+    factorize_s = time.perf_counter() - t0
 
     def run_solve():
         return sc.solve(
@@ -783,7 +798,6 @@ def bench_transport_strip(dtype: str):
     t0 = time.perf_counter()
     solution = run_solve()
     solve_warm_s = time.perf_counter() - t0
-    # Current conservation across three cross-sections.
     errs = []
     xs = np.linspace(-width / 2 - 0.5, width / 2 + 0.5, 101)
     for y in (-height / 4, 0.0, height / 4):
@@ -794,20 +808,105 @@ def bench_transport_strip(dtype: str):
             )
         )
         errs.append(abs(abs(I) - 1.0))
-    return {
+    return factorize_s, solve_cold_s, solve_warm_s, max(errs)
+
+
+def bench_transport_strip(dtype: str):
+    """BASELINE config 3: current-biased strip with source/drain terminals.
+
+    Times factorize + solve at the headline mesh and ALSO solves a
+    coarser mesh of the same strip, recording both conservation errors --
+    the refinement pair demonstrates that the (discretization-limited)
+    current-conservation error CONVERGES under mesh refinement rather
+    than sitting at an accuracy floor.
+    """
+    t0 = time.perf_counter()
+    device, width, height = _transport_device(dtype, max_edge_length=0.35)
+    mesh_s = time.perf_counter() - t0
+    n = len(device.meshes["strip"].sites)
+    factorize_cold_s, solve_cold_s, solve_warm_s, err = (
+        _transport_solve_and_err(device, width, height)
+    )
+    out = {
         "n_sites": n,
         "mesh_s": round(mesh_s, 2),
         "factorize_cold_s": round(factorize_cold_s, 2),
         "solve_cold_s": round(solve_cold_s, 2),
         "solve_warm_s": round(solve_warm_s, 2),
-        "current_conservation_rel_err_max": float(f"{max(errs):.3e}"),
+        "current_conservation_rel_err_max": float(f"{err:.3e}"),
         "note": (
             "BASELINE config 3: 1 mA source->drain strip; accuracy is the "
             "worst |I_cross - 1 mA| over 3 cross-sections (reference "
             "de-facto bar: rtol 5e-2, test_transport.py:200-249); cold = "
-            "first-ever compile included, warm = repeat solve"
+            "first-ever compile included, warm = repeat solve; "
+            "refinement_pair shows the error decreasing under mesh "
+            "refinement (coarse vs headline mesh)"
         ),
     }
+    try:
+        coarse, cw, ch = _transport_device(dtype, max_edge_length=0.6)
+        n_c = len(coarse.meshes["strip"].sites)
+        _, _, _, err_c = _transport_solve_and_err(coarse, cw, ch)
+        out["refinement_pair"] = [
+            {"n_sites": n_c, "current_conservation_rel_err_max": float(f"{err_c:.3e}")},
+            {"n_sites": n, "current_conservation_rel_err_max": float(f"{err:.3e}")},
+        ]
+        out["refinement_converges"] = bool(err < err_c)
+    except Exception as exc:
+        out["refinement_pair"] = {"error": repr(exc)}
+    return out
+
+
+def launch_squid_f64_child():
+    """Launches the float64 CPU-backend oracle for the SQUID mutual stage
+    (the identical huber workload re-run in f64 on the CPU backend).
+
+    Launched as early as possible in the run -- the child is pure host
+    CPU, so every TPU stage after the launch is free overlap; the round-4
+    children (launched only when the TPU squid stage ran) timed out.  The
+    child uses the STAGE-JITTED sweep runner: the fused single-program
+    runner's one-time XLA compile on the CPU backend is a large fraction
+    of the child's former >162 s wall, and on CPU the staged runner's
+    per-stage dispatch overhead is irrelevant.
+
+    Returns the Popen handle (or None on launch failure).
+    """
+    import subprocess
+
+    from superscreen_tpu.squids import mutuals
+
+    scale = float(os.environ.get("BENCH_SQUID_EDGE_SCALE", "1.0"))
+    iterations = int(os.environ.get("BENCH_SQUID_ITER", "5"))
+    child = (
+        "import sys, json, os; sys.path.insert(0, %r); "
+        "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
+        "os.environ['SUPERSCREEN_TPU_FUSED_SWEEP'] = '0'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "from superscreen_tpu.squids import mutuals; "
+        "device = mutuals.SQUID_LAYOUTS['huber'](with_terminals=True); "
+        "device.solve_dtype = 'float64'; "
+        "device.make_mesh(max_edge_length=%r, smooth=100); "
+        "m = mutuals.pickup_loop_mutual(device, iterations=%r); "
+        "print(json.dumps({'mutual_Phi0_per_A': float(m.to('Phi_0 / A').magnitude)}))"
+    ) % (
+        os.path.dirname(os.path.abspath(__file__)),
+        mutuals.MAX_EDGE_LENGTHS["huber"] * scale,
+        iterations,
+    )
+    try:
+        return subprocess.Popen(
+            [sys.executable, "-c", child],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            # Niced: the child overlaps the single-core CPU baseline
+            # measurements and must yield to them, not distort them.
+            preexec_fn=lambda: os.nice(10),
+        )
+    except Exception as exc:
+        _log(f"squid f64 child failed to launch: {exc!r}")
+        return None
 
 
 def bench_squid_mutual():
@@ -816,15 +915,10 @@ def bench_squid_mutual():
     reference ``docs/notebooks/squids/mutuals.py:10-45``).
 
     Solves the huber layout (terminal drive, self-consistent iterations)
-    on the device in f32 and LAUNCHES a float64 CPU-backend child process
-    running the identical workload for an honest cross-precision,
-    cross-backend delta.  Returns ``(detail, child)``; pass both to
-    :func:`finish_squid_f64` (the child runs on host CPU, so it overlaps
-    the following TPU stages for free).
+    on the device in f32; the float64 CPU oracle for ``f64_rel_delta``
+    runs in the separately launched child of
+    :func:`launch_squid_f64_child` (joined via :func:`finish_squid_f64`).
     """
-    import subprocess
-
-    import superscreen_tpu as sc
     from superscreen_tpu.squids import mutuals
 
     scale = float(os.environ.get("BENCH_SQUID_EDGE_SCALE", "1.0"))
@@ -841,7 +935,7 @@ def bench_squid_mutual():
     solve_s = time.perf_counter() - t0
     mutual_phi0_per_A = float(mutual.to("Phi_0 / A").magnitude)
     mutual_pH = float(mutual.to("pH").magnitude)
-    out = {
+    return {
         "layout": "huber",
         "mesh_sizes": sizes,
         "n_total": sum(sizes.values()),
@@ -857,38 +951,6 @@ def bench_squid_mutual():
             "is vs a fresh float64 CPU-backend child on the same workload"
         ),
     }
-    # f64 CPU cross-check in a child process (the parent's backend is the
-    # TPU and cannot switch); the child re-runs the identical workload in
-    # float64 on the CPU backend.  Launched non-blocking: the caller
-    # overlaps it with the remaining TPU stages and joins later.
-    child = (
-        "import sys, json, os; sys.path.insert(0, %r); "
-        "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
-        "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        "jax.config.update('jax_enable_x64', True); "
-        "from superscreen_tpu.squids import mutuals; "
-        "device = mutuals.SQUID_LAYOUTS['huber'](with_terminals=True); "
-        "device.solve_dtype = 'float64'; "
-        "device.make_mesh(max_edge_length=%r, smooth=100); "
-        "m = mutuals.pickup_loop_mutual(device, iterations=%r); "
-        "print(json.dumps({'mutual_Phi0_per_A': float(m.to('Phi_0 / A').magnitude)}))"
-    ) % (
-        os.path.dirname(os.path.abspath(__file__)),
-        mutuals.MAX_EDGE_LENGTHS["huber"] * scale,
-        iterations,
-    )
-    try:
-        proc = subprocess.Popen(
-            [sys.executable, "-c", child],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-    except Exception as exc:
-        out["f64_rel_delta"] = None
-        out["f64_note"] = f"f64 CPU child failed to launch: {exc!r}"
-        proc = None
-    return out, proc
 
 
 def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
@@ -920,20 +982,12 @@ def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
     return out
 
 
-def bench_scanning_sweep(dtype: str):
-    """BASELINE config 5: scanning-SQUID susceptibility raster -- B
-    positions of a field-coil-driven SQUID swept over a sample in ONE
-    batched device program (the TPU-native replacement for the
-    reference's run-more-Python-processes guidance, docs/gotchas.rst:31-44).
-
-    Reports warm ms/position and a mirror-symmetry accuracy figure (the
-    sample and scan line are mirror-symmetric, so M(x) = M(-x) up to mesh
-    asymmetry and solve error).
-    """
+def _scanning_config(dtype: str):
+    """The scanning-stage devices, shared verbatim by the TPU stage and
+    the f64 CPU oracle child so both processes solve the identical
+    geometry (meshes agree exactly through the on-disk mesh cache)."""
     import superscreen_tpu as sc
-    from superscreen_tpu.squids import susceptibility_scan
 
-    B = int(os.environ.get("BENCH_SCAN_B", "64"))
     squid = sc.Device(
         "mini_squid",
         layers=[sc.Layer("sq", Lambda=0.3, z0=0)],
@@ -950,14 +1004,6 @@ def bench_scanning_sweep(dtype: str):
         solve_dtype=dtype,
     )
     squid.make_mesh(min_points=2000, smooth=5)
-    squid_solution = sc.solve(
-        squid,
-        applied_field=sc.sources.ConstantField(0),
-        circulating_currents={"fc_hole": "1 mA"},
-        field_units="mT",
-        current_units="mA",
-        progress_bar=False,
-    )[-1]
     sample = sc.Device(
         "sample",
         layers=[sc.Layer("s", Lambda=0.1, z0=0)],
@@ -967,14 +1013,143 @@ def bench_scanning_sweep(dtype: str):
         length_units="um",
         solve_dtype=dtype,
     )
+    return squid, sample
+
+
+def _scan_positions(B: int) -> np.ndarray:
+    xs = np.linspace(-8.0, 8.0, B)
+    return np.column_stack([xs, np.zeros_like(xs)])
+
+
+def _scan_check_indices(B: int):
+    return [B // 4, B // 2, (3 * B) // 4]
+
+
+def scanning_f64_child():
+    """Entry point of the scanning-stage float64 CPU oracle child: solves
+    the identical mini-squid + sample workload in f64 on the CPU backend
+    at the 3 spot-check positions and prints their susceptibilities.
+    The caller must configure the CPU backend + x64 BEFORE importing jax
+    consumers (see :func:`launch_scanning_f64_child`)."""
+    import superscreen_tpu as sc
+    from superscreen_tpu.squids import susceptibility_scan
+
+    B = int(os.environ.get("BENCH_SCAN_B", "64"))
+    squid, sample = _scanning_config("float64")
+    squid_solution = sc.solve(
+        squid,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="mA",
+        progress_bar=False,
+    )[-1]
+    sample.make_mesh(min_points=int(os.environ.get("BENCH_SCAN_SAMPLE_N", "8000")))
+    idx = _scan_check_indices(B)
+    positions = _scan_positions(B)[idx]
+    M = susceptibility_scan(
+        sample_device=sample,
+        squid_solution=squid_solution,
+        positions=positions,
+        squid_height=1.0,
+        pickup_loop="pl",
+        I_fc="1 mA",
+    )
+    print(json.dumps({"indices": idx, "M_Phi0_per_A": [float(v) for v in M]}))
+
+
+def launch_scanning_f64_child():
+    """Launches :func:`scanning_f64_child` in a fresh CPU/x64 process.
+    Pure host CPU -- free overlap with every TPU stage after the launch."""
+    import subprocess
+
+    child = (
+        "import sys, os; sys.path.insert(0, %r); "
+        "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
+        "os.environ['SUPERSCREEN_TPU_FUSED_SWEEP'] = '0'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_enable_x64', True); "
+        "import bench; bench.scanning_f64_child()"
+    ) % (os.path.dirname(os.path.abspath(__file__)),)
+    try:
+        return subprocess.Popen(
+            [sys.executable, "-c", child],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            preexec_fn=lambda: os.nice(10),
+        )
+    except Exception as exc:
+        _log(f"scanning f64 child failed to launch: {exc!r}")
+        return None
+
+
+def finish_scanning_f64(out: dict, proc, M_full, timeout_s: float = 120) -> dict:
+    """Joins the scanning f64 oracle child and records the worst relative
+    disagreement of the TPU f32 map at the spot-check positions."""
+    import subprocess
+
+    if proc is None or not isinstance(out, dict) or M_full is None:
+        return out
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout_s)
+        for line in reversed(stdout.strip().splitlines()):
+            try:
+                payload = json.loads(line)
+                idx = payload["indices"]
+                M64 = np.asarray(payload["M_Phi0_per_A"], dtype=np.float64)
+            except (ValueError, KeyError):
+                continue
+            M32 = np.asarray(M_full, dtype=np.float64)[idx]
+            denom = max(float(np.max(np.abs(M64))), 1e-300)
+            out["f64_rel_delta"] = float(
+                f"{float(np.max(np.abs(M32 - M64))) / denom:.3e}"
+            )
+            out["f64_check_indices"] = idx
+            break
+        else:
+            out["f64_rel_delta"] = None
+            out["f64_note"] = f"child rc={proc.returncode}: {stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out["f64_rel_delta"] = None
+        out["f64_note"] = f"scanning f64 child timed out at {timeout_s:.0f}s"
+    return out
+
+
+def bench_scanning_sweep(dtype: str):
+    """BASELINE config 5: scanning-SQUID susceptibility raster -- B
+    positions of a field-coil-driven SQUID swept over a sample in ONE
+    batched device program (the TPU-native replacement for the
+    reference's run-more-Python-processes guidance, docs/gotchas.rst:31-44).
+
+    Reports warm ms/position, a mirror-symmetry sanity figure (the sample
+    and scan line are mirror-symmetric, so M(x) = M(-x) up to mesh
+    asymmetry and solve error), and -- via the overlapped f64 CPU oracle
+    child -- ``f64_rel_delta`` at 3 spot-check positions.
+
+    Returns ``(detail, M)``: pass ``M`` to :func:`finish_scanning_f64`.
+    """
+    import superscreen_tpu as sc
+    from superscreen_tpu.squids import susceptibility_scan
+
+    B = int(os.environ.get("BENCH_SCAN_B", "64"))
+    squid, sample = _scanning_config(dtype)
+    squid_solution = sc.solve(
+        squid,
+        applied_field=sc.sources.ConstantField(0),
+        circulating_currents={"fc_hole": "1 mA"},
+        field_units="mT",
+        current_units="mA",
+        progress_bar=False,
+    )[-1]
     t0 = time.perf_counter()
     sample.make_mesh(min_points=int(os.environ.get("BENCH_SCAN_SAMPLE_N", "8000")))
     mesh_s = time.perf_counter() - t0
     n_sample = len(sample.meshes["disk"].sites)
     model = sc.factorize_model(device=sample, current_units="mA")
     _block_on_factorizations(model)
-    xs = np.linspace(-8.0, 8.0, B)
-    positions = np.column_stack([xs, np.zeros_like(xs)])
+    positions = _scan_positions(B)
 
     def run():
         return susceptibility_scan(
@@ -995,7 +1170,7 @@ def bench_scanning_sweep(dtype: str):
     sym_err = float(
         np.max(np.abs(M - M[::-1])) / np.max(np.abs(M))
     )
-    return {
+    out = {
         "B": B,
         "n_sample_sites": n_sample,
         "n_squid_sites": len(squid.meshes["fc_ring"].sites),
@@ -1008,9 +1183,12 @@ def bench_scanning_sweep(dtype: str):
         "note": (
             "BASELINE config 5: B-position susceptibility raster as one "
             "batched device sweep; mirror_symmetry_rel_err is max "
-            "|M(x)-M(-x)|/max|M| over the symmetric scan line"
+            "|M(x)-M(-x)|/max|M| over the symmetric scan line; "
+            "f64_rel_delta is vs a float64 CPU-backend child solving the "
+            "identical workload at f64_check_indices of the scan line"
         ),
     }
+    return out, M
 
 
 def _probe_tpu(timeout_s: float, attempts: int = 3, pause_s: float = 30.0) -> bool:
@@ -1306,6 +1484,19 @@ def main():
     emit()
     detail = RESULT["detail"]
 
+    # Launch the f64 CPU oracle children NOW: the squid child needs
+    # ~360 s of (niced, host-CPU) wall, so every second of overlap with
+    # the TPU-dominated stages below counts.  Round 4 launched the squid
+    # child ~120 s before its join deadline and it timed out in both
+    # recorded artifacts.
+    squid_child = None
+    scanning_child = None
+    if not tpu_unavailable and os.environ.get("BENCH_F64_CHILDREN", "1") == "1":
+        if time_left() > 180:
+            squid_child = launch_squid_f64_child()
+        if time_left() > 180:
+            scanning_child = launch_scanning_f64_child()
+
     # ----- Optional stages: each gated on the global budget, each emitting
     # an enriched JSON line when it lands. -------------------------------
 
@@ -1408,8 +1599,9 @@ def main():
     # CPU baseline: the SAME pipeline (LAPACK LU factorize + sweep),
     # measured end-to-end at >= 2 mesh sizes, extrapolated by exact flop
     # counts (LU ~ 2/3 n^3; sweep ~ pairwise + back-substitution).
-    if stage_gate("cpu_baseline", est_s=110):
+    if stage_gate("cpu_baseline", est_s=150):
         cpu_edges = [0.5, 0.35, 0.28][:cpu_points]
+        cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
         cpu_measured = []
         try:
             for edge in cpu_edges:
@@ -1424,20 +1616,37 @@ def main():
                     k: len(s.indices)
                     for k, s in small_model.film_systems.items()
                 }
-                _log(f"measuring CPU baseline at n={sum(small_sizes.values())}...")
-                cpu_fac_s, cpu_sweep_s = cpu_baseline_measured(
-                    small_model, field_values[:1], iterations
+                _log(
+                    f"measuring CPU baseline at n={sum(small_sizes.values())} "
+                    f"x{cpu_repeats}..."
+                )
+                fac_runs, sweep_runs = cpu_baseline_measured(
+                    small_model, field_values[:1], iterations,
+                    repeats=cpu_repeats,
+                )
+                lu_fl = _lu_flops(small_interiors)
+                sw_fl = _coupling_flops(small_sizes, iterations) + _solve_flops(
+                    small_interiors, iterations
                 )
                 point = dict(
                     n_total=sum(small_sizes.values()),
-                    factorize_s=round(cpu_fac_s, 3),
-                    sweep_s_per_point=round(cpu_sweep_s, 3),
-                    lu_throughput=_lu_flops(small_interiors) / cpu_fac_s,
-                    sweep_throughput=(
-                        _coupling_flops(small_sizes, iterations)
-                        + _solve_flops(small_interiors, iterations)
-                    )
-                    / cpu_sweep_s,
+                    factorize_s=round(float(np.median(fac_runs)), 3),
+                    sweep_s_per_point=round(float(np.median(sweep_runs)), 3),
+                    factorize_runs=[round(t, 3) for t in fac_runs],
+                    sweep_runs=[round(t, 3) for t in sweep_runs],
+                    # Median throughput drives the headline; min/max record
+                    # the spread of this time-shared host (2-5x observed
+                    # between the round-4 artifacts).
+                    lu_throughput=lu_fl / float(np.median(fac_runs)),
+                    lu_throughput_max=lu_fl / float(np.min(fac_runs)),
+                    sweep_throughput=sw_fl / float(np.median(sweep_runs)),
+                    sweep_throughput_max=sw_fl / float(np.min(sweep_runs)),
+                    spread_factorize=round(
+                        float(np.max(fac_runs) / np.min(fac_runs)), 2
+                    ),
+                    spread_sweep=round(
+                        float(np.max(sweep_runs) / np.min(sweep_runs)), 2
+                    ),
                 )
                 cpu_measured.append(point)
                 _log(f"  -> {point}")
@@ -1455,21 +1664,40 @@ def main():
                 / best["sweep_throughput"]
             )
             cpu_total = cpu_factor_extrap + cpu_sweep_extrap
+            # Conservative bound: assume the CPU ran at the FASTEST
+            # throughput observed across every point and repeat (i.e. the
+            # least-contended host state) -- the speedup quoted as ">= N x"
+            # survives the host's 2-5x timing wobble.
+            lu_t_max = max(p["lu_throughput_max"] for p in cpu_measured)
+            sw_t_max = max(p["sweep_throughput_max"] for p in cpu_measured)
+            cpu_total_fast = _lu_flops(interiors) / lu_t_max + B * (
+                _coupling_flops(sizes, iterations)
+                + _solve_flops(interiors, iterations)
+            ) / sw_t_max
             RESULT["vs_baseline"] = round(cpu_total / end_to_end_s, 2)
+            detail["vs_baseline_conservative"] = round(
+                cpu_total_fast / end_to_end_s, 2
+            )
             fp = detail.get("final_polish")
             if fp and "end_to_end_with_polish_s" in fp:
                 fp["vs_baseline_with_polish"] = round(
                     cpu_total / fp["end_to_end_with_polish_s"], 2
                 )
+                fp["vs_baseline_with_polish_conservative"] = round(
+                    cpu_total_fast / fp["end_to_end_with_polish_s"], 2
+                )
             detail["cpu_baseline_total_s"] = round(cpu_total, 3)
+            detail["cpu_baseline_total_s_fastest"] = round(cpu_total_fast, 3)
             detail["cpu_baseline_factorize_s"] = round(cpu_factor_extrap, 3)
             detail["cpu_baseline_sweep_s"] = round(cpu_sweep_extrap, 3)
             detail["cpu_measured_points"] = cpu_measured
             detail["cpu_baseline_note"] = (
                 "single-core NumPy/LAPACK same-algorithm pipeline incl. LU "
-                f"factorization, measured at {len(cpu_measured)} mesh sizes, "
-                "extrapolated by exact flop counts using the largest "
-                "measured config's throughputs (conservative)"
+                f"factorization, measured at {len(cpu_measured)} mesh sizes "
+                f"x{cpu_repeats} repeats, extrapolated by exact flop counts "
+                "using the largest measured config's MEDIAN throughputs; "
+                "vs_baseline_conservative uses the fastest observed "
+                "throughput (lower bound on the speedup)"
             )
         except Exception as exc:
             _log(f"CPU baseline stage failed: {exc!r}")
@@ -1514,44 +1742,68 @@ def main():
             detail["transport_strip"] = {"error": repr(exc)}
         emit()
 
-    squid_child = None
     if not tpu_unavailable and stage_gate("squid_mutual", est_s=120):
         try:
-            detail["squid_mutual"], squid_child = bench_squid_mutual()
-            stamp(detail["squid_mutual"])
-            _log(f"squid mutual (f64 child still running): {detail['squid_mutual']}")
+            detail["squid_mutual"] = stamp(bench_squid_mutual())
+            _log(f"squid mutual (f64 child running): {detail['squid_mutual']}")
         except Exception as exc:
             _log(f"squid mutual stage failed: {exc!r}")
             detail["squid_mutual"] = {"error": repr(exc)}
         emit()
 
-    # The squid f64 CPU child keeps running through the scanning stage
-    # (host CPU vs device work -- free overlap) and is joined after.
+    scan_M = None
     if not tpu_unavailable and stage_gate("scanning", est_s=80):
         try:
-            detail["scanning_sweep"] = stamp(bench_scanning_sweep(dtype))
+            detail["scanning_sweep"], scan_M = bench_scanning_sweep(dtype)
+            stamp(detail["scanning_sweep"])
             _log(f"scanning sweep: {detail['scanning_sweep']}")
         except Exception as exc:
             _log(f"scanning stage failed: {exc!r}")
             detail["scanning_sweep"] = {"error": repr(exc)}
         emit()
 
-    if squid_child is not None:
+    # Join the f64 CPU oracle children (they have been running since the
+    # end of the CPU-baseline stage).
+    if squid_child is not None and isinstance(detail.get("squid_mutual"), dict):
         try:
             detail["squid_mutual"] = finish_squid_f64(
                 detail["squid_mutual"],
                 squid_child,
-                timeout_s=max(10.0, min(240.0, time_left() - 30.0)),
+                timeout_s=max(10.0, min(240.0, time_left() - 60.0)),
             )
             _log(f"squid mutual f64 joined: {detail['squid_mutual']}")
         except Exception as exc:
             _log(f"squid f64 join failed: {exc!r}")
         emit()
+    if scanning_child is not None and isinstance(
+        detail.get("scanning_sweep"), dict
+    ):
+        try:
+            detail["scanning_sweep"] = finish_scanning_f64(
+                detail["scanning_sweep"],
+                scanning_child,
+                scan_M,
+                timeout_s=max(10.0, min(120.0, time_left() - 30.0)),
+            )
+            _log(f"scanning f64 joined: {detail['scanning_sweep']}")
+        except Exception as exc:
+            _log(f"scanning f64 join failed: {exc!r}")
+        emit()
 
     if not tpu_unavailable and stage_gate("fft_payoff", est_s=120):
+        # The >=100k-sites/film point is the one the coupling cost model
+        # must win (the O(n) transfer losing to the O(n^2) kernel at
+        # exactly the scale where it should shine was the round-4 gap);
+        # the smaller 66k point is recorded too when budget remains.
         try:
             t0 = time.perf_counter()
-            detail["fft_coupling_payoff"] = stamp(fft_coupling_payoff())
+            detail["fft_coupling_payoff"] = stamp(
+                fft_coupling_payoff(
+                    sites_per_film=int(
+                        os.environ.get("BENCH_FFT_SITES", "100000")
+                    )
+                )
+            )
             _log(
                 f"fft payoff ({time.perf_counter() - t0:.1f}s total): "
                 f"{detail['fft_coupling_payoff']}"
@@ -1560,6 +1812,22 @@ def main():
             _log(f"fft payoff failed: {exc!r}")
             detail["fft_coupling_payoff"] = {"error": repr(exc)}
         emit()
+        if stage_gate("fft_payoff_small", est_s=60):
+            try:
+                detail["fft_coupling_payoff_66k"] = stamp(
+                    fft_coupling_payoff(sites_per_film=66000)
+                )
+                _log(f"fft payoff 66k: {detail['fft_coupling_payoff_66k']}")
+            except Exception as exc:
+                detail["fft_coupling_payoff_66k"] = {"error": repr(exc)}
+            emit()
+
+    # Reap any oracle child whose stage never consumed it (skipped or
+    # errored stage) so it doesn't outlive the bench and contend with a
+    # following run's CPU measurements.
+    for child in (squid_child, scanning_child):
+        if child is not None and child.poll() is None:
+            child.kill()
 
     detail["total_bench_s"] = round(_elapsed(), 1)
     emit()

@@ -1242,12 +1242,14 @@ _FFT_MS_PER_SITE = 8.0e-5  # fft: ms per mesh site (interp gathers)
 def _predict_fft_grid(device) -> int:
     """The grid size the FFT coupling path would build (mirrors
     ``ops.fft_coupling._grid_axes`` with default spacing and padding)."""
+    from .ops.fft_coupling import friendly_grid_size
+
     meshes = device.meshes
     h = min(float(np.mean(m.edge_mesh.edge_lengths)) for m in meshes.values())
     mins = np.min([m.sites.min(axis=0) for m in meshes.values()], axis=0)
     maxs = np.max([m.sites.max(axis=0) for m in meshes.values()], axis=0)
     span = float((maxs - mins).max()) * 3.0
-    return int(2 ** np.ceil(np.log2(span / h + 1)))
+    return friendly_grid_size(int(np.ceil(span / h + 1)))
 
 
 def _resolve_auto_coupling(model, films, iterations) -> str:

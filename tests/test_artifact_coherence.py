@@ -33,6 +33,7 @@ STAGE_KEYS = {
     "squid_mutual": ("squid_mutual",),
     "scanning": ("scanning_sweep",),
     "fft_payoff": ("fft_coupling_payoff",),
+    "fft_payoff_small": ("fft_coupling_payoff_66k",),
 }
 
 
