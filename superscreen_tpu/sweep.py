@@ -1230,12 +1230,17 @@ def _run_sweep_history(
 #: *ratio* matters for the dispatch decision, so the calibration transfers
 #: across TPU generations better than a raw site-count threshold would.
 _EXACT_MS_PER_PAIR_SITE2 = 9.0e-9  # exact kernel: ms per n_src*n_dst
-#: FFT ms per G^2*log2(G) per film.  The large-G coefficient is measured
-#: separately: past ~1024 the (B, G, G) transforms and grids fall out of
-#: cache-friendly sizes and the per-unit cost roughly doubles (measured
-#: 50 ms at G=1024 vs 390 ms at G=2048 for two films).
-_FFT_MS_PER_GRID_UNIT_SMALL = 1.9e-6  # G <= 1024
-_FFT_MS_PER_GRID_UNIT_LARGE = 4.1e-6  # G > 1024
+#: FFT ms per G^2*log2(G) per film.  One coefficient: since grids snap to
+#: 5-smooth sizes and the mesh->grid interpolation runs on the film's
+#: bounding subgrid (ops/fft_coupling.py), the former >1024 cache penalty
+#: is gone -- re-measured v5e rounds (B=8, two films): 32.9 ms at
+#: G=1024/66k sites (vs exact 85.4), 64.4 ms at G=1250/100k (vs exact
+#: 160; round 4 recorded 390 ms at the old G=2048 grid).  The value is
+#: fit to the 66k->100k delta and deliberately conservative (overpredicts
+#: the measured small-G rounds, which sit at the ~30 ms tunnel dispatch
+#: floor), biasing the auto dispatch toward exact near the crossover
+#: (measured 1.1x at 27k/G=648 -- a genuine toss-up).
+_FFT_MS_PER_GRID_UNIT = 2.0e-6
 _FFT_MS_PER_SITE = 8.0e-5  # fft: ms per mesh site (interp gathers)
 
 
@@ -1259,12 +1264,11 @@ def _resolve_auto_coupling(model, films, iterations) -> str:
     docs/COUPLING.md): the exact pairwise kernel costs
     ``A * sum_{i!=j} n_i n_j``; the FFT transfer costs
     ``B * n_films * G^2 log2(G) + C * sum_i n_i``, where ``G`` is the
-    grid the FFT path would build.  Because ``G`` tracks the mesh density
-    in power-of-two steps, the true crossover moves with the geometry --
-    a scalar site threshold misses that (a 70k-site film needing a 2048
-    grid is still exact-territory).  Setting
-    ``SUPERSCREEN_TPU_FFT_COUPLING_MIN_N`` restores the plain threshold
-    dispatch (fft iff every film has at least that many sites).
+    (5-smooth) grid the FFT path would build.  Because ``G`` tracks the
+    mesh density AND the geometry's bounding box, the true crossover
+    moves with the geometry -- a scalar site threshold misses that.
+    Setting ``SUPERSCREEN_TPU_FFT_COUPLING_MIN_N`` restores the plain
+    threshold dispatch (fft iff every film has at least that many sites).
     FFT additionally requires distinct layer heights (the analytic
     transfer suppresses nothing at dz=0).
     """
@@ -1284,13 +1288,8 @@ def _resolve_auto_coupling(model, films, iterations) -> str:
         sum(sizes) ** 2 - sum(n * n for n in sizes)
     )
     G = _predict_fft_grid(device)
-    per_unit = (
-        _FFT_MS_PER_GRID_UNIT_SMALL
-        if G <= 1024
-        else _FFT_MS_PER_GRID_UNIT_LARGE
-    )
     fft_ms = (
-        per_unit * len(films) * G * G * np.log2(G)
+        _FFT_MS_PER_GRID_UNIT * len(films) * G * G * np.log2(G)
         + _FFT_MS_PER_SITE * sum(sizes)
     )
     return "fft" if fft_ms < exact_ms else "exact"

@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _load_named_artifact():
     readme = open(os.path.join(REPO, "README.md")).read()
-    names = set(re.findall(r"BENCH_r\d+(?:_local)?\.json", readme))
+    names = set(re.findall(r"BENCH(?:_DETAIL)?_r\d+(?:_local)?\.json", readme))
     assert names, "README no longer names its benchmark artifact"
     # The README must quote from exactly one artifact generation.
     assert len(names) == 1, f"README cites multiple artifacts: {names}"
@@ -28,7 +28,13 @@ def _load_named_artifact():
     assert os.path.exists(path), f"README cites {name}, which does not exist"
     with open(path) as fh:
         artifact = json.load(fh)
-    parsed = artifact.get("parsed")
+    if "detail" in artifact:
+        # Full-detail sidecar format (round 5+): the artifact IS the
+        # enriched result object written by bench.emit().
+        parsed = artifact
+    else:
+        # Driver-capture format (rounds 1-4): the parsed stdout line.
+        parsed = artifact.get("parsed")
     assert parsed, f"README cites {name}, but it has no parsed result"
     return readme, parsed
 
