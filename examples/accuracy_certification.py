@@ -13,7 +13,10 @@ example shows the benchmark-scale TPU-native analog:
 2. ``solve_many(final_refine=2)`` applies a float64 final polish to the
    delivered streams: the in-sweep f32 refinement floors at ~5e-5
    relative residual at 100k-vertex scale; two f64 polish steps reach the
-   ~1e-8 floor for a few seconds of extra wall time.
+   ~1e-8 floor for a few seconds of extra wall time.  Polished sweeps
+   DELIVER float64 arrays by default, so the residual certified below is
+   the polish floor on what the user actually holds (pass
+   ``result_dtype="float32"`` to keep f32 storage).
 
 Run: python examples/accuracy_certification.py
 """
@@ -69,7 +72,8 @@ def main():
         f"{rep['residual_rel_max_after']:.2e} (f64 iterate)"
     )
 
-    # Independent certification of the delivered (f32-stored) streams.
+    # Independent certification of the DELIVERED streams (float64 here,
+    # since final_refine>0 defaults to f64 delivery).
     # certify_sweep works in SOLVER units (current/length): convert the
     # mT applied fields and the stored other_fields (field_units) back.
     from superscreen_tpu.solver.utils import field_conversion_factor

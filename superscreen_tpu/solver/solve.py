@@ -260,7 +260,7 @@ def factorize_model(
     film_systems, hole_systems, terminal_systems = factorize_linear_systems(
         device, film_info
     )
-    return FactorizedModel(
+    model = FactorizedModel(
         device=device,
         film_info=film_info,
         film_systems=film_systems,
@@ -271,6 +271,73 @@ def factorize_model(
         vortices={name: info.vortices for name, info in film_info.items()},
         current_units=current_units,
     )
+    _start_sweep_prewarm(model)
+    return model
+
+
+def _start_sweep_prewarm(model: "FactorizedModel") -> None:
+    """Best-effort background warm-up of the first solve after a
+    factorization.
+
+    The factorization returns with its device work still in flight; a
+    user's first ``solve()``/``solve_many`` then pays (measured on the
+    v5e transport strip, 10.4k sites, warm compile cache): ~11 s of
+    ``FilmSweepData`` construction -- the terminal bootstrap's sequential
+    small solves and readbacks ride the tunnel's per-transfer latency --
+    plus ~7 s of fused-program trace + executable load.  Both are
+    input-independent, so a daemon thread runs them NOW, overlapped with
+    the in-flight factorization: it populates the model's sweep-data
+    cache and, for devices whose first solve program is predictable
+    (single film, or multi-film solves with ``iterations=0`` -- the
+    coupled program's shape depends on the user's ``iterations``),
+    executes one zero-field B=1 solve to fill the jit dispatch cache.
+    XLA compilation and device dispatch release the GIL, so the overlap
+    is real.  Disable with ``SUPERSCREEN_TPU_PREWARM_SWEEP=0``.
+    """
+    import os
+
+    if os.environ.get("SUPERSCREEN_TPU_PREWARM_SWEEP", "1") != "1":
+        return
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu" or jax.device_count() > 1:
+            return
+    except Exception:  # pragma: no cover - backend probe is best-effort
+        return
+    import threading
+
+    def _prewarm():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from ..sweep import (
+                _get_sweep_data,
+                _run_sweep_history,
+                _strip_metadata,
+            )
+
+            film_data = _get_sweep_data(model)  # cached on the model
+            films = list(model.device.films)
+            dtype = model.device.solve_dtype
+            Hz = {
+                f: jnp.zeros((1, film_data[f].n), dtype=dtype) for f in films
+            }
+            I_circ = {
+                f: jnp.zeros(
+                    (1, len(film_data[f].hole_names)), dtype=dtype
+                )
+                for f in films
+            }
+            out = _run_sweep_history(
+                _strip_metadata(film_data), Hz, I_circ, 1.0, 0, 2, "exact"
+            )
+            jax.block_until_ready(out)
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            logger.debug("sweep prewarm failed", exc_info=True)
+
+    threading.Thread(target=_prewarm, daemon=True).start()
 
 
 class _SolutionSink:

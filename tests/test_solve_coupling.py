@@ -108,3 +108,61 @@ def test_solve_fft_rejects_coincident_layers():
             coupling="fft",
             progress_bar=False,
         )
+
+
+def test_friendly_grid_size_properties():
+    from superscreen_tpu.ops.fft_coupling import friendly_grid_size
+
+    for n in (3, 7, 100, 513, 1025, 1125, 1300, 2049, 5000):
+        g = friendly_grid_size(n)
+        assert g >= n
+        assert g % 2 == 0
+        k = g
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        assert k == 1, (n, g)
+        # Never more than 25% overshoot in the tested range (the
+        # power-of-two snap it replaces overshoots up to 100%).
+        assert g <= 1.25 * n + 2, (n, g)
+
+
+def test_subgrid_spectrum_matches_full_grid_interpolation(stacked_disks):
+    """The subgrid mesh->grid interpolation + zero-pad must reproduce the
+    straightforward full-grid barycentric interpolation exactly."""
+    import jax.numpy as jnp
+    import matplotlib.tri as mtri
+
+    from superscreen_tpu.ops.fft_coupling import (
+        build_film_grid_data,
+        fft_source_spectrum,
+    )
+
+    device = stacked_disks
+    grids = build_film_grid_data(device)
+    name = "disk0"
+    mesh = device.meshes[name]
+    n = len(mesh.sites)
+    rng = np.random.default_rng(11)
+    g = rng.standard_normal((2, n))
+
+    spec = np.asarray(fft_source_spectrum(grids[name], jnp.asarray(g)))
+
+    # Independent reference: full-grid matplotlib linear interpolation
+    # (0 outside the film), same grid axes as _grid_axes builds.
+    G = grids[name].kmag.shape[0]
+    all_sites = [m.sites for m in device.meshes.values()]
+    mins = np.min([s.min(axis=0) for s in all_sites], axis=0)
+    maxs = np.max([s.max(axis=0) for s in all_sites], axis=0)
+    center = 0.5 * (mins + maxs)
+    span = float((maxs - mins).max()) * 3.0
+    x = center[0] - span / 2 + np.arange(G) * (span / G)
+    y = center[1] - span / 2 + np.arange(G) * (span / G)
+    XX, YY = np.meshgrid(x, y, indexing="ij")
+    tri = mesh.triangulation
+    for b in range(2):
+        interp = mtri.LinearTriInterpolator(tri, g[b])
+        vals = np.asarray(interp(XX.ravel(), YY.ravel()).filled(0.0))
+        ref_spec = np.fft.rfft2(vals.reshape(G, G))
+        err = np.max(np.abs(spec[b] - ref_spec)) / np.max(np.abs(ref_spec))
+        assert err < 5e-6, err
