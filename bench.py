@@ -107,7 +107,7 @@ GIT_COMMIT = _git_commit()
 
 
 def _log(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench {_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _elapsed():
@@ -740,13 +740,17 @@ def fft_coupling_payoff(sites_per_film: int = 100000, B: int = 8):
     }
 
 
-def _transport_device(dtype: str, max_edge_length: float):
+def _transport_device(dtype: str, max_edge_length: float, points: int = 401):
+    """The transport strip.  NOTE: terminals force boundary-preserving
+    meshing, so the 401-point boundary (spacing ~0.15) -- not
+    ``max_edge_length`` -- sets the density; a refinement pair must vary
+    ``points`` as well."""
     import superscreen_tpu as sc
 
     width, height = 10.0, 20.0
     layer = sc.Layer("base", Lambda=0.8)
     strip = sc.Polygon(
-        "strip", layer="base", points=sc.geometry.box(width, height, points=401)
+        "strip", layer="base", points=sc.geometry.box(width, height, points=points)
     )
     source = sc.Polygon(
         "source", points=sc.geometry.box(width, height / 100, center=(0, height / 2))
@@ -799,7 +803,12 @@ def _transport_solve_and_err(device, width, height):
     solution = run_solve()
     solve_warm_s = time.perf_counter() - t0
     errs = []
-    xs = np.linspace(-width / 2 - 0.5, width / 2 + 0.5, 101)
+    # 4001-point cross-section paths: at 101 points the line-integral
+    # QUADRATURE error (1.4-1.6e-2, J varies sharply near the strip
+    # edges) swamps the solve error and does not shrink under mesh
+    # refinement -- measured 1.58e-2 (101 pts) vs 2.4e-4 (4001 pts) on
+    # the same 10.4k-site solution.
+    xs = np.linspace(-width / 2 - 0.5, width / 2 + 0.5, 4001)
     for y in (-height / 4, 0.0, height / 4):
         path = np.stack([xs, np.full_like(xs, y)], axis=1)
         I = float(
@@ -844,7 +853,7 @@ def bench_transport_strip(dtype: str):
         ),
     }
     try:
-        coarse, cw, ch = _transport_device(dtype, max_edge_length=0.6)
+        coarse, cw, ch = _transport_device(dtype, max_edge_length=0.7, points=201)
         n_c = len(coarse.meshes["strip"].sites)
         _, _, _, err_c = _transport_solve_and_err(coarse, cw, ch)
         out["refinement_pair"] = [
@@ -1367,6 +1376,14 @@ def main():
             env,
         )
 
+    # The headline section factorizes the SAME device repeatedly (cold +
+    # best-of-N warm) and runs its own sweep warm-up, so the library's
+    # first-solve prewarm thread is pure harm here: each dropped model
+    # would stay pinned in HBM by its prewarm thread while the next
+    # factorize allocates -- an observed RESOURCE_EXHAUSTED at the 109k
+    # config.  Re-enabled for the user-facing stages below.
+    os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = "0"
+
     # Cold factorize (may include XLA compiles unless the persistent cache
     # is warm), then a second factorize measuring pure device compute.
     # The first model is dropped before re-factorizing: two models of the
@@ -1503,7 +1520,7 @@ def main():
     # Accuracy certification at THIS config (not a smaller stand-in):
     # device-resident f64 residuals + refinement forward error + an
     # independent host check on sampled rows (superscreen_tpu/certify.py).
-    if stage_gate("certify", est_s=60):
+    if stage_gate("certify", est_s=45):
         t0 = time.perf_counter()
         streams_f, Js_f, _sf_f, others_f = final
         try:  # bench must still print its JSON line
@@ -1534,17 +1551,19 @@ def main():
         emit()
 
     # f64 final polish: what solve_many(final_refine=2) adds on top of the
-    # headline sweep -- the delivered streams step from the in-sweep f32
-    # refinement floor (~5e-5 residual at this scale) to the f32-storage
-    # floor (~1e-6-class), for a few seconds of wall.
-    if stage_gate("f64_polish", est_s=45):
+    # headline sweep.  Since round 5, polished sweeps DELIVER float64
+    # arrays by default, so the re-certified "delivered" residual is the
+    # ~1e-8 polish floor on what the user actually holds (the optional
+    # f32 storage floors at ~1.5e-5 and is recorded when budget allows).
+    if stage_gate("f64_polish", est_s=40):
         try:
             from superscreen_tpu.certify import certify_sweep, refine_sweep_f64
 
             streams_f, _Js_f, _sf_f, others_f = final
             t0 = time.perf_counter()
             polished, rep = refine_sweep_f64(
-                film_data, streams_f, others_f, Hz_bench, steps=2
+                film_data, streams_f, others_f, Hz_bench, steps=2,
+                result_dtype="float64",
             )
             polish_s = time.perf_counter() - t0
             recheck = certify_sweep(
@@ -1560,24 +1579,45 @@ def main():
                 "residual_rel_max_after_f64": float(
                     f"{rep['residual_rel_max_after']:.3e}"
                 ),
-                "residual_rel_max_delivered_f32": float(
+                "residual_rel_max_delivered": float(
                     f"{recheck['residual_rel_max']:.3e}"
                 ),
                 "end_to_end_with_polish_s": round(end_to_end_s + polish_s, 3),
                 "note": (
                     "solve_many(final_refine=2): f64 device-residual "
-                    "polish of the final systems; 'delivered_f32' is the "
-                    "re-certified residual of the polished streams stored "
-                    "back in f32 (the f32-representation floor)"
+                    "polish of the final systems; 'delivered' is the "
+                    "re-certified residual of the returned arrays (f64 "
+                    "delivery, the result_dtype default for polished "
+                    "sweeps); 'delivered_f32_storage' (when present) is "
+                    "the optional result_dtype='float32' storage floor"
                 ),
             })
             _log(f"f64 polish: {detail['final_polish']}")
+            if time_left() > 150:
+                import jax.numpy as jnp
+
+                f32cast = {
+                    k: jnp.asarray(v).astype(jnp.float32)
+                    for k, v in polished.items()
+                }
+                recheck32 = certify_sweep(
+                    film_data, f32cast, others_f, Hz_bench,
+                    refine_steps=0, n_sample_rows=0,
+                    budget_s=max(10.0, min(40.0, time_left() - 60.0)),
+                )
+                detail["final_polish"]["residual_rel_max_delivered_f32_storage"] = (
+                    float(f"{recheck32['residual_rel_max']:.3e}")
+                )
+                _log(
+                    "f32-storage floor: "
+                    f"{detail['final_polish']['residual_rel_max_delivered_f32_storage']}"
+                )
         except Exception as exc:
             _log(f"f64 polish failed: {exc!r}")
             detail["final_polish"] = {"error": repr(exc)}
         emit()
 
-    if stage_gate("coupling_check", est_s=40):
+    if stage_gate("coupling_check", est_s=15):
         t0 = time.perf_counter()
         try:
             streams_f, Js_f, _sf_f, others_f = final
@@ -1599,7 +1639,7 @@ def main():
     # CPU baseline: the SAME pipeline (LAPACK LU factorize + sweep),
     # measured end-to-end at >= 2 mesh sizes, extrapolated by exact flop
     # counts (LU ~ 2/3 n^3; sweep ~ pairwise + back-substitution).
-    if stage_gate("cpu_baseline", est_s=150):
+    if stage_gate("cpu_baseline", est_s=120):
         cpu_edges = [0.5, 0.35, 0.28][:cpu_points]
         cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
         cpu_measured = []
@@ -1711,38 +1751,11 @@ def main():
     del run, final, film_data, Hz_bench, model
     gc.collect()
 
-    if not tpu_unavailable and stage_gate("fresh_process", est_s=90):
-        try:
-            t0 = time.perf_counter()
-            fresh_timeout = min(
-                float(os.environ.get("BENCH_FRESH_TIMEOUT_S", "300")),
-                max(30.0, time_left() - 30.0),
-            )
-            fresh_process_s = fresh_process_factorize(
-                config, dtype, timeout_s=fresh_timeout
-            )
-            detail["fresh_process_factorize_s"] = (
-                round(fresh_process_s, 3) if fresh_process_s else None
-            )
-            _log(
-                f"fresh-process factorize: {fresh_process_s}s "
-                f"(stage wall {time.perf_counter() - t0:.1f}s incl. meshing)"
-            )
-        except Exception as exc:  # bench must still print its JSON line
-            _log(f"fresh-process factorize failed: {exc!r}")
-            detail["fresh_process_factorize_s"] = None
-        emit()
+    # User-facing stages from here on: restore the library's first-solve
+    # prewarm (part of what these stages measure -- the cold-solve UX).
+    os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = "1"
 
-    if not tpu_unavailable and stage_gate("transport", est_s=60):
-        try:
-            detail["transport_strip"] = stamp(bench_transport_strip(dtype))
-            _log(f"transport strip: {detail['transport_strip']}")
-        except Exception as exc:
-            _log(f"transport stage failed: {exc!r}")
-            detail["transport_strip"] = {"error": repr(exc)}
-        emit()
-
-    if not tpu_unavailable and stage_gate("squid_mutual", est_s=120):
+    if not tpu_unavailable and stage_gate("squid_mutual", est_s=100):
         try:
             detail["squid_mutual"] = stamp(bench_squid_mutual())
             _log(f"squid mutual (f64 child running): {detail['squid_mutual']}")
@@ -1790,7 +1803,16 @@ def main():
             _log(f"scanning f64 join failed: {exc!r}")
         emit()
 
-    if not tpu_unavailable and stage_gate("fft_payoff", est_s=120):
+    if not tpu_unavailable and stage_gate("transport", est_s=60):
+        try:
+            detail["transport_strip"] = stamp(bench_transport_strip(dtype))
+            _log(f"transport strip: {detail['transport_strip']}")
+        except Exception as exc:
+            _log(f"transport stage failed: {exc!r}")
+            detail["transport_strip"] = {"error": repr(exc)}
+        emit()
+
+    if not tpu_unavailable and stage_gate("fft_payoff", est_s=100):
         # The >=100k-sites/film point is the one the coupling cost model
         # must win (the O(n) transfer losing to the O(n^2) kernel at
         # exactly the scale where it should shine was the round-4 gap);
@@ -1812,7 +1834,7 @@ def main():
             _log(f"fft payoff failed: {exc!r}")
             detail["fft_coupling_payoff"] = {"error": repr(exc)}
         emit()
-        if stage_gate("fft_payoff_small", est_s=60):
+        if stage_gate("fft_payoff_small", est_s=50):
             try:
                 detail["fft_coupling_payoff_66k"] = stamp(
                     fft_coupling_payoff(sites_per_film=66000)
@@ -1821,6 +1843,28 @@ def main():
             except Exception as exc:
                 detail["fft_coupling_payoff_66k"] = {"error": repr(exc)}
             emit()
+
+    if not tpu_unavailable and stage_gate("fresh_process", est_s=60):
+        try:
+            t0 = time.perf_counter()
+            fresh_timeout = min(
+                float(os.environ.get("BENCH_FRESH_TIMEOUT_S", "300")),
+                max(30.0, time_left() - 30.0),
+            )
+            fresh_process_s = fresh_process_factorize(
+                config, dtype, timeout_s=fresh_timeout
+            )
+            detail["fresh_process_factorize_s"] = (
+                round(fresh_process_s, 3) if fresh_process_s else None
+            )
+            _log(
+                f"fresh-process factorize: {fresh_process_s}s "
+                f"(stage wall {time.perf_counter() - t0:.1f}s incl. meshing)"
+            )
+        except Exception as exc:  # bench must still print its JSON line
+            _log(f"fresh-process factorize failed: {exc!r}")
+            detail["fresh_process_factorize_s"] = None
+        emit()
 
     # Reap any oracle child whose stage never consumed it (skipped or
     # errored stage) so it doesn't outlive the bench and contend with a
