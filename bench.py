@@ -585,7 +585,7 @@ def fresh_process_factorize(config: str, dtype: str, timeout_s: float = 300):
         "import sys, time, json; sys.path.insert(0, %r); "
         "import jax; "
         "jax.config.update('jax_compilation_cache_dir', %r); "
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0); "
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.05); "
         "import bench; "
         "device = bench.build_two_layer(float(__import__('os').environ.get('BENCH_MAX_EDGE', '0.4')), %r) "
         "if %r == 'two_layer' else bench.build_large(%r); "
@@ -1173,9 +1173,16 @@ def bench_scanning_sweep(dtype: str):
     t0 = time.perf_counter()
     M = run()
     first_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    M = run()
-    warm_s = time.perf_counter() - t0
+    # Best of 3: each warm run pays one device->host round-trip for the
+    # (B,) map, which on the tunneled TPU costs 0.1-1+ s of pure channel
+    # latency under contention (r04 vs r05 single readings differed 2.3x
+    # on identical code).
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        M = run()
+        warm_runs.append(time.perf_counter() - t0)
+    warm_s = min(warm_runs)
     sym_err = float(
         np.max(np.abs(M - M[::-1])) / np.max(np.abs(M))
     )
@@ -1282,7 +1289,7 @@ def main():
             "jax_compilation_cache_dir",
             os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     except Exception:
         pass
 

@@ -60,11 +60,19 @@ def _enable_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)
-            # Only cache compiles that take >= 1s: caching every tiny
-            # program grows the on-disk cache without bound, and a user-set
-            # value is never overridden (we only get here when no cache dir
-            # was configured at all).
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            # Cache down to 50 ms compiles: a multi-film factorization is
+            # ~130 distinct sub-second programs (assembly gathers, hole
+            # vectors, per-shape solves) whose compiles dominate the cold
+            # wall -- measured on the huber susceptometer, a fresh-process
+            # factorize falls 160 s -> 15 s when they are cache-served.
+            # The 1 s threshold this replaces silently excluded nearly all
+            # of them (each ~0.1-1 s) while the few big programs it did
+            # cache were a minority of the wall.  A user-set value is
+            # never overridden (we only get here when no cache dir was
+            # configured at all).
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.05
+            )
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
