@@ -866,44 +866,92 @@ def bench_transport_strip(dtype: str):
     return out
 
 
+def _oracle_path(kind: str, key: str) -> str:
+    """Where an f64 CPU oracle child records its result.
+
+    A keyed FILE rather than a pipe: the oracle value is a deterministic
+    function of the workload (layout + mesh params + iterations -- the
+    mesh itself is deterministic and disk-cached), the child takes
+    ~300-500 s of niced host CPU, and the parent bench may re-exec itself
+    mid-run to escape a wedged TPU tunnel, orphaning any pipe.  The file
+    survives re-execs AND later bench runs; blocks served from it carry
+    the oracle's own run_id/commit (``oracle_*`` fields) so the artifact
+    provenance stays explicit.
+    """
+    root = os.environ.get(
+        "SUPERSCREEN_TPU_MESH_CACHE",
+        os.environ.get("TMPDIR", "/tmp"),
+    )
+    return os.path.join(root, f"f64_oracle_{kind}_{key}.json")
+
+
+def _read_oracle(path: str):
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def _squid_workload_key() -> str:
+    scale = float(os.environ.get("BENCH_SQUID_EDGE_SCALE", "1.0"))
+    iterations = int(os.environ.get("BENCH_SQUID_ITER", "5"))
+    return f"huber_s{scale:g}_i{iterations}"
+
+
 def launch_squid_f64_child():
     """Launches the float64 CPU-backend oracle for the SQUID mutual stage
-    (the identical huber workload re-run in f64 on the CPU backend).
+    (the identical huber workload re-run in f64 on the CPU backend),
+    writing its result to the keyed oracle file.
 
     Launched as early as possible in the run -- the child is pure host
     CPU, so every TPU stage after the launch is free overlap; the round-4
     children (launched only when the TPU squid stage ran) timed out.  The
     child uses the STAGE-JITTED sweep runner: the fused single-program
     runner's one-time XLA compile on the CPU backend is a large fraction
-    of the child's former >162 s wall, and on CPU the staged runner's
-    per-stage dispatch overhead is irrelevant.
+    of the child's wall, and on CPU the staged runner's per-stage
+    dispatch overhead is irrelevant.
 
-    Returns the Popen handle (or None on launch failure).
+    Returns the Popen handle, "cached" if the oracle file already holds
+    this workload's result, or None on launch failure.
     """
     import subprocess
 
     from superscreen_tpu.squids import mutuals
 
+    path = _oracle_path("squid", _squid_workload_key())
+    if _read_oracle(path) is not None:
+        _log(f"squid f64 oracle served from {path}")
+        return "cached"
     scale = float(os.environ.get("BENCH_SQUID_EDGE_SCALE", "1.0"))
     iterations = int(os.environ.get("BENCH_SQUID_ITER", "5"))
     child = (
-        "import sys, json, os; sys.path.insert(0, %r); "
+        "import sys, json, os, tempfile; sys.path.insert(0, %r); "
         "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
         "os.environ['SUPERSCREEN_TPU_FUSED_SWEEP'] = '0'; "
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "jax.config.update('jax_enable_x64', True); "
         "from superscreen_tpu.squids import mutuals; "
+        "import bench; "
         "device = mutuals.SQUID_LAYOUTS['huber'](with_terminals=True); "
         "device.solve_dtype = 'float64'; "
         "device.make_mesh(max_edge_length=%r, smooth=100); "
         "m = mutuals.pickup_loop_mutual(device, iterations=%r); "
-        "print(json.dumps({'mutual_Phi0_per_A': float(m.to('Phi_0 / A').magnitude)}))"
+        "out = {'mutual_Phi0_per_A': float(m.to('Phi_0 / A').magnitude), "
+        "'oracle_run_id': bench.RUN_ID, 'oracle_commit': bench.GIT_COMMIT}; "
+        "fd, tmp = tempfile.mkstemp(dir=os.path.dirname(%r)); "
+        "os.fdopen(fd, 'w').write(json.dumps(out)); "
+        "os.replace(tmp, %r); "
+        "print(json.dumps(out))"
     ) % (
         os.path.dirname(os.path.abspath(__file__)),
         mutuals.MAX_EDGE_LENGTHS["huber"] * scale,
         iterations,
+        path,
+        path,
     )
     try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         return subprocess.Popen(
             [sys.executable, "-c", child],
             stdout=subprocess.PIPE,
@@ -963,31 +1011,38 @@ def bench_squid_mutual():
 
 
 def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
-    """Joins the f64 CPU child of :func:`bench_squid_mutual` and fills in
-    the cross-precision delta."""
+    """Joins the f64 CPU oracle of :func:`bench_squid_mutual` (live child
+    or keyed oracle file) and fills in the cross-precision delta."""
     import subprocess
 
     if proc is None:
         return out
-    try:
-        stdout, stderr = proc.communicate(timeout=timeout_s)
-        for line in reversed(stdout.strip().splitlines()):
-            try:
-                m64 = float(json.loads(line)["mutual_Phi0_per_A"])
-            except (ValueError, KeyError):
-                continue
-            out["mutual_f64_cpu_Phi0_per_A"] = float(f"{m64:.6e}")
-            out["f64_rel_delta"] = float(
-                f"{abs(out['mutual_Phi0_per_A'] - m64) / abs(m64):.3e}"
-            )
-            break
-        else:
+    stderr = ""
+    if proc != "cached":
+        try:
+            _stdout, stderr = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # Leave the child running: it writes the keyed oracle file on
+            # completion, so a LATER bench run (or re-exec) serves it.
             out["f64_rel_delta"] = None
-            out["f64_note"] = f"child rc={proc.returncode}: {stderr[-300:]}"
-    except subprocess.TimeoutExpired:
-        proc.kill()
+            out["f64_note"] = (
+                f"f64 CPU child still running at the {timeout_s:.0f}s join "
+                "deadline; left running to populate the oracle file"
+            )
+            return out
+    payload = _read_oracle(_oracle_path("squid", _squid_workload_key()))
+    if payload is None or "mutual_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = f"f64 CPU child timed out at {timeout_s:.0f}s"
+        out["f64_note"] = f"oracle file missing/invalid: {stderr[-300:]}"
+        return out
+    m64 = float(payload["mutual_Phi0_per_A"])
+    out["mutual_f64_cpu_Phi0_per_A"] = float(f"{m64:.6e}")
+    out["f64_rel_delta"] = float(
+        f"{abs(out['mutual_Phi0_per_A'] - m64) / abs(m64):.3e}"
+    )
+    out["f64_oracle_run_id"] = payload.get("oracle_run_id")
+    out["f64_oracle_commit"] = payload.get("oracle_commit")
+    out["f64_oracle_cached"] = proc == "cached"
     return out
 
 
@@ -1034,12 +1089,20 @@ def _scan_check_indices(B: int):
     return [B // 4, B // 2, (3 * B) // 4]
 
 
+def _scanning_workload_key() -> str:
+    B = int(os.environ.get("BENCH_SCAN_B", "64"))
+    n = int(os.environ.get("BENCH_SCAN_SAMPLE_N", "8000"))
+    return f"minisquid_B{B}_n{n}"
+
+
 def scanning_f64_child():
     """Entry point of the scanning-stage float64 CPU oracle child: solves
     the identical mini-squid + sample workload in f64 on the CPU backend
-    at the 3 spot-check positions and prints their susceptibilities.
-    The caller must configure the CPU backend + x64 BEFORE importing jax
-    consumers (see :func:`launch_scanning_f64_child`)."""
+    at the 3 spot-check positions, writes the keyed oracle file, and
+    prints the result.  The caller must configure the CPU backend + x64
+    BEFORE importing jax consumers (see :func:`launch_scanning_f64_child`)."""
+    import tempfile
+
     import superscreen_tpu as sc
     from superscreen_tpu.squids import susceptibility_scan
 
@@ -1064,14 +1127,32 @@ def scanning_f64_child():
         pickup_loop="pl",
         I_fc="1 mA",
     )
-    print(json.dumps({"indices": idx, "M_Phi0_per_A": [float(v) for v in M]}))
+    out = {
+        "indices": idx,
+        "M_Phi0_per_A": [float(v) for v in M],
+        "oracle_run_id": RUN_ID,
+        "oracle_commit": GIT_COMMIT,
+    }
+    path = _oracle_path("scanning", _scanning_workload_key())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as fh:
+        fh.write(json.dumps(out))
+    os.replace(tmp, path)
+    print(json.dumps(out))
 
 
 def launch_scanning_f64_child():
     """Launches :func:`scanning_f64_child` in a fresh CPU/x64 process.
-    Pure host CPU -- free overlap with every TPU stage after the launch."""
+    Pure host CPU -- free overlap with every TPU stage after the launch.
+    Returns the Popen handle, "cached" if the keyed oracle file already
+    holds this workload's result, or None on launch failure."""
     import subprocess
 
+    path = _oracle_path("scanning", _scanning_workload_key())
+    if _read_oracle(path) is not None:
+        _log(f"scanning f64 oracle served from {path}")
+        return "cached"
     child = (
         "import sys, os; sys.path.insert(0, %r); "
         "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
@@ -1094,35 +1175,40 @@ def launch_scanning_f64_child():
 
 
 def finish_scanning_f64(out: dict, proc, M_full, timeout_s: float = 120) -> dict:
-    """Joins the scanning f64 oracle child and records the worst relative
-    disagreement of the TPU f32 map at the spot-check positions."""
+    """Joins the scanning f64 oracle (live child or keyed oracle file)
+    and records the worst relative disagreement of the TPU f32 map at the
+    spot-check positions."""
     import subprocess
 
     if proc is None or not isinstance(out, dict) or M_full is None:
         return out
-    try:
-        stdout, stderr = proc.communicate(timeout=timeout_s)
-        for line in reversed(stdout.strip().splitlines()):
-            try:
-                payload = json.loads(line)
-                idx = payload["indices"]
-                M64 = np.asarray(payload["M_Phi0_per_A"], dtype=np.float64)
-            except (ValueError, KeyError):
-                continue
-            M32 = np.asarray(M_full, dtype=np.float64)[idx]
-            denom = max(float(np.max(np.abs(M64))), 1e-300)
-            out["f64_rel_delta"] = float(
-                f"{float(np.max(np.abs(M32 - M64))) / denom:.3e}"
-            )
-            out["f64_check_indices"] = idx
-            break
-        else:
+    stderr = ""
+    if proc != "cached":
+        try:
+            _stdout, stderr = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
             out["f64_rel_delta"] = None
-            out["f64_note"] = f"child rc={proc.returncode}: {stderr[-300:]}"
-    except subprocess.TimeoutExpired:
-        proc.kill()
+            out["f64_note"] = (
+                f"scanning f64 child still running at the {timeout_s:.0f}s "
+                "join deadline; left running to populate the oracle file"
+            )
+            return out
+    payload = _read_oracle(_oracle_path("scanning", _scanning_workload_key()))
+    if payload is None or "M_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = f"scanning f64 child timed out at {timeout_s:.0f}s"
+        out["f64_note"] = f"oracle file missing/invalid: {stderr[-300:]}"
+        return out
+    idx = payload["indices"]
+    M64 = np.asarray(payload["M_Phi0_per_A"], dtype=np.float64)
+    M32 = np.asarray(M_full, dtype=np.float64)[idx]
+    denom = max(float(np.max(np.abs(M64))), 1e-300)
+    out["f64_rel_delta"] = float(
+        f"{float(np.max(np.abs(M32 - M64))) / denom:.3e}"
+    )
+    out["f64_check_indices"] = idx
+    out["f64_oracle_run_id"] = payload.get("oracle_run_id")
+    out["f64_oracle_commit"] = payload.get("oracle_commit")
+    out["f64_oracle_cached"] = proc == "cached"
     return out
 
 
@@ -1873,12 +1959,14 @@ def main():
             detail["fresh_process_factorize_s"] = None
         emit()
 
-    # Reap any oracle child whose stage never consumed it (skipped or
-    # errored stage) so it doesn't outlive the bench and contend with a
-    # following run's CPU measurements.
+    # Oracle children deliberately OUTLIVE the bench when still running:
+    # each writes its keyed oracle file on completion, which the next
+    # bench run (or a post-re-exec incarnation) serves instantly.  They
+    # are niced, so the few minutes of tail CPU cannot distort a
+    # following run's measurements the way killing loses the oracle.
     for child in (squid_child, scanning_child):
-        if child is not None and child.poll() is None:
-            child.kill()
+        if child is not None and child != "cached" and child.poll() is None:
+            _log("leaving f64 oracle child running to populate its file")
 
     detail["total_bench_s"] = round(_elapsed(), 1)
     emit()
