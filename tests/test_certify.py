@@ -270,3 +270,57 @@ def test_certify_skips_vortex_films(two_rings_f32):
     np.testing.assert_array_equal(
         np.asarray(polished["big_ring"]), np.asarray(streams["big_ring"])
     )
+
+
+def test_final_refine_terminal_film_delivers_f64():
+    """Terminal (transport) films carry g/ha offsets; the f64 polish must
+    reconstruct their systems correctly and deliver certified f64
+    streams (reference transport workload, solve_film.py:308-390)."""
+    from superscreen_tpu.sweep import _film_sweep_data, solve_many
+
+    layer = sc.Layer("base", Lambda=0.8)
+    strip = sc.Polygon(
+        "strip", layer="base", points=geo.box(4.0, 8.0, points=81)
+    )
+    source = sc.Polygon("source", points=geo.box(4.0, 0.08, center=(0, 4.0)))
+    drain = sc.Polygon("drain", points=geo.box(4.0, 0.08, center=(0, -4.0)))
+    device = sc.Device(
+        "mini_strip",
+        layers=[layer],
+        films=[strip],
+        terminals={"strip": [source, drain]},
+        length_units="um",
+        solve_dtype="float32",
+    )
+    device.make_mesh(max_edge_length=0.5)
+    model = sc.factorize_model(
+        device=device,
+        terminal_currents={"strip": {"source": "1 mA", "drain": "-1 mA"}},
+        current_units="mA",
+    )
+    result = solve_many(
+        model=model,
+        applied_fields=[sc.sources.ConstantField(v) for v in (0.0, 0.3)],
+        field_units="mT",
+        final_refine=2,
+    )
+    assert result.streams["strip"].dtype == np.float64
+    rep = result.final_refine_report
+    assert rep["residual_rel_max_after"] < 1e-9
+    # Re-certify the DELIVERED arrays including the terminal offsets.
+    from superscreen_tpu.solver.utils import field_conversion_factor
+
+    data = {"strip": _film_sweep_data(model, "strip")}
+    conv = field_conversion_factor(
+        "mT", model.current_units,
+        length_units=device.length_units, ureg=device.ureg,
+    ).magnitude
+    Hz = {
+        "strip": (np.asarray(result.applied_fields["strip"]) * conv).astype(
+            np.float32
+        )
+    }
+    check = certify_sweep(
+        data, result.streams, None, Hz, refine_steps=0, n_sample_rows=8
+    )
+    assert check["residual_rel_max"] < 1e-8
