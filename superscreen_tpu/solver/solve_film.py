@@ -1091,10 +1091,11 @@ def _factorize_pending(film_systems, pending):
     budget = float(
         os.environ.get("SUPERSCREEN_TPU_FACTOR_BATCH_BYTES", 6e9)
     )
-    # The batched kernel is the single-device Cholesky explicit inverse;
-    # it cannot honor a non-default factorization method or a GSPMD
-    # factorization mesh, so fall back to per-film factor_system there
-    # rather than silently switching algorithms.
+    # The batched kernel covers the single-device explicit-inverse methods
+    # (schur -- the default -- and the Cholesky "inv" pipeline,
+    # dispatched inside lu_factor_batched); other methods and GSPMD
+    # factorization meshes fall back to per-film factor_system rather
+    # than silently switching algorithms.
     from ..parallel import sharding as _psh
 
     factor_mesh = _psh.factorization_mesh()
@@ -1102,7 +1103,7 @@ def _factorize_pending(film_systems, pending):
         factor_mesh is not None and factor_mesh.shape.get("model", 1) > 1
     )
     if (
-        linalg._large_factor_method() != "inv"
+        linalg._large_factor_method() not in ("inv", "schur")
         or mesh_active
     ):
         for name, A, w_col, force_sharded in pending:

@@ -188,12 +188,18 @@ def test_prewarm_factorization_executable(monkeypatch):
     w = rng.uniform(0.5, 1.5, size=n)
     # Brandt convention: A / w is SPD and solves run against -A.
     A = P * w[None, :]
+    method = linalg._large_factor_method()
     linalg.prewarm_factorization(n, A.dtype)
-    exe = linalg._prewarmed_executable(n, A.dtype)
+    exe = linalg._prewarmed_executable(n, A.dtype, method)
     assert exe is not None
     kind, M, w_out = linalg.factor_system(A, w)
     assert kind == "inv"
-    M_jit = np.asarray(linalg._jax_chol_explicit_inverse_from_A(A, w))
+    ref_fn = (
+        linalg._jax_chol_explicit_inverse_from_A
+        if method == "inv"
+        else linalg._jax_schur_explicit_inverse_from_A
+    )
+    M_jit = np.asarray(ref_fn(A, w))
     assert np.allclose(np.asarray(M), M_jit, rtol=1e-10, atol=1e-12)
     x = np.asarray(M) @ np.ones(n)
     assert np.allclose(-A @ x, np.ones(n), rtol=1e-8, atol=1e-10)
@@ -230,3 +236,30 @@ def test_phase_split_loops_match_dense():
         # the diagonal-block panel solve (S_d @ Ld^{-T} = Ld only exactly).
         assert np.abs(np.triu(L, 1)).max() < 1e-12 * np.abs(L).max()
         assert np.abs(np.triu(X, 1)).max() < 1e-12 * np.abs(X).max()
+
+
+def test_schur_explicit_inverse_matches_chol_and_lu():
+    """The matmul-only Schur inverse (the single-device default) must
+    agree with the Cholesky explicit-inverse pipeline and solve the
+    Brandt-convention system to refinement-free accuracy."""
+    import numpy as np
+
+    from superscreen_tpu.ops import linalg
+
+    rng = np.random.default_rng(3)
+    for n in (96, 320):  # non-multiple and multiple of the 64 leaf below
+        X = rng.standard_normal((n, n))
+        P = X @ X.T + n * np.eye(n)
+        w = rng.uniform(0.5, 1.5, size=n)
+        A = P * w[None, :]
+        M_schur = np.asarray(
+            linalg._jax_schur_explicit_inverse_from_A(A, w, leaf=64)
+        )
+        M_chol = np.asarray(linalg._jax_chol_explicit_inverse_from_A(A, w))
+        assert np.allclose(M_schur, M_chol, rtol=1e-8, atol=1e-10)
+        h = rng.standard_normal(n)
+        x = M_schur @ h
+        assert np.allclose(-A @ x, h, rtol=1e-8, atol=1e-9)
+        # The neg_A entry point agrees with the fused-negation variant.
+        M_neg = np.asarray(linalg._jax_schur_explicit_inverse(-A, w, leaf=64))
+        assert np.allclose(M_neg, M_schur, rtol=1e-12, atol=1e-14)
