@@ -175,8 +175,16 @@ def emit():
     if not RESULT:
         return
     try:
-        with open(DETAIL_PATH, "w") as f:
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(DETAIL_PATH) or ".", suffix=".json.tmp"
+        )
+        with os.fdopen(fd, "w") as f:
             json.dump(RESULT, f, indent=1)
+        # Atomic: the bench is built to be killed at any moment, and a
+        # truncated sidecar would lose the only full-detail record.
+        os.replace(tmp, DETAIL_PATH)
     except Exception as exc:  # sidecar failure must not cost the headline
         _log(f"sidecar write failed: {exc!r}")
     compact = {
@@ -885,6 +893,14 @@ def _oracle_path(kind: str, key: str) -> str:
     return os.path.join(root, f"f64_oracle_{kind}_{key}.json")
 
 
+def _log_tail(path: str, nbytes: int = 300) -> str:
+    try:
+        with open(path) as fh:
+            return fh.read()[-nbytes:]
+    except Exception:
+        return "(no log)"
+
+
 def _read_oracle(path: str):
     try:
         with open(path) as fh:
@@ -952,10 +968,15 @@ def launch_squid_f64_child():
     )
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # Log file, never a pipe: the child may outlive this process (it
+        # writes the oracle file on completion), and an unread pipe would
+        # stall it on JAX's multi-KB warnings or kill it with
+        # BrokenPipeError once the parent exits.
+        log = open(path + ".log", "w")
         return subprocess.Popen(
             [sys.executable, "-c", child],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stdout=log,
+            stderr=subprocess.STDOUT,
             text=True,
             # Niced: the child overlaps the single-core CPU baseline
             # measurements and must yield to them, not distort them.
@@ -1017,10 +1038,10 @@ def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
 
     if proc is None:
         return out
-    stderr = ""
+    path = _oracle_path("squid", _squid_workload_key())
     if proc != "cached":
         try:
-            _stdout, stderr = proc.communicate(timeout=timeout_s)
+            proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             # Leave the child running: it writes the keyed oracle file on
             # completion, so a LATER bench run (or re-exec) serves it.
@@ -1030,10 +1051,12 @@ def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
                 "deadline; left running to populate the oracle file"
             )
             return out
-    payload = _read_oracle(_oracle_path("squid", _squid_workload_key()))
+    payload = _read_oracle(path)
     if payload is None or "mutual_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = f"oracle file missing/invalid: {stderr[-300:]}"
+        out["f64_note"] = (
+            f"oracle file missing/invalid: {_log_tail(path + '.log')}"
+        )
         return out
     m64 = float(payload["mutual_Phi0_per_A"])
     out["mutual_f64_cpu_Phi0_per_A"] = float(f"{m64:.6e}")
@@ -1162,10 +1185,12 @@ def launch_scanning_f64_child():
         "import bench; bench.scanning_f64_child()"
     ) % (os.path.dirname(os.path.abspath(__file__)),)
     try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        log = open(path + ".log", "w")
         return subprocess.Popen(
             [sys.executable, "-c", child],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stdout=log,
+            stderr=subprocess.STDOUT,
             text=True,
             preexec_fn=lambda: os.nice(10),
         )
@@ -1182,10 +1207,10 @@ def finish_scanning_f64(out: dict, proc, M_full, timeout_s: float = 120) -> dict
 
     if proc is None or not isinstance(out, dict) or M_full is None:
         return out
-    stderr = ""
+    path = _oracle_path("scanning", _scanning_workload_key())
     if proc != "cached":
         try:
-            _stdout, stderr = proc.communicate(timeout=timeout_s)
+            proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             out["f64_rel_delta"] = None
             out["f64_note"] = (
@@ -1193,10 +1218,12 @@ def finish_scanning_f64(out: dict, proc, M_full, timeout_s: float = 120) -> dict
                 "join deadline; left running to populate the oracle file"
             )
             return out
-    payload = _read_oracle(_oracle_path("scanning", _scanning_workload_key()))
+    payload = _read_oracle(path)
     if payload is None or "M_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = f"oracle file missing/invalid: {stderr[-300:]}"
+        out["f64_note"] = (
+            f"oracle file missing/invalid: {_log_tail(path + '.log')}"
+        )
         return out
     idx = payload["indices"]
     M64 = np.asarray(payload["M_Phi0_per_A"], dtype=np.float64)
@@ -1474,7 +1501,9 @@ def main():
     # first-solve prewarm thread is pure harm here: each dropped model
     # would stay pinned in HBM by its prewarm thread while the next
     # factorize allocates -- an observed RESOURCE_EXHAUSTED at the 109k
-    # config.  Re-enabled for the user-facing stages below.
+    # config.  The USER's setting is restored for the user-facing stages
+    # below (an explicit opt-out must survive this override).
+    prewarm_user = os.environ.get("SUPERSCREEN_TPU_PREWARM_SWEEP")
     os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = "0"
 
     # Cold factorize (may include XLA compiles unless the persistent cache
@@ -1844,9 +1873,13 @@ def main():
     del run, final, film_data, Hz_bench, model
     gc.collect()
 
-    # User-facing stages from here on: restore the library's first-solve
-    # prewarm (part of what these stages measure -- the cold-solve UX).
-    os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = "1"
+    # User-facing stages from here on: restore the user's first-solve
+    # prewarm setting (default on -- part of what these stages measure,
+    # the cold-solve UX).
+    if prewarm_user is None:
+        os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = "1"
+    else:
+        os.environ["SUPERSCREEN_TPU_PREWARM_SWEEP"] = prewarm_user
 
     if not tpu_unavailable and stage_gate("squid_mutual", est_s=100):
         try:
@@ -1927,15 +1960,19 @@ def main():
             _log(f"fft payoff failed: {exc!r}")
             detail["fft_coupling_payoff"] = {"error": repr(exc)}
         emit()
-        if stage_gate("fft_payoff_small", est_s=50):
-            try:
-                detail["fft_coupling_payoff_66k"] = stamp(
-                    fft_coupling_payoff(sites_per_film=66000)
-                )
-                _log(f"fft payoff 66k: {detail['fft_coupling_payoff_66k']}")
-            except Exception as exc:
-                detail["fft_coupling_payoff_66k"] = {"error": repr(exc)}
-            emit()
+
+    # Independently gated (not nested under fft_payoff): BENCH_STAGES
+    # restricted to just this stage must still run it, and a skip must be
+    # recorded either way for the artifact coherence bookkeeping.
+    if not tpu_unavailable and stage_gate("fft_payoff_small", est_s=50):
+        try:
+            detail["fft_coupling_payoff_66k"] = stamp(
+                fft_coupling_payoff(sites_per_film=66000)
+            )
+            _log(f"fft payoff 66k: {detail['fft_coupling_payoff_66k']}")
+        except Exception as exc:
+            detail["fft_coupling_payoff_66k"] = {"error": repr(exc)}
+        emit()
 
     if not tpu_unavailable and stage_gate("fresh_process", est_s=60):
         try:

@@ -25,9 +25,12 @@ the device**:
   NumPy float64, and reports the worst disagreement with the device
   residual -- validating the device f64 path end to end.
 
-float64 requires x64 mode; :func:`certify_sweep` enables it for the call
-and restores the previous setting after (all internal programs use
-explicit dtypes, so pre-existing f32 programs are unaffected).
+float64 requires x64 mode; every entry point here enables it through the
+THREAD-LOCAL ``jax.enable_x64`` context (never the process-global flag,
+which would change promotion semantics under concurrently tracing
+threads -- e.g. the library's own first-solve prewarm).  All internal
+programs use explicit dtypes, so pre-existing f32 programs are
+unaffected.
 """
 
 import logging
@@ -200,10 +203,10 @@ def refine_sweep_f64(
     }
     out_dtype = None if result_dtype is None else jnp.dtype(result_dtype)
     polished = dict(streams)
-    x64_was = bool(jax.config.jax_enable_x64)
-    if not x64_was:
-        jax.config.update("jax_enable_x64", True)
-    try:
+    # THREAD-LOCAL x64 (jax.enable_x64 context), never the process-global
+    # flag: a global flip would change promotion semantics under the
+    # library's own concurrent prewarm thread (solver/solve.py) mid-trace.
+    with jax.enable_x64():
         if out_dtype is not None:
             polished = {
                 k: jnp.asarray(v).astype(out_dtype) for k, v in polished.items()
@@ -257,9 +260,6 @@ def refine_sweep_f64(
             report["residual_rel_max_after"] = max(
                 report["residual_rel_max_after"], rel_after
             )
-    finally:
-        if not x64_was:
-            jax.config.update("jax_enable_x64", False)
     return polished, report
 
 
@@ -283,21 +283,25 @@ def sweep_outputs_from_streams(film_data, streams: Dict[str, "jnp.ndarray"]):
     """
     from .sweep import _gather_matvec_batch, _self_field_batch
 
+    import contextlib
+
     Js = {}
     self_fields = {}
-    x64_was = bool(jax.config.jax_enable_x64)
-    if not x64_was:
-        jax.config.update("jax_enable_x64", True)
-    try:
+    # Pure-f32 streams need no x64 context (and would pay recompiles
+    # under the different trace context); f64 delivery gets the
+    # THREAD-LOCAL jax.enable_x64 (never the process-global flag -- see
+    # refine_sweep_f64).
+    any_f64 = any(
+        jnp.asarray(v).dtype == jnp.float64 for v in streams.values()
+    )
+    ctx = jax.enable_x64() if any_f64 else contextlib.nullcontext()
+    with ctx:
         for name, data in film_data.items():
             g = jnp.asarray(streams[name])
             Jx = _gather_matvec_batch(data.gy_idx, data.gy_w, g)
             Jy = -_gather_matvec_batch(data.gx_idx, data.gx_w, g)
             Js[name] = jnp.stack([Jx, Jy], axis=-1)
             self_fields[name] = _self_field_batch(data, g)
-    finally:
-        if not x64_was:
-            jax.config.update("jax_enable_x64", False)
     return Js, self_fields
 
 
@@ -357,10 +361,7 @@ def certify_sweep(
             f"{n_sample_rows} gathered rows"
         ),
     }
-    x64_was = bool(jax.config.jax_enable_x64)
-    if not x64_was:
-        jax.config.update("jax_enable_x64", True)
-    try:
+    with jax.enable_x64():
         rng = np.random.default_rng(seed)
         for name, data in film_data.items():
             elapsed = time.perf_counter() - t_start
@@ -481,7 +482,4 @@ def certify_sweep(
             except Exception as exc:
                 out.setdefault("film_errors", {})[f"{name}:refine"] = repr(exc)
             out["film_seconds"][name] = round(time.perf_counter() - t_film, 2)
-    finally:
-        if not x64_was:
-            jax.config.update("jax_enable_x64", False)
     return out

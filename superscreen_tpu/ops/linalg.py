@@ -479,12 +479,15 @@ def _schur_inverse_body(P, w_col, leaf: int):
         P = padded.at[:n, :n].set(P)
     P_inv = _schur_recursive_inverse(P, b)[:n, :n]
     # One Schulz correction (eye-free: X(2I - P X) = 2X - X(PX)).  The
-    # correction matvecs MUST run at disciplined f32: at bf16 the ~3e-3
-    # residual noise is amplified by ||X|| ~ cond(P) and the "correction"
-    # diverges (measured 0.98 relative residual at the 109k benchmark --
-    # the same failure mode as _refine_safeguarded documents).
-    Y = kernels._dot(Pn, P_inv)
-    P_inv = 2.0 * P_inv - kernels._dot(P_inv, Y)
+    # correction matvecs MUST run at true f32 -- pinned LITERALLY, not
+    # through the env-overridable kernels._dot discipline: at bf16 the
+    # ~3e-3 residual noise is amplified by ||X|| ~ cond(P) and the
+    # "correction" diverges (measured 0.98 relative residual at the 109k
+    # benchmark -- the same failure mode as _refine_safeguarded
+    # documents), which no MATMUL_PRECISION=bfloat16 speed trade should
+    # be able to trigger.
+    Y = jnp.dot(Pn, P_inv, precision="float32")
+    P_inv = 2.0 * P_inv - jnp.dot(P_inv, Y, precision="float32")
     return -(P_inv / w_col[:, None])
 
 
@@ -696,10 +699,11 @@ def lu_factor(neg_A, weights_col=None, pad_to=None) -> Tuple:
                 jnp.asarray(neg_A), jnp.asarray(weights_col)
             )
         else:
-            # Default: matmul-only recursive Schur inverse -- ~(4/3) n^3
-            # flops all on the MXU; 3.6x faster than the blocked-TRTRI
-            # pipeline at n=18432 on a v5e (the TRTRI's sequential panel
-            # dependencies idle the MXU), same refined-solve accuracy.
+            # Opt-in "schur" (and the "cg" fall-through when a dense
+            # system was materialized anyway): matmul-only recursive
+            # Schur inverse + one f32 Schulz correction -- see
+            # _jax_schur_explicit_inverse_from_A for the measured
+            # speed/accuracy trade vs the default Cholesky pipeline.
             M = _jax_schur_explicit_inverse(
                 jnp.asarray(neg_A), jnp.asarray(weights_col)
             )

@@ -306,6 +306,17 @@ def _start_sweep_prewarm(model: "FactorizedModel") -> None:
     except Exception:  # pragma: no cover - backend probe is best-effort
         return
     import threading
+    import weakref
+
+    # Weakref: if the caller drops the model BEFORE this thread gets
+    # scheduled, the prewarm aborts instead of resurrecting it.  This is
+    # narrow protection only -- once the thread starts it holds a strong
+    # reference (via the sweep-data arrays) for its whole run, so
+    # factorize-in-a-loop callers that cannot afford two resident models
+    # should disable the prewarm outright
+    # (SUPERSCREEN_TPU_PREWARM_SWEEP=0, as bench.py does for its
+    # headline factorize loop).
+    model_ref = weakref.ref(model)
 
     def _prewarm():
         try:
@@ -318,6 +329,9 @@ def _start_sweep_prewarm(model: "FactorizedModel") -> None:
                 _strip_metadata,
             )
 
+            model = model_ref()
+            if model is None:  # already dropped by the caller
+                return
             film_data = _get_sweep_data(model)  # cached on the model
             films = list(model.device.films)
             dtype = model.device.solve_dtype

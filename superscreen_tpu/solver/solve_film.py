@@ -1092,7 +1092,7 @@ def _factorize_pending(film_systems, pending):
         os.environ.get("SUPERSCREEN_TPU_FACTOR_BATCH_BYTES", 6e9)
     )
     # The batched kernel covers the single-device explicit-inverse methods
-    # (schur -- the default -- and the Cholesky "inv" pipeline,
+    # (the default Cholesky "inv" pipeline and the opt-in "schur",
     # dispatched inside lu_factor_batched); other methods and GSPMD
     # factorization meshes fall back to per-film factor_system rather
     # than silently switching algorithms.

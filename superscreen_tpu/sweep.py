@@ -1511,6 +1511,11 @@ def solve_many(
             "final_refine is not supported with keep_history=True (polish "
             "applies to the final state only)."
         )
+    if result_dtype is not None and keep_history:
+        raise ValueError(
+            "result_dtype is not supported with keep_history=True (the "
+            "history path stores the sweep's native dtype)."
+        )
     if coupling == "auto":
         coupling = _resolve_auto_coupling(model, films, iterations)
     if coupling == "fft" and (len(films) < 2 or iterations == 0):
