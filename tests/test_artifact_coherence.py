@@ -164,3 +164,64 @@ def test_emit_line_fits_driver_window():
     assert "residual_rel_max" in parsed["summary"]
     assert "residual_delivered" in parsed["summary"]
     assert "mutual_f64_rel_delta" in parsed["summary"]
+
+
+def test_oracle_file_roundtrip_and_cached_join(tmp_path, monkeypatch):
+    """The f64 oracle keyed-file protocol: launch detects an existing
+    oracle ('cached'), finish_* reads it and fills the delta with
+    provenance, and a missing file degrades to an explicit note."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_oracle_test", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("SUPERSCREEN_TPU_MESH_CACHE", str(tmp_path))
+
+    # Squid: seed an oracle file, then join from "cached".
+    path = bench._oracle_path("squid", bench._squid_workload_key())
+    assert str(tmp_path) in path
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "mutual_Phi0_per_A": 872.7061551904163,
+                "oracle_run_id": "test-run",
+                "oracle_commit": "deadbee",
+            },
+            fh,
+        )
+    assert bench.launch_squid_f64_child() == "cached"
+    out = {"mutual_Phi0_per_A": 872.7106}
+    out = bench.finish_squid_f64(out, "cached")
+    assert out["f64_rel_delta"] == pytest.approx(5.093e-6, rel=1e-2)
+    assert out["f64_oracle_run_id"] == "test-run"
+    assert out["f64_oracle_cached"] is True
+
+    # Scanning: seed and join against a synthetic map.
+    import numpy as np
+
+    spath = bench._oracle_path("scanning", bench._scanning_workload_key())
+    M64 = [-13.418011977835725, -13.629496619106002, -13.194422292649662]
+    with open(spath, "w") as fh:
+        json.dump(
+            {
+                "indices": [16, 32, 48],
+                "M_Phi0_per_A": M64,
+                "oracle_run_id": "test-run-2",
+                "oracle_commit": "deadbee",
+            },
+            fh,
+        )
+    assert bench.launch_scanning_f64_child() == "cached"
+    M_full = np.zeros(64)
+    M_full[[16, 32, 48]] = np.asarray(M64) * (1 + 1e-6)
+    sout = bench.finish_scanning_f64({"B": 64}, "cached", M_full)
+    assert sout["f64_rel_delta"] == pytest.approx(1e-6, rel=0.1)
+    assert sout["f64_check_indices"] == [16, 32, 48]
+
+    # Missing/invalid oracle: explicit note, no crash.
+    os.unlink(path)
+    bad = bench.finish_squid_f64({"mutual_Phi0_per_A": 1.0}, "cached")
+    assert bad["f64_rel_delta"] is None
+    assert "oracle file missing/invalid" in bad["f64_note"]
