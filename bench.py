@@ -175,16 +175,9 @@ def emit():
     if not RESULT:
         return
     try:
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(DETAIL_PATH) or ".", suffix=".json.tmp"
-        )
-        with os.fdopen(fd, "w") as f:
-            json.dump(RESULT, f, indent=1)
         # Atomic: the bench is built to be killed at any moment, and a
         # truncated sidecar would lose the only full-detail record.
-        os.replace(tmp, DETAIL_PATH)
+        _atomic_write_json(DETAIL_PATH, RESULT, indent=1)
     except Exception as exc:  # sidecar failure must not cost the headline
         _log(f"sidecar write failed: {exc!r}")
     compact = {
@@ -893,6 +886,20 @@ def _oracle_path(kind: str, key: str) -> str:
     return os.path.join(root, f"f64_oracle_{kind}_{key}.json")
 
 
+def _atomic_write_json(path: str, obj, **dump_kwargs) -> None:
+    """Writes JSON atomically (mkstemp + rename): both the detail sidecar
+    and the oracle files may be read by concurrent/later processes and
+    must never be observable half-written."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".json.tmp"
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(obj, fh, **dump_kwargs)
+    os.replace(tmp, path)
+
+
 def _log_tail(path: str, nbytes: int = 300) -> str:
     try:
         with open(path) as fh:
@@ -972,16 +979,17 @@ def launch_squid_f64_child():
         # writes the oracle file on completion), and an unread pipe would
         # stall it on JAX's multi-KB warnings or kill it with
         # BrokenPipeError once the parent exits.
-        log = open(path + ".log", "w")
-        return subprocess.Popen(
-            [sys.executable, "-c", child],
-            stdout=log,
-            stderr=subprocess.STDOUT,
-            text=True,
-            # Niced: the child overlaps the single-core CPU baseline
-            # measurements and must yield to them, not distort them.
-            preexec_fn=lambda: os.nice(10),
-        )
+        with open(path + ".log", "w") as log:
+            # The child inherits the fd; the parent's handle can close.
+            return subprocess.Popen(
+                [sys.executable, "-c", child],
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                text=True,
+                # Niced: the child overlaps the single-core CPU baseline
+                # measurements and must yield to them, not distort them.
+                preexec_fn=lambda: os.nice(10),
+            )
     except Exception as exc:
         _log(f"squid f64 child failed to launch: {exc!r}")
         return None
@@ -1031,32 +1039,39 @@ def bench_squid_mutual():
     }
 
 
-def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
-    """Joins the f64 CPU oracle of :func:`bench_squid_mutual` (live child
-    or keyed oracle file) and fills in the cross-precision delta."""
+def _join_oracle(proc, path: str, timeout_s: float, what: str):
+    """Waits for an oracle child (or accepts "cached") and reads the keyed
+    oracle file.  Returns ``(payload, note)``: exactly one is None."""
     import subprocess
 
-    if proc is None:
-        return out
-    path = _oracle_path("squid", _squid_workload_key())
     if proc != "cached":
         try:
             proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             # Leave the child running: it writes the keyed oracle file on
             # completion, so a LATER bench run (or re-exec) serves it.
-            out["f64_rel_delta"] = None
-            out["f64_note"] = (
-                f"f64 CPU child still running at the {timeout_s:.0f}s join "
+            return None, (
+                f"{what} still running at the {timeout_s:.0f}s join "
                 "deadline; left running to populate the oracle file"
             )
-            return out
     payload = _read_oracle(path)
+    if payload is None:
+        return None, f"oracle file missing/invalid: {_log_tail(path + '.log')}"
+    return payload, None
+
+
+def finish_squid_f64(out: dict, proc, timeout_s: float = 240) -> dict:
+    """Joins the f64 CPU oracle of :func:`bench_squid_mutual` (live child
+    or keyed oracle file) and fills in the cross-precision delta."""
+    if proc is None:
+        return out
+    payload, note = _join_oracle(
+        proc, _oracle_path("squid", _squid_workload_key()), timeout_s,
+        "f64 CPU child",
+    )
     if payload is None or "mutual_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = (
-            f"oracle file missing/invalid: {_log_tail(path + '.log')}"
-        )
+        out["f64_note"] = note or "oracle payload missing mutual_Phi0_per_A"
         return out
     m64 = float(payload["mutual_Phi0_per_A"])
     out["mutual_f64_cpu_Phi0_per_A"] = float(f"{m64:.6e}")
@@ -1124,8 +1139,6 @@ def scanning_f64_child():
     at the 3 spot-check positions, writes the keyed oracle file, and
     prints the result.  The caller must configure the CPU backend + x64
     BEFORE importing jax consumers (see :func:`launch_scanning_f64_child`)."""
-    import tempfile
-
     import superscreen_tpu as sc
     from superscreen_tpu.squids import susceptibility_scan
 
@@ -1158,10 +1171,7 @@ def scanning_f64_child():
     }
     path = _oracle_path("scanning", _scanning_workload_key())
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
-    with os.fdopen(fd, "w") as fh:
-        fh.write(json.dumps(out))
-    os.replace(tmp, path)
+    _atomic_write_json(path, out)
     print(json.dumps(out))
 
 
@@ -1186,14 +1196,14 @@ def launch_scanning_f64_child():
     ) % (os.path.dirname(os.path.abspath(__file__)),)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        log = open(path + ".log", "w")
-        return subprocess.Popen(
-            [sys.executable, "-c", child],
-            stdout=log,
-            stderr=subprocess.STDOUT,
-            text=True,
-            preexec_fn=lambda: os.nice(10),
-        )
+        with open(path + ".log", "w") as log:
+            return subprocess.Popen(
+                [sys.executable, "-c", child],
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                text=True,
+                preexec_fn=lambda: os.nice(10),
+            )
     except Exception as exc:
         _log(f"scanning f64 child failed to launch: {exc!r}")
         return None
@@ -1203,27 +1213,15 @@ def finish_scanning_f64(out: dict, proc, M_full, timeout_s: float = 120) -> dict
     """Joins the scanning f64 oracle (live child or keyed oracle file)
     and records the worst relative disagreement of the TPU f32 map at the
     spot-check positions."""
-    import subprocess
-
     if proc is None or not isinstance(out, dict) or M_full is None:
         return out
-    path = _oracle_path("scanning", _scanning_workload_key())
-    if proc != "cached":
-        try:
-            proc.wait(timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            out["f64_rel_delta"] = None
-            out["f64_note"] = (
-                f"scanning f64 child still running at the {timeout_s:.0f}s "
-                "join deadline; left running to populate the oracle file"
-            )
-            return out
-    payload = _read_oracle(path)
+    payload, note = _join_oracle(
+        proc, _oracle_path("scanning", _scanning_workload_key()), timeout_s,
+        "scanning f64 child",
+    )
     if payload is None or "M_Phi0_per_A" not in payload:
         out["f64_rel_delta"] = None
-        out["f64_note"] = (
-            f"oracle file missing/invalid: {_log_tail(path + '.log')}"
-        )
+        out["f64_note"] = note or "oracle payload missing M_Phi0_per_A"
         return out
     idx = payload["indices"]
     M64 = np.asarray(payload["M_Phi0_per_A"], dtype=np.float64)

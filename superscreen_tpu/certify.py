@@ -281,9 +281,9 @@ def sweep_outputs_from_streams(film_data, streams: Dict[str, "jnp.ndarray"]):
     Returns ``(current_densities, self_fields)`` dicts keyed like
     ``streams``.
     """
-    from .sweep import _gather_matvec_batch, _self_field_batch
-
     import contextlib
+
+    from .sweep import _gather_matvec_batch, _self_field_batch
 
     Js = {}
     self_fields = {}
