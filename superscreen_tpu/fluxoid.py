@@ -101,7 +101,10 @@ def find_fluxoid_solution(
 
     Args:
         model: Factorized model to optimize (its circulating currents are
-            restored before returning).
+            restored before returning).  A meshed :class:`Device` is also
+            accepted and factorized on the fly (beyond-reference
+            convenience; the reference requires a ``FactorizedModel``,
+            ``fluxoid.py:55-56``).
         fluxoids: Target fluxoid per hole in units of ``Phi_0``; holes not
             listed are targeted at 0.
         solve_kwargs: Forwarded to :func:`superscreen_tpu.solve` (e.g.
@@ -110,6 +113,13 @@ def find_fluxoid_solution(
     Returns:
         The optimized :class:`Solution`.
     """
+    if isinstance(model, Device):
+        from .solver import factorize_model
+
+        model = factorize_model(
+            device=model,
+            current_units=solve_kwargs.pop("current_units", "uA"),
+        )
     targets = dict(fluxoids or {})
     hole_names = list(model.device.holes)
     applied_field = solve_kwargs.pop("applied_field", None)

@@ -198,6 +198,16 @@ def test_fluxoid_quantization(device):
         assert np.isclose(total, target, atol=2e-3)
 
 
+def test_find_fluxoid_solution_accepts_device(device):
+    # Beyond-reference convenience: a meshed Device is factorized on the
+    # fly (the reference requires a FactorizedModel, fluxoid.py:55-56).
+    solution = sc.find_fluxoid_solution(
+        device, fluxoids={"ring_hole": 0.0}, progress_bar=False
+    )
+    total = sum(solution.hole_fluxoid("ring_hole")).to("Phi_0").magnitude
+    assert np.isclose(total, 0.0, atol=2e-3)
+
+
 def test_fluxoid_with_applied_field(device):
     model = sc.factorize_model(
         device=device, current_units="uA", circulating_currents={}
