@@ -173,7 +173,9 @@ def applied_field_maps(
     current_units: str,
 ) -> Dict[str, np.ndarray]:
     """``{sample_film: (B, n)}`` H_z applied by the frozen SQUID currents at
-    every scan position, in ``current_units / sample length_units``.
+    every scan position, in ``current_units / sample length_units``
+    (device-resident arrays; ``solve_many`` consumes them without a host
+    round-trip -- ``np.asarray`` materializes if needed).
 
     ``squid_height`` may be a scalar (constant-height raster: one blocked
     device dispatch per (squid film, sample film) pair covers all ``B``
@@ -191,6 +193,8 @@ def applied_field_maps(
     sheets = _gather_squid_sheets(
         squid_solution, sample_device.length_units, current_units
     )
+    import jax.numpy as jnp
+
     out: Dict[str, np.ndarray] = {}
     for film_name, mesh in sample_device.meshes.items():
         z_s = float(sample_device.layers[sample_device.films[film_name].layer].z0)
@@ -198,7 +202,11 @@ def applied_field_maps(
         n = sites.shape[0]
         # Shifting the SQUID by +p equals evaluating at sites - p.
         eval_pts = (sites[None, :, :] - positions[:, None, :]).astype(dtype)
-        H = np.zeros((B, n), dtype=dtype)
+        # Accumulated ON DEVICE and returned as a device array:
+        # solve_many consumes it directly, so materializing to host here
+        # would cost a device->host round-trip per (squid sheet, sample
+        # film) pair just to re-upload for the solve.
+        H = jnp.zeros((B, n), dtype=dtype)
         for sq_sites, sq_areas, sq_J, sq_z0 in sheets:
             dz2 = ((heights + sq_z0 - z_s) ** 2).astype(dtype)
             args = (
@@ -207,19 +215,15 @@ def applied_field_maps(
                 sq_J.astype(dtype),
             )
             if heights.ndim == 0:
-                contrib = np.asarray(
-                    kernels.biot_savart_film_to_film_dz2(
-                        *args, eval_pts.reshape(B * n, 2), dz2
-                    )
+                contrib = kernels.biot_savart_film_to_film_dz2(
+                    *args, eval_pts.reshape(B * n, 2), dz2
                 ).reshape(B, n)
             else:
-                contrib = np.asarray(
-                    jax.vmap(
-                        lambda p, d2: kernels.biot_savart_film_to_film_dz2(
-                            *args, p, d2
-                        )
-                    )(eval_pts, dz2)
-                )
+                contrib = jax.vmap(
+                    lambda p, d2: kernels.biot_savart_film_to_film_dz2(
+                        *args, p, d2
+                    )
+                )(eval_pts, dz2)
             H = H + contrib
         out[film_name] = H
     return out

@@ -1539,7 +1539,14 @@ def solve_many(
     Hz_applied = {}
     if applied_field_arrays is not None:
         for name in films:
-            arr = np.asarray(applied_field_arrays[name], dtype=dtype)
+            arr = applied_field_arrays[name]
+            if isinstance(arr, jax.Array):
+                # Device-resident input (e.g. squids.applied_field_maps):
+                # keep it on device -- np.asarray here would force a
+                # device->host round-trip just to re-upload for the solve.
+                arr = arr.astype(dtype)
+            else:
+                arr = np.asarray(arr, dtype=dtype)
             if arr.ndim != 2 or arr.shape[1] != len(device.meshes[name].sites):
                 raise ValueError(
                     f"applied_field_arrays[{name!r}] must have shape "
@@ -1704,20 +1711,25 @@ def solve_many(
             k: np.asarray(v).astype(dt) for k, v in self_fields.items()
         }
 
-    # Convert fields back to field_units for storage.
+    # Convert fields back to field_units for storage.  The device arrays
+    # come back through ONE packed transfer per dtype group instead of
+    # one per (film, quantity): on a tunneled TPU every device->host
+    # round-trip costs 0.05-1 s of channel latency, which dominated warm
+    # scanning sweeps (the same lesson as solve()'s packed history
+    # transfer, solver/solve.py).
+    multi = len(films) > 1 and iterations > 0
+    streams, Js, self_fields, others_h, Hz_h = _device_get_packed(
+        streams, Js, self_fields, others if multi else None, Hz_applied
+    )
     inv = 1.0 / field_conversion
     result = SweepResult(
         model=model,
-        streams={k: np.asarray(v) for k, v in streams.items()},
-        current_densities={k: np.asarray(v) for k, v in Js.items()},
-        self_fields={k: np.asarray(v) * inv for k, v in self_fields.items()},
-        applied_fields={
-            k: np.asarray(v) * inv for k, v in Hz_applied.items()
-        },
+        streams=streams,
+        current_densities=Js,
+        self_fields={k: v * inv for k, v in self_fields.items()},
+        applied_fields={k: np.asarray(v) * inv for k, v in Hz_h.items()},
         other_fields=(
-            {k: np.asarray(v) * inv for k, v in others.items()}
-            if len(films) > 1 and iterations > 0
-            else None
+            {k: v * inv for k, v in others_h.items()} if multi else None
         ),
         field_units=field_units,
         current_units=current_units,
@@ -1728,3 +1740,47 @@ def solve_many(
     )
     result.final_refine_report = polish_report
     return result
+
+
+def _device_get_packed(*dicts):
+    """Materializes several ``{film: device_array}`` dicts to host NumPy
+    with one packed transfer per dtype group (``None`` dicts pass
+    through).  Host arrays join the output untouched -- only device
+    arrays are packed."""
+    import jax
+
+    # Collect device-array leaves grouped by dtype.
+    groups = {}  # dtype -> list of (dict_idx, key, shape)
+    for di, d in enumerate(dicts):
+        if d is None:
+            continue
+        for k, v in d.items():
+            if isinstance(v, jax.Array):
+                groups.setdefault(jnp.dtype(v.dtype), []).append((di, k, v))
+    flat = {}
+    for dt, entries in groups.items():
+        packed = np.asarray(
+            jnp.concatenate([jnp.ravel(v) for _, _, v in entries])
+        )
+        offset = 0
+        for di, k, v in entries:
+            size = int(np.prod(v.shape))
+            # np.array copy: keeps each returned array independently
+            # writable (downstream matplotlib tri interpolators write in
+            # place) -- host-speed, trivial next to the transfer.
+            flat[(di, k)] = np.array(
+                packed[offset : offset + size]
+            ).reshape(v.shape)
+            offset += size
+    out = []
+    for di, d in enumerate(dicts):
+        if d is None:
+            out.append(None)
+            continue
+        out.append(
+            {
+                k: flat.get((di, k), np.asarray(v) if not isinstance(v, np.ndarray) else v)
+                for k, v in d.items()
+            }
+        )
+    return out
