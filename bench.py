@@ -949,7 +949,7 @@ def launch_squid_f64_child():
     scale = float(os.environ.get("BENCH_SQUID_EDGE_SCALE", "1.0"))
     iterations = int(os.environ.get("BENCH_SQUID_ITER", "5"))
     child = (
-        "import sys, json, os, tempfile; sys.path.insert(0, %r); "
+        "import sys, json, os; sys.path.insert(0, %r); "
         "os.environ['SUPERSCREEN_TPU_TUNNEL_WARMUP'] = '0'; "
         "os.environ['SUPERSCREEN_TPU_FUSED_SWEEP'] = '0'; "
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
@@ -962,15 +962,12 @@ def launch_squid_f64_child():
         "m = mutuals.pickup_loop_mutual(device, iterations=%r); "
         "out = {'mutual_Phi0_per_A': float(m.to('Phi_0 / A').magnitude), "
         "'oracle_run_id': bench.RUN_ID, 'oracle_commit': bench.GIT_COMMIT}; "
-        "fd, tmp = tempfile.mkstemp(dir=os.path.dirname(%r)); "
-        "os.fdopen(fd, 'w').write(json.dumps(out)); "
-        "os.replace(tmp, %r); "
+        "bench._atomic_write_json(%r, out); "
         "print(json.dumps(out))"
     ) % (
         os.path.dirname(os.path.abspath(__file__)),
         mutuals.MAX_EDGE_LENGTHS["huber"] * scale,
         iterations,
-        path,
         path,
     )
     try:

@@ -87,7 +87,7 @@ def _circulating_currents(model: FactorizedModel, currents: Dict[str, float]):
 
 
 def find_fluxoid_solution(
-    model: FactorizedModel,
+    model: Union[FactorizedModel, Device],
     fluxoids: Optional[Dict[str, float]] = None,
     **solve_kwargs,
 ) -> Solution:

@@ -171,7 +171,7 @@ def applied_field_maps(
     *,
     squid_height: Union[float, np.ndarray],
     current_units: str,
-) -> Dict[str, np.ndarray]:
+) -> Dict[str, "jax.Array"]:
     """``{sample_film: (B, n)}`` H_z applied by the frozen SQUID currents at
     every scan position, in ``current_units / sample length_units``
     (device-resident arrays; ``solve_many`` consumes them without a host
@@ -195,7 +195,7 @@ def applied_field_maps(
     )
     import jax.numpy as jnp
 
-    out: Dict[str, np.ndarray] = {}
+    out: Dict[str, "jax.Array"] = {}
     for film_name, mesh in sample_device.meshes.items():
         z_s = float(sample_device.layers[sample_device.films[film_name].layer].z0)
         sites = np.asarray(mesh.sites, dtype=dtype)

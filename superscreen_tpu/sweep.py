@@ -1747,8 +1747,6 @@ def _device_get_packed(*dicts):
     with one packed transfer per dtype group (``None`` dicts pass
     through).  Host arrays join the output untouched -- only device
     arrays are packed."""
-    import jax
-
     # Collect device-array leaves grouped by dtype.
     groups = {}  # dtype -> list of (dict_idx, key, shape)
     for di, d in enumerate(dicts):
@@ -1777,9 +1775,17 @@ def _device_get_packed(*dicts):
         if d is None:
             out.append(None)
             continue
+        # NOTE: no dict.get with a default here -- a `flat.get(key,
+        # np.asarray(v))` default is evaluated EAGERLY, which would issue
+        # one blocking device->host transfer per array ON TOP of the
+        # packed one and defeat this function's entire purpose.
         out.append(
             {
-                k: flat.get((di, k), np.asarray(v) if not isinstance(v, np.ndarray) else v)
+                k: (
+                    flat[(di, k)]
+                    if (di, k) in flat
+                    else (v if isinstance(v, np.ndarray) else np.asarray(v))
+                )
                 for k, v in d.items()
             }
         )
