@@ -871,3 +871,49 @@ def test_inner_refine_override_changes_nothing_material(
         b = np.asarray(fast.streams[film])
         # f64 CPU: the fixed point is converged far below this tolerance.
         assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
+
+
+def test_device_get_packed_single_transfer(monkeypatch):
+    """The packed result materialization must issue exactly ONE
+    device->host transfer per dtype group -- a dict.get with an eagerly
+    evaluated np.asarray default silently re-introduced per-array
+    transfers on top of the packed one (round-5 review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superscreen_tpu.sweep import _device_get_packed
+
+    calls = {"n": 0}
+    orig = np.asarray
+
+    def probe(x, *args, **kwargs):
+        if isinstance(x, jax.Array):
+            calls["n"] += 1
+        return orig(x, *args, **kwargs)
+
+    a = {"f": jnp.ones((2, 5)), "g": jnp.zeros((2, 3))}
+    b = {"f": np.full((2, 5), 7.0)}
+    monkeypatch.setattr(np, "asarray", probe)
+    out_a, out_b, out_none = _device_get_packed(a, b, None)
+    monkeypatch.undo()
+    assert calls["n"] == 1, f"expected 1 packed transfer, saw {calls['n']}"
+    assert out_none is None
+    np.testing.assert_array_equal(out_a["f"], np.ones((2, 5)))
+    np.testing.assert_array_equal(out_a["g"], np.zeros((2, 3)))
+    np.testing.assert_array_equal(out_b["f"], np.full((2, 5), 7.0))
+    # Returned arrays are independently writable host copies.
+    out_a["f"][0, 0] = 99.0
+    assert out_a["g"][0, 0] == 0.0
+
+
+def test_device_get_packed_mixed_dtypes():
+    import jax.numpy as jnp
+
+    from superscreen_tpu.sweep import _device_get_packed
+
+    a = {"x": jnp.ones((3,), dtype=jnp.float32)}
+    b = {"x": jnp.arange(4, dtype=jnp.int32)}
+    out_a, out_b = _device_get_packed(a, b)
+    assert out_a["x"].dtype == np.float32
+    assert out_b["x"].dtype == np.int32
+    np.testing.assert_array_equal(out_b["x"], np.arange(4, dtype=np.int32))
