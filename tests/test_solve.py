@@ -304,3 +304,29 @@ def test_check_inversion_matches_fast_path(device):
     a = fast.film_solutions["ring"].stream
     b = checked.film_solutions["ring"].stream
     assert np.abs(a - b).max() < 1e-10 * np.abs(a).max()
+
+
+def test_sweep_prewarm_noop_on_cpu(monkeypatch):
+    """_start_sweep_prewarm must not spawn threads on the CPU backend or
+    when disabled -- the prewarm only pays on a single tunneled TPU, and
+    a surprise daemon thread in CPU test/CI runs would be pure noise."""
+    import threading
+
+    from superscreen_tpu.solver import solve as solve_mod
+
+    spawned = []
+    real_thread = threading.Thread
+
+    class SpyThread(real_thread):
+        def __init__(self, *args, **kwargs):
+            spawned.append(kwargs.get("target"))
+            super().__init__(*args, **kwargs)
+
+    monkeypatch.setattr(threading, "Thread", SpyThread)
+    # CPU backend (the tests run on CPU): guard returns before threading.
+    solve_mod._start_sweep_prewarm(object())
+    assert spawned == []
+    # Explicit opt-out must also return early regardless of backend.
+    monkeypatch.setenv("SUPERSCREEN_TPU_PREWARM_SWEEP", "0")
+    solve_mod._start_sweep_prewarm(object())
+    assert spawned == []
