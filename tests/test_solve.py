@@ -312,7 +312,9 @@ def test_sweep_prewarm_noop_on_cpu(monkeypatch):
     a surprise daemon thread in CPU test/CI runs would be pure noise."""
     import threading
 
-    from superscreen_tpu.solver import solve as solve_mod
+    import importlib
+
+    solve_mod = importlib.import_module("superscreen_tpu.solver.solve")
 
     spawned = []
     real_thread = threading.Thread
