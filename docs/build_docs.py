@@ -47,6 +47,7 @@ PAGES = [
     ("docs/SCANNING.md", "scanning", "Scanning & imaging"),
     ("docs/MIGRATING.md", "migrating", "Migrating from SuperScreen"),
     ("COMPONENTS.md", "components", "Reference parity map"),
+    ("docs/REPRODUCIBILITY.md", "reproducibility", "Benchmark reproducibility"),
     ("docs/CHANGELOG.md", "changelog", "Changelog"),
 ]
 
